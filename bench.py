@@ -1,0 +1,72 @@
+"""Headline benchmark: lidar ray integration throughput on one TPU chip.
+
+Scenario (BASELINE.md config 1): occupancy-only map of a synthetic box scene,
+0.1 m voxels, 32^3 regions — the reference's ohmpop box-room benchmark
+methodology (scripts/ohm-timing-run.py parses total processing time; we
+report steady-state rays/sec including host batch preparation).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is the fraction of the 100 M rays/sec/chip north-star target
+(BASELINE.json; the reference repo publishes no absolute numbers).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+
+def box_scene_rays(n, rng, half=(10.0, 10.0, 5.0), sensor=(0.0, 0.0, 0.0)):
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    t = np.min(np.where(dirs != 0, np.asarray(half) / np.abs(dirs), np.inf), axis=1)
+    samples = np.asarray(sensor) + dirs * t[:, None]
+    rays = np.empty((2 * n, 3), dtype=np.float64)
+    rays[0::2] = sensor
+    rays[1::2] = samples
+    return rays
+
+
+def main():
+    import jax
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from ohm_tpu.core.map import OccupancyMap, MapFlag
+    from ohm_tpu.mapping.tpu_map import TpuRayMapper
+
+    rng = np.random.default_rng(2024)
+    resolution = 0.1
+    rays_per_batch = 16384
+    n_batches = 40
+    warmup = 4
+
+    m = OccupancyMap(resolution=resolution, flags=MapFlag.NONE)
+    mapper = TpuRayMapper(m, capacity=2048)
+
+    batches = [box_scene_rays(rays_per_batch, rng) for _ in range(n_batches)]
+
+    # Warm up: compile + populate the region set.
+    for i in range(warmup):
+        mapper.integrate_rays(batches[i % n_batches])
+    jax.block_until_ready(mapper.arena.arrays["occupancy"])
+
+    t0 = time.perf_counter()
+    for b in batches:
+        mapper.integrate_rays(b)
+    jax.block_until_ready(mapper.arena.arrays["occupancy"])
+    elapsed = time.perf_counter() - t0
+
+    total_rays = rays_per_batch * n_batches
+    rays_per_sec = total_rays / elapsed
+    print(json.dumps({
+        "metric": "occupancy_integrate_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / 1e8, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,254 @@
+"""HBM region arena: device-resident per-layer voxel storage with host paging.
+
+TPU-native replacement for the reference's GpuCache/GpuLayerCache
+(ohmgpu/GpuLayerCache.cpp:40-85,429-520): instead of paging regions into a
+GPU buffer per layer with LRU eviction and per-entry sync events, the arena
+holds every layer as one flat device array `[capacity * voxels_per_region + 1]`
+(the +1 element is the scatter sentinel for dropped/padded records).  The
+host keeps the authoritative region->slot directory; the device sees it as a
+hash table (ops.regiontable).  Regions are spilled back to the host
+OccupancyMap chunks on eviction or sync (the analogue of
+GpuLayerCache::syncToMainMemory).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ohm_tpu.core import keys as keymath
+from ohm_tpu.core import layout as layoutmod
+from ohm_tpu.ops.regiontable import HostRegionTable
+
+
+# Arena layer descriptors: name -> (dtype, clear value, host layer, host member map)
+# host member map: list of (arena array suffix index | None, member name)
+_LAYER_SPECS = {
+    "occupancy": (jnp.float32, np.float32(np.inf)),
+    "traversal": (jnp.float32, np.float32(0)),
+    "mean_coord": (jnp.uint32, np.uint32(0)),
+    "mean_count": (jnp.uint32, np.uint32(0)),
+    "touch_time": (jnp.uint32, np.uint32(0)),
+    "incident": (jnp.uint32, np.uint32(0)),
+    # NDT layers:
+    "cov": (jnp.float32, np.float32(0)),  # [N, 6] packed upper-triangular sqrt cov
+    "intensity": (jnp.float32, np.float32(0)),  # [N, 2] mean, cov
+    "hit_count": (jnp.uint32, np.uint32(0)),
+    "miss_count": (jnp.uint32, np.uint32(0)),
+    # TSDF:
+    "tsdf_weight": (jnp.float32, np.float32(0)),
+    "tsdf_distance": (jnp.float32, np.float32(0)),
+}
+
+_VECTOR_LAYERS = {"cov": 6, "intensity": 2}
+
+
+class VoxelArena:
+    """Fixed-capacity device store of map regions for a set of arena layers."""
+
+    def __init__(self, capacity: int, region_shift: int, layer_names: list[str],
+                 scatter_pad: int = 1 << 22):
+        self.capacity = int(capacity)
+        self.region_shift = int(region_shift)
+        self.scatter_pad = int(scatter_pad)
+        self.voxels_per_region = 1 << (3 * region_shift)
+        self.layer_names = list(layer_names)
+        self.table = HostRegionTable()
+        self.slot_of: dict[tuple[int, int, int], int] = {}
+        self.region_of: list = [None] * self.capacity
+        self.free_slots = list(range(self.capacity - 1, -1, -1))
+        self.last_used = np.zeros(self.capacity, dtype=np.int64)
+        self.batch_counter = 0
+
+        # +1 sentinel element (dropped-record gather target) + scratch tail
+        # of unique dummy scatter slots (ops.integrate._unique_scatter_indices).
+        n = self.capacity * self.voxels_per_region + 1 + self.scatter_pad
+        self.arrays: dict[str, jax.Array] = {}
+        for name in layer_names:
+            dtype, clear = _LAYER_SPECS[name]
+            width = _VECTOR_LAYERS.get(name)
+            shape = (n, width) if width else (n,)
+            self.arrays[name] = jnp.full(shape, clear, dtype=dtype)
+
+    # ------------------------------------------------------------------ #
+
+    def device_state(self) -> dict:
+        # The region table lives host-side only: slot resolution happens on
+        # the host via corner slots (ops.integrate._resolve_slots), so no
+        # table arrays cross to the device.
+        return self.arrays
+
+    def update_state(self, new_arrays: dict):
+        """Adopt arrays returned by a (donating) device call."""
+        self.arrays = dict(new_arrays)
+
+    # ------------------------------------------------------------------ #
+
+    def ensure_regions(self, region_keys: np.ndarray, host_map=None):
+        """Allocate arena slots for every region in (R, 3); evict LRU on overflow.
+
+        ``host_map`` receives spilled voxel data when eviction is required
+        (the reference flushes via GpuLayerCache download on cache-full —
+        GpuMap.cpp:936-980).
+        """
+        self.batch_counter += 1
+        for key in map(tuple, np.asarray(region_keys, dtype=np.int64)):
+            key = (int(key[0]), int(key[1]), int(key[2]))
+            slot = self.slot_of.get(key)
+            if slot is not None:
+                self.last_used[slot] = self.batch_counter
+                continue
+            if not self.free_slots:
+                self._evict_lru(host_map)
+            slot = self.free_slots.pop()
+            self.slot_of[key] = slot
+            self.region_of[slot] = key
+            self.last_used[slot] = self.batch_counter
+            self.table.insert(key, slot)
+            if host_map is not None and host_map.region(key) is not None:
+                self._upload_region(host_map, key, slot)
+
+    def _evict_lru(self, host_map):
+        used = [(self.last_used[s], s) for s in range(self.capacity) if self.region_of[s] is not None
+                and self.last_used[s] < self.batch_counter]
+        if not used:
+            raise RuntimeError(
+                "VoxelArena capacity exhausted within a single batch; increase capacity "
+                f"(capacity={self.capacity} regions)"
+            )
+        _, slot = min(used)
+        key = self.region_of[slot]
+        if host_map is not None:
+            self._download_region(host_map, key, slot)
+        self.table.remove(key)
+        del self.slot_of[key]
+        self.region_of[slot] = None
+        self.free_slots.append(slot)
+
+    # ------------------------------------------------------------------ #
+    # Host <-> device region transfer
+
+    def _slot_slice(self, slot: int):
+        v = self.voxels_per_region
+        return slice(slot * v, (slot + 1) * v)
+
+    def _upload_region(self, host_map, key, slot: int):
+        """Push a host chunk's layer data into the arena slot."""
+        chunk = host_map.region(key)
+        sl = self._slot_slice(slot)
+        for name, host_get in _host_layer_readers(host_map):
+            if name not in self.arrays:
+                continue
+            data = host_get(chunk)
+            if data is not None:
+                self.arrays[name] = self.arrays[name].at[sl].set(jnp.asarray(data))
+
+    def _download_region(self, host_map, key, slot: int):
+        """Pull one arena slot back into the host map chunk and clear the slot."""
+        chunk = host_map.region(key, allow_create=True)
+        sl = self._slot_slice(slot)
+        pulled = {name: np.asarray(self.arrays[name][sl]) for name in self.layer_names}
+        _write_host_chunk(host_map, chunk, pulled)
+        for name in self.layer_names:
+            dtype, clear = _LAYER_SPECS[name]
+            self.arrays[name] = self.arrays[name].at[sl].set(clear)
+
+    def sync_to_host(self, host_map, stamp=None):
+        """Download every resident region into the host map (GpuMap::syncVoxels)."""
+        pulled_all = {name: np.asarray(self.arrays[name]) for name in self.layer_names}
+        v = self.voxels_per_region
+        for key, slot in self.slot_of.items():
+            sl = slice(slot * v, (slot + 1) * v)
+            pulled = {name: pulled_all[name][sl] for name in self.layer_names}
+            if _region_untouched(pulled):
+                continue
+            chunk = host_map.region(key, allow_create=True)
+            _write_host_chunk(host_map, chunk, pulled)
+            if stamp is not None:
+                chunk.dirty_stamp = stamp
+                chunk.touched_stamps[:] = stamp
+
+
+def _region_untouched(pulled: dict) -> bool:
+    occ = pulled.get("occupancy")
+    if occ is None:
+        return False
+    return bool(np.all(np.isinf(occ)))
+
+
+def _host_layer_readers(host_map):
+    """(arena layer name, chunk -> np array) readers for upload."""
+    lay = host_map.layout
+    readers = []
+
+    def field(layer_name, member, dtype):
+        idx = lay.layer_index(layer_name)
+        if idx < 0:
+            return None
+
+        def get(chunk):
+            return np.ascontiguousarray(chunk.layers[idx][member]).astype(dtype, copy=False)
+
+        return get
+
+    pairs = [
+        ("occupancy", field(layoutmod.OCCUPANCY_LAYER, "occupancy", np.float32)),
+        ("traversal", field(layoutmod.TRAVERSAL_LAYER, "traversal", np.float32)),
+        ("mean_coord", field(layoutmod.MEAN_LAYER, "coord", np.uint32)),
+        ("mean_count", field(layoutmod.MEAN_LAYER, "count", np.uint32)),
+        ("touch_time", field(layoutmod.TOUCH_TIME_LAYER, "touch", np.uint32)),
+        ("incident", field(layoutmod.INCIDENT_NORMAL_LAYER, "packed_normal", np.uint32)),
+        ("tsdf_weight", field(layoutmod.TSDF_LAYER, "weight", np.float32)),
+        ("tsdf_distance", field(layoutmod.TSDF_LAYER, "distance", np.float32)),
+        ("hit_count", field(layoutmod.HIT_MISS_COUNT_LAYER, "hit_count", np.uint32)),
+        ("miss_count", field(layoutmod.HIT_MISS_COUNT_LAYER, "miss_count", np.uint32)),
+    ]
+    cov_idx = lay.layer_index(layoutmod.COVARIANCE_LAYER)
+    if cov_idx >= 0:
+        def get_cov(chunk, cov_idx=cov_idx):
+            arr = chunk.layers[cov_idx]
+            return np.stack([arr[n] for n in ("P00", "P01", "P11", "P02", "P12", "P22")], axis=-1)
+        pairs.append(("cov", get_cov))
+    int_idx = lay.layer_index(layoutmod.INTENSITY_LAYER)
+    if int_idx >= 0:
+        def get_int(chunk, int_idx=int_idx):
+            arr = chunk.layers[int_idx]
+            return np.stack([arr["mean"], arr["cov"]], axis=-1)
+        pairs.append(("intensity", get_int))
+    return [(name, get) for name, get in pairs if get is not None]
+
+
+def _write_host_chunk(host_map, chunk, pulled: dict):
+    """Write pulled arena slot data into a host chunk's structured arrays."""
+    lay = host_map.layout
+
+    def store(layer_name, member, data):
+        idx = lay.layer_index(layer_name)
+        if idx >= 0 and data is not None:
+            chunk.layers[idx][member] = data
+
+    store(layoutmod.OCCUPANCY_LAYER, "occupancy", pulled.get("occupancy"))
+    store(layoutmod.TRAVERSAL_LAYER, "traversal", pulled.get("traversal"))
+    store(layoutmod.MEAN_LAYER, "coord", pulled.get("mean_coord"))
+    store(layoutmod.MEAN_LAYER, "count", pulled.get("mean_count"))
+    store(layoutmod.TOUCH_TIME_LAYER, "touch", pulled.get("touch_time"))
+    store(layoutmod.INCIDENT_NORMAL_LAYER, "packed_normal", pulled.get("incident"))
+    store(layoutmod.TSDF_LAYER, "weight", pulled.get("tsdf_weight"))
+    store(layoutmod.TSDF_LAYER, "distance", pulled.get("tsdf_distance"))
+    store(layoutmod.HIT_MISS_COUNT_LAYER, "hit_count", pulled.get("hit_count"))
+    store(layoutmod.HIT_MISS_COUNT_LAYER, "miss_count", pulled.get("miss_count"))
+    cov = pulled.get("cov")
+    if cov is not None:
+        idx = lay.layer_index(layoutmod.COVARIANCE_LAYER)
+        if idx >= 0:
+            arr = chunk.layers[idx]
+            for j, n in enumerate(("P00", "P01", "P11", "P02", "P12", "P22")):
+                arr[n] = cov[:, j]
+    intensity = pulled.get("intensity")
+    if intensity is not None:
+        idx = lay.layer_index(layoutmod.INTENSITY_LAYER)
+        if idx >= 0:
+            arr = chunk.layers[idx]
+            arr["mean"] = intensity[:, 0]
+            arr["cov"] = intensity[:, 1]

@@ -1,0 +1,210 @@
+"""Host-side ray batch preparation: filter, segment, quantise, localise, pack.
+
+TPU-native equivalent of the CPU pre-pass in GpuMap::integrateRays
+(ohmgpu/GpuMap.cpp:730-801): rays are filtered, long rays are split into
+segments no longer than one region edge, endpoint voxel keys are computed in
+float64, and geometry is re-expressed in voxel-local float32 frames (the
+precision trick of GpuMap.cpp:666-676 / docs/gpu/docgpudetail.md:68-74).
+
+Because each segment is at most one region edge long, it can touch at most a
+2x2x2 box of regions; the host resolves those eight "corner" region slots
+(mapping.arena allocates them) and ships them with the batch, so the device
+needs no region-table lookups (see ops.integrate._resolve_slots).
+
+Segment semantics match the reference's clipped-key convention
+(ohmgpu/GpuKey.h voxel[3] marker + AdjustOccupancy.cl:14-18): a non-final
+segment's end voxel receives no update — it is the next segment's start
+voxel and is visited there as a miss.
+
+The device-bound arrays are packed into four typed blocks (ints / floats /
+flags / touch) to amortise per-transfer latency (layout documented in
+ops.integrate).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from ohm_tpu.core import keys as keymath
+from ohm_tpu.core import subvoxel
+from ohm_tpu.core.rayflags import RayFlag, RayFilterFlag
+from ohm_tpu.ops.integrate import INTS_WIDTH, FLOATS_WIDTH, FLAGS_WIDTH
+
+
+@dataclasses.dataclass
+class PreparedBatch:
+    """Fixed-shape packed arrays for one device integrate call."""
+
+    size: int
+    n_segments: int
+    arrays: dict  # 'ints' i32[size,17], 'floats' f32[size,10], 'flags' bool[size,4], 'touch' u32[size]
+    corner_regions: np.ndarray  # int32 [n_segments, 8, 3] candidate regions per segment
+    region_keys: np.ndarray  # int32 [R, 3] unique regions this batch touches (superset)
+    intensities: np.ndarray | None = None  # f32 [size] per segment (NDT-TM)
+
+
+def _next_bucket(n: int, min_size: int = 256) -> int:
+    size = min_size
+    while size < n:
+        size *= 2
+    return size
+
+
+def max_steps_for(segment_length: float, resolution: float) -> int:
+    """DDA step cap: sum of per-axis key diffs <= sqrt(3) * length / res + slack."""
+    return int(math.ceil(math.sqrt(3.0) * segment_length / resolution)) + 4
+
+
+def prepare_ray_batch(
+    map_obj,
+    rays,
+    timestamps=None,
+    intensities=None,
+    ray_update_flags: int = 0,
+    segment_length: float | None = None,
+    min_bucket: int = 256,
+) -> PreparedBatch:
+    """Convert interleaved origin/sample rays (2N, 3) into device-ready arrays.
+
+    Corner slots (ints[:, 9:17]) are left as -1; the caller fills them after
+    region allocation (see TpuRayMapper.integrate_rays).
+    """
+    rays = np.asarray(rays, dtype=np.float64).reshape(-1, 3)
+    starts = rays[0::2]
+    ends = rays[1::2]
+    n_rays = starts.shape[0]
+
+    dims = map_obj.region_voxel_dims
+    res = map_obj.resolution
+    region_edge = float(dims.min()) * res
+    if segment_length is None or segment_length <= 0 or segment_length > 0.999 * region_edge:
+        # Cap at one region edge: guarantees each segment spans at most two
+        # regions per axis (the 2x2x2 corner-slot contract).
+        segment_length = 0.999 * region_edge
+
+    if timestamps is not None:
+        timestamps = np.asarray(timestamps, dtype=np.float64).reshape(-1)
+        if timestamps.size:
+            map_obj.update_first_ray_time(float(timestamps[0]))
+
+    # --- filter ---------------------------------------------------------
+    if map_obj.ray_filter is not None and n_rays:
+        starts, ends, filter_flags, accept = map_obj.ray_filter(starts, ends)
+    else:
+        filter_flags = np.zeros(n_rays, dtype=np.uint32)
+        accept = np.ones(n_rays, dtype=bool)
+
+    starts = starts[accept]
+    ends = ends[accept]
+    filter_flags = filter_flags[accept]
+    if timestamps is not None and timestamps.size == n_rays:
+        timestamps = timestamps[accept]
+    else:
+        timestamps = None
+    if intensities is not None:
+        intensities = np.asarray(intensities, dtype=np.float32).reshape(-1)
+        intensities = intensities[accept] if intensities.size == n_rays else None
+    n_rays = starts.shape[0]
+
+    # --- segment --------------------------------------------------------
+    delta = ends - starts
+    lengths = np.linalg.norm(delta, axis=-1)
+    n_seg = np.maximum(np.ceil(lengths / segment_length).astype(np.int64), 1)
+    total = int(n_seg.sum())
+
+    ray_idx = np.repeat(np.arange(n_rays), n_seg)
+    seg_idx = np.arange(total) - np.repeat(np.cumsum(n_seg) - n_seg, n_seg)
+    is_last = seg_idx == (n_seg[ray_idx] - 1)
+    is_first = seg_idx == 0
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        unit = np.where(lengths[:, None] > 0, delta / np.maximum(lengths, 1e-300)[:, None], 0.0)
+    t0 = seg_idx * segment_length
+    t1 = np.where(is_last, lengths[ray_idx], (seg_idx + 1) * segment_length)
+    p0 = starts[ray_idx] + unit[ray_idx] * t0[:, None]
+    p1 = np.where(is_last[:, None], ends[ray_idx], starts[ray_idx] + unit[ray_idx] * t1[:, None])
+    seg_len = t1 - t0
+
+    # --- quantise (f64, reference two-step) ------------------------------
+    r0, l0 = map_obj.voxel_key(p0)
+    r1, l1 = map_obj.voxel_key(p1)
+    start_abs = keymath.key_to_abs(r0, l0, dims)
+    end_abs = keymath.key_to_abs(r1, l1, dims)
+    start_centre = map_obj.voxel_centre_global(r0, l0)
+    end_centre = map_obj.voxel_centre_global(r1, l1)
+    start_frac = (p0 - start_centre).astype(np.float32)
+    end_frac = (p1 - end_centre).astype(np.float32)
+
+    clipped_end = (filter_flags[ray_idx] & RayFilterFlag.CLIPPED_END).astype(bool)
+    end_as_free = bool(ray_update_flags & RayFlag.END_POINT_AS_FREE)
+    # Reference: include_sample_in_ray = clipped_end | END_POINT_AS_FREE
+    # (ohm/RayMapperOccupancy.cpp:222-224).
+    sample_in_ray = clipped_end | end_as_free
+    is_sample = is_last & ~sample_in_ray
+    end_as_miss = is_last & sample_in_ray
+
+    touch_enc = np.zeros(total, dtype=np.uint32)
+    if timestamps is not None and map_obj.first_ray_time >= 0:
+        touch_enc = subvoxel.encode_touch_time(map_obj.first_ray_time, timestamps[ray_idx]).astype(np.uint32)
+
+    # --- corner regions (2x2x2 box per segment) --------------------------
+    start_region = np.floor_divide(start_abs, dims)
+    end_region = np.floor_divide(end_abs, dims)
+    rmin = np.minimum(start_region, end_region).astype(np.int32)
+    rmax = np.maximum(start_region, end_region).astype(np.int32)
+    span = rmax - rmin  # 0 or 1 per axis by construction
+    offs = np.array([[dx, dy, dz] for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)], dtype=np.int32)
+    # Corner order must match cidx = dx + 2*dy + 4*dz in _resolve_slots.
+    offs = offs[np.argsort(offs[:, 0] + 2 * offs[:, 1] + 4 * offs[:, 2])]
+    corner_regions = rmin[:, None, :] + offs[None, :, :] * np.minimum(span, 1)[:, None, :]
+
+    # Unique regions via int64 packing (fast path for allocation).
+    packed = keymath.pack_region_key(corner_regions.reshape(-1, 3))
+    region_keys = keymath.unpack_region_key(np.unique(packed)).astype(np.int32)
+
+    # --- pack to device blocks -------------------------------------------
+    size = _next_bucket(total, min_bucket)
+    ints = np.zeros((size, INTS_WIDTH), dtype=np.int32)
+    ints[:, 9:17] = -1
+    ints[:total, 0:3] = start_abs
+    ints[:total, 3:6] = end_abs
+    ints[:total, 6:9] = rmin
+
+    floats = np.zeros((size, FLOATS_WIDTH), dtype=np.float32)
+    floats[:total, 0:3] = start_frac
+    floats[:total, 3:6] = unit[ray_idx].astype(np.float32)
+    floats[:total, 6] = seg_len.astype(np.float32)
+    floats[:total, 7:10] = end_frac
+
+    flags = np.zeros((size, FLAGS_WIDTH), dtype=bool)
+    flags[:total, 0] = is_sample
+    flags[:total, 1] = end_as_miss
+    flags[:total, 2] = is_first
+    flags[:total, 3] = True
+
+    touch = np.zeros(size, dtype=np.uint32)
+    touch[:total] = touch_enc
+
+    intens = None
+    if intensities is not None:
+        intens = np.zeros(size, dtype=np.float32)
+        intens[:total] = intensities[ray_idx]
+
+    return PreparedBatch(
+        size=size,
+        n_segments=total,
+        arrays={"ints": ints, "floats": floats, "flags": flags, "touch": touch},
+        corner_regions=corner_regions,
+        region_keys=region_keys,
+        intensities=intens,
+    )
+
+
+def fill_corner_slots(prepared: PreparedBatch, table) -> None:
+    """Resolve corner region slots via the host table (ops.regiontable)."""
+    total = prepared.n_segments
+    slots = table.lookup_np(prepared.corner_regions)  # [total, 8]
+    prepared.arrays["ints"][:total, 9:17] = slots

@@ -1,0 +1,141 @@
+"""TpuRayMapper: the device ray integrator (reference analogue: GpuMap).
+
+Drives the full per-batch pipeline (reference call stack:
+ohmgpu/GpuMap.cpp:540-1190):
+  host prep (filter/segment/quantise/pack, mapping.batch)
+  -> host region allocation + corner-slot resolution (arena.ensure_regions;
+     replaces walkRegions + GpuLayerCache::upload)
+  -> jitted device integrate (ops.integrate: DDA + sort-reduce-scatter)
+  -> deferred syncVoxels back to the host OccupancyMap.
+
+Unlike the reference there is no cache-full retry protocol: the host is
+authoritative for region allocation, so device slot resolution cannot miss
+(a non-zero `missed_updates` stat indicates a bug; asserted in validation
+mode, mirroring the reference's OHM_VALIDATION builds).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ohm_tpu.core.layout import (
+    MEAN_LAYER,
+    TRAVERSAL_LAYER,
+    TOUCH_TIME_LAYER,
+    INCIDENT_NORMAL_LAYER,
+)
+from ohm_tpu.mapping.arena import VoxelArena
+from ohm_tpu.mapping.batch import prepare_ray_batch, fill_corner_slots, max_steps_for
+from ohm_tpu.ops.integrate import IntegrateConfig, integrate_occupancy_jit
+
+
+class TpuRayMapper:
+    """Occupancy (+ mean/traversal/touch/incident) ray integrator on TPU."""
+
+    def __init__(
+        self,
+        map_obj,
+        capacity: int = 1024,
+        segment_length: float | None = None,
+        validate: bool = False,
+    ):
+        self.map = map_obj
+        dims = map_obj.region_voxel_dims
+        if not (dims[0] == dims[1] == dims[2]) or (dims[0] & (dims[0] - 1)) != 0:
+            raise ValueError("TPU mapper requires cubic power-of-two region dims (e.g. 32)")
+        self.region_shift = int(dims[0]).bit_length() - 1
+        self.validate = validate
+
+        region_edge = float(dims[0]) * map_obj.resolution
+        self.segment_length = min(segment_length or region_edge * 0.999, region_edge * 0.999)
+        self.max_steps = max_steps_for(self.segment_length, map_obj.resolution)
+
+        layer_names = ["occupancy"]
+        self.with_mean = map_obj.layer_index(MEAN_LAYER) >= 0
+        self.with_traversal = map_obj.layer_index(TRAVERSAL_LAYER) >= 0
+        self.with_touch = map_obj.layer_index(TOUCH_TIME_LAYER) >= 0
+        self.with_incident = map_obj.layer_index(INCIDENT_NORMAL_LAYER) >= 0
+        if self.with_mean:
+            layer_names += ["mean_coord", "mean_count"]
+        if self.with_traversal:
+            layer_names.append("traversal")
+        if self.with_touch:
+            layer_names.append("touch_time")
+        if self.with_incident:
+            layer_names.append("incident")
+
+        self.arena = VoxelArena(capacity, self.region_shift, layer_names)
+        self._stats = {"rays": 0, "segments": 0, "batches": 0, "missed_updates": 0, "overflow": 0}
+        self._pending_stats = []
+
+    def _config(self, ray_flags: int) -> IntegrateConfig:
+        m = self.map
+        return IntegrateConfig(
+            resolution=float(m.resolution),
+            region_shift=self.region_shift,
+            capacity=self.arena.capacity,
+            max_steps=self.max_steps,
+            ray_flags=int(ray_flags),
+            with_mean=self.with_mean,
+            with_traversal=self.with_traversal,
+            with_touch_time=self.with_touch,
+            with_incident=self.with_incident,
+            hit_value=float(np.float32(m.hit_value)),
+            miss_value=float(np.float32(m.miss_value)),
+            occupancy_threshold=float(np.float32(m.occupancy_threshold_value)),
+            min_value=float(np.float32(m.min_voxel_value)),
+            max_value=float(np.float32(m.max_voxel_value)),
+            saturation_min=float(np.float32(m.saturation_min)),
+            saturation_max=float(np.float32(m.saturation_max)),
+            scatter_pad=self.arena.scatter_pad,
+        )
+
+    def integrate_rays(self, rays, intensities=None, timestamps=None, ray_update_flags: int = 0) -> int:
+        """Integrate interleaved origin/sample rays (2N, 3). Returns N."""
+        m = self.map
+        m.touch()
+        prepared = prepare_ray_batch(
+            m, rays, timestamps=timestamps, intensities=intensities,
+            ray_update_flags=ray_update_flags, segment_length=self.segment_length,
+        )
+        n_rays = np.asarray(rays).reshape(-1, 3).shape[0] // 2
+        if prepared.n_segments == 0:
+            return n_rays
+
+        self.arena.ensure_regions(prepared.region_keys, host_map=m)
+        fill_corner_slots(prepared, self.arena.table)
+
+        batch = {k: jnp.asarray(v) for k, v in prepared.arrays.items()}
+        cfg = self._config(ray_update_flags)
+        state = self.arena.device_state()
+        new_state, stats = integrate_occupancy_jit(state, batch, cfg)
+        self.arena.update_state(new_state)
+
+        self._stats["rays"] += n_rays
+        self._stats["segments"] += prepared.n_segments
+        self._stats["batches"] += 1
+        self._pending_stats.append(stats)
+        if self.validate:
+            self._drain_stats()
+            assert self._stats["missed_updates"] == 0, "device slot resolution missed — host allocation bug"
+            assert self._stats["overflow"] == 0, "DDA step cap exceeded — segmentation bug"
+        return n_rays
+
+    def _drain_stats(self):
+        for stats in self._pending_stats:
+            self._stats["missed_updates"] += int(stats["missed_updates"])
+            self._stats["overflow"] += int(stats["overflow"])
+        self._pending_stats.clear()
+
+    def sync_voxels(self):
+        """Flush device voxel state into the host OccupancyMap (GpuMap::syncVoxels)."""
+        jax.block_until_ready(self.arena.arrays["occupancy"])
+        self._drain_stats()
+        self.arena.sync_to_host(self.map, stamp=self.map.stamp)
+
+    @property
+    def stats(self) -> dict:
+        self._drain_stats()
+        return dict(self._stats)

@@ -1,0 +1,461 @@
+"""Fused ray-batch integration: DDA expand -> slot resolve -> sort ->
+segment-reduce -> scatter.
+
+TPU-native replacement for the reference GPU update kernels
+(ohmgpu/gpu/RegionUpdate.cl regionRayUpdateOccupancy and friends).  Where the
+reference resolves write conflicts with per-voxel float CAS retry loops
+(RegionUpdate.cl:29-32,403-470), this pipeline sorts all (voxel, contribution)
+records by arena address and applies one conflict-free, deterministic update
+per touched voxel — XLA has no CAS, and doesn't need one.
+
+Region resolution is host-assisted: ray segments are cut to at most one
+region edge (mapping.batch), so each segment touches at most a 2x2x2 box of
+regions whose arena slots the host passes per segment ("corner slots").  The
+device resolves a voxel's slot with an 8-way select — no hash-table gathers
+in the hot path (gathers of 1M+ indices cost ~6 ms each on TPU; the corner
+trick replaces 24 of them with vector arithmetic).  The reference's analogue
+is the region-key linear search with last-hit cache in ohmgpu/gpu/Regions.cl.
+
+The batch crosses host->HBM as four packed arrays (ints/floats/flags/touch)
+because each transfer through the runtime carries fixed latency.
+
+Batch-vs-sequential semantics: per-voxel exclusion flags (kRfExcludeFree etc.)
+and saturation are evaluated against the voxel state at *batch start*, exactly
+as the reference GPU does implicitly under CAS races
+(docs/gpu/docgpudetail.md:55-66).  Within a batch, multiple hits/misses on one
+voxel accumulate before a single clamp, which matches sequential clamping
+except when a voxel's value crosses a clamp bound and returns — the reference
+GPU is itself non-deterministic in that regime.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ohm_tpu.core.rayflags import RayFlag
+from ohm_tpu.ops import subvoxel_jnp
+from ohm_tpu.ops.ddawalk import walk_rays
+
+
+def _unobserved(x):
+    # isposinf rather than == inf: the TPU/axon toolchain pathologically
+    # slow-compiles kernels with f32 inf constants (see ops.ddawalk._BIG).
+    return jnp.isposinf(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class IntegrateConfig:
+    """Static (compile-time) configuration for the integrate kernel."""
+
+    resolution: float
+    region_shift: int  # log2(region voxel dim); dims must be cubic power-of-two
+    capacity: int  # arena capacity in regions
+    max_steps: int  # DDA step cap per (segmented) ray
+    ray_flags: int = 0
+    # Layer presence:
+    with_mean: bool = False
+    with_traversal: bool = False
+    with_touch_time: bool = False
+    with_incident: bool = False
+    # Probability model (f32):
+    hit_value: float = 0.0
+    miss_value: float = 0.0
+    occupancy_threshold: float = 0.0
+    min_value: float = 0.0
+    max_value: float = 0.0
+    saturation_min: float = float("-inf")
+    saturation_max: float = float("inf")
+
+    #: Scratch tail appended to arena arrays: unique dummy scatter targets
+    #: for non-segment-last records (see _segment_apply).
+    scatter_pad: int = 1 << 22
+
+    @property
+    def voxels_per_region(self) -> int:
+        return 1 << (3 * self.region_shift)
+
+    @property
+    def sentinel(self) -> int:
+        return self.capacity * self.voxels_per_region
+
+    @property
+    def pad_base(self) -> int:
+        return self.sentinel + 1
+
+
+# Packed batch layout (mapping.batch.prepare_ray_batch):
+#   ints  i32[B, 17]: start_abs xyz | end_abs xyz | rmin xyz | corner_slots[8]
+#   floats f32[B, 10]: start_frac xyz | direction xyz | length | end_frac xyz
+#   flags bool[B, 4]: is_sample | end_as_miss | exclude_start | valid
+#   touch u32[B]: pre-encoded touch time
+INTS_WIDTH = 17
+FLOATS_WIDTH = 10
+FLAGS_WIDTH = 4
+
+
+def _unpack_batch(batch):
+    ints = batch["ints"]
+    floats = batch["floats"]
+    flags = batch["flags"]
+    return {
+        "start_abs": ints[:, 0:3],
+        "end_abs": ints[:, 3:6],
+        "rmin": ints[:, 6:9],
+        "corner_slots": ints[:, 9:17],
+        "start_frac": floats[:, 0:3],
+        "direction": floats[:, 3:6],
+        "length": floats[:, 6],
+        "end_frac": floats[:, 7:10],
+        "is_sample": flags[:, 0],
+        "end_as_miss": flags[:, 1],
+        "exclude_start": flags[:, 2],
+        "valid": flags[:, 3],
+        "touch_enc": batch["touch"],
+    }
+
+
+def _resolve_slots(voxels, rmin, corner_slots, cfg: IntegrateConfig):
+    """Voxel abs coords -> flat arena addresses via per-ray corner slots.
+
+    voxels: i32[..., 3] with leading dims [B] or [B, S]; rmin i32[B,3];
+    corner_slots i32[B,8].  Returns (flat ids, missed mask).
+    local index ordering x + y*dim + z*dim^2 preserves the reference
+    linearisation (ohm/MapChunk.h:33-38).
+    """
+    shift = cfg.region_shift
+    dim_mask = (1 << shift) - 1
+    region = voxels >> shift
+    local = voxels & dim_mask
+
+    # Broadcast per-ray values across the step axis when present.
+    expand = (slice(None),) + (None,) * (voxels.ndim - 2)
+    d = region - rmin[expand]
+    in_box = jnp.all((d >= 0) & (d <= 1), axis=-1)
+    dc = jnp.clip(d, 0, 1)
+    cidx = dc[..., 0] + 2 * dc[..., 1] + 4 * dc[..., 2]
+
+    slot = jnp.zeros(voxels.shape[:-1], jnp.int32)
+    for k in range(8):
+        slot_k = corner_slots[:, k][expand]  # [B] or [B,1]
+        slot = slot + jnp.where(cidx == k, slot_k, 0)
+    missed = ~in_box | (slot < 0)
+
+    local_idx = local[..., 0] + (local[..., 1] << shift) + (local[..., 2] << (2 * shift))
+    flat = slot * cfg.voxels_per_region + local_idx
+    flat = jnp.where(missed, cfg.sentinel, flat)
+    return flat, missed
+
+
+def _segment_reduce(ids_sorted, payloads, cfg):
+    """Segment totals over sorted ids, without conflicting scatters.
+
+    TPU scatters serialise duplicate indices (a padded batch yields ~10^6
+    writes to one sentinel slot), so reduction uses a segmented inclusive
+    scan (log-depth associative_scan) instead: each record carries the
+    running segment total; the total is valid at each segment's LAST record.
+
+    Returns (last_mask, totals...) where totals[i] aligns with ids_sorted
+    and is meaningful where last_mask.  Fully deterministic.
+    """
+    n = ids_sorted.shape[0]
+    first = jnp.concatenate([jnp.array([True]), ids_sorted[1:] != ids_sorted[:-1]])
+    last = jnp.concatenate([ids_sorted[1:] != ids_sorted[:-1], jnp.array([True])])
+
+    sums = []
+    maxes = []
+    for payload, mode in payloads:
+        f = first if payload.ndim == 1 else first[:, None]
+        (sums if mode == "sum" else maxes).append((payload, f))
+
+    results = {}
+    if sums:
+        def op_sum(a, b):
+            out = []
+            for (va, fa), (vb, fb) in zip(a, b):
+                out.append((jnp.where(fb, vb, va + vb), fa | fb))
+            return tuple(out)
+        scanned = jax.lax.associative_scan(op_sum, tuple(sums))
+        results["sum"] = [v for v, _ in scanned]
+    if maxes:
+        def op_max(a, b):
+            out = []
+            for (va, fa), (vb, fb) in zip(a, b):
+                out.append((jnp.where(fb, vb, jnp.maximum(va, vb)), fa | fb))
+            return tuple(out)
+        scanned = jax.lax.associative_scan(op_max, tuple(maxes))
+        results["max"] = [v for v, _ in scanned]
+
+    out = []
+    si = mi = 0
+    for payload, mode in payloads:
+        if mode == "sum":
+            out.append(results["sum"][si]); si += 1
+        else:
+            out.append(results["max"][mi]); mi += 1
+    return last, out
+
+
+def _unique_scatter_indices(ids_sorted, last, cfg):
+    """All-unique scatter targets: segment-last records write their voxel id,
+    everything else writes into the arena's scratch tail (one distinct dummy
+    slot per record)."""
+    n = ids_sorted.shape[0]
+    if n > cfg.scatter_pad:
+        raise ValueError(f"record count {n} exceeds scatter_pad {cfg.scatter_pad}")
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    return jnp.where(last & (ids_sorted != cfg.sentinel), ids_sorted, cfg.pad_base + pos)
+
+
+def _apply_occupancy_dense(occupancy, ids_sorted, last, n_hit, n_miss, cfg: IntegrateConfig):
+    """Occupancy update as sparse count deposit + dense arena sweep.
+
+    A gather of ~10^6 random indices from the multi-hundred-MB arena costs
+    ~25 ns/element on TPU (latency-bound), so instead of gather-modify-
+    scatter, batch hit/miss counts are packed into one uint32 per touched
+    voxel (hit << 16 | miss), scattered once with unique indices, and the
+    nonlinear occupancy math (ohm/VoxelOccupancyCompute.h + the kRfExclude*
+    matrix of ohm/RayMapperOccupancy.cpp:154-183) runs as a dense elementwise
+    sweep over the arena at HBM streaming speed.  The sweep reads the
+    batch-start occupancy, matching the reference GPU's CAS-race semantics.
+    """
+    flags = cfg.ray_flags
+    idx = _unique_scatter_indices(ids_sorted, last, cfg)
+    cap = jnp.float32(65535.0)
+    packed = (jnp.minimum(n_hit, cap).astype(jnp.uint32) << 16) | jnp.minimum(n_miss, cap).astype(jnp.uint32)
+    packed = jnp.where(last, packed, jnp.uint32(0))
+    pending = jnp.zeros(occupancy.shape, jnp.uint32).at[idx].set(packed, unique_indices=True)
+
+    n_hit_d = (pending >> 16).astype(jnp.float32)
+    n_miss_d = (pending & jnp.uint32(0xFFFF)).astype(jnp.float32)
+
+    initial = occupancy
+    unobs = _unobserved(initial)
+    free = ~unobs & (initial < cfg.occupancy_threshold)
+    occd = ~unobs & (initial >= cfg.occupancy_threshold)
+
+    zero = jnp.float32(0)
+    hit_eff = jnp.full_like(initial, jnp.float32(cfg.hit_value))
+    miss_eff = jnp.full_like(initial, jnp.float32(cfg.miss_value))
+    if flags & RayFlag.EXCLUDE_FREE:
+        hit_eff = jnp.where(free, zero, hit_eff)
+        miss_eff = jnp.where(free, zero, miss_eff)
+    if flags & RayFlag.EXCLUDE_OCCUPIED:
+        hit_eff = jnp.where(occd, zero, hit_eff)
+        miss_eff = jnp.where(occd, zero, miss_eff)
+
+    total = n_hit_d * hit_eff + n_miss_d * miss_eff
+    base = jnp.where(unobs, zero, initial)
+    value = base + total
+    # One-sided clamp by net adjustment direction, matching fmin-on-hit /
+    # fmax-on-miss in the reference.
+    value = jnp.where(total > 0, jnp.minimum(value, jnp.float32(cfg.max_value)), value)
+    value = jnp.where(total < 0, jnp.maximum(value, jnp.float32(cfg.min_value)), value)
+
+    touched = pending != 0
+    saturated = ~unobs & ((initial <= jnp.float32(cfg.saturation_min)) | (initial >= jnp.float32(cfg.saturation_max)))
+    keep = ~touched | saturated
+    if flags & RayFlag.EXCLUDE_UNOBSERVED:
+        keep = keep | unobs
+    return jnp.where(keep, initial, value)
+
+
+def integrate_occupancy(arena: dict, batch: dict, cfg: IntegrateConfig):
+    """Integrate one fixed-shape packed ray batch into the arena.
+
+    arena: dict of device arrays — 'occupancy' f32[C*V + 1 + scatter_pad]
+    (sentinel element + scratch tail), plus optional 'traversal',
+    'mean_coord', 'mean_count', 'touch_time', 'incident' (same length).
+    batch: packed arrays (see _unpack_batch / mapping.batch).
+
+    Returns (arena, stats): 'missed_updates' counts contributions dropped
+    because a region slot was unresolved (zero when the host pre-allocated
+    correctly); 'overflow' counts rays whose DDA exceeded max_steps (the host
+    segmenter should prevent this).
+    """
+    flags = cfg.ray_flags
+    b = _unpack_batch(batch)
+
+    walk = walk_rays(
+        b["start_abs"], b["end_abs"], b["start_frac"],
+        b["direction"], b["length"], cfg.resolution, cfg.max_steps,
+    )
+
+    B, S = walk["valid"].shape
+    ray_valid = b["valid"]
+
+    # --- walk (miss) records ------------------------------------------------
+    rec_valid = walk["valid"] & ray_valid[:, None]
+    if flags & RayFlag.EXCLUDE_ORIGIN:
+        first = jnp.concatenate([jnp.ones((B, 1), bool), jnp.zeros((B, S - 1), bool)], axis=1)
+        rec_valid = rec_valid & ~(first & b["exclude_start"][:, None])
+    if flags & RayFlag.EXCLUDE_RAY:
+        rec_valid = jnp.zeros_like(rec_valid)
+
+    walk_flat, walk_missed = _resolve_slots(walk["voxels"], b["rmin"], b["corner_slots"], cfg)
+    walk_flat = jnp.where(rec_valid, walk_flat, cfg.sentinel)
+
+    # kRfStopOnFirstOccupied: suppress occupancy adjustments after the first
+    # initially-occupied voxel along each ray (batch-start state).  The walk
+    # itself continues (the reference's visit still accumulates traversal).
+    if flags & RayFlag.STOP_ON_FIRST_OCCUPIED:
+        occ_at = arena["occupancy"][walk_flat]
+        occupied = ~_unobserved(occ_at) & (occ_at >= jnp.float32(cfg.occupancy_threshold)) & rec_valid
+        seen_before = jnp.cumsum(occupied.astype(jnp.int32), axis=1) - occupied.astype(jnp.int32)
+        stop_mask = seen_before > 0
+        ray_stopped = jnp.any(occupied, axis=1)
+    else:
+        stop_mask = None
+        ray_stopped = jnp.zeros((B,), bool)
+
+    # --- end voxel records --------------------------------------------------
+    # Reference: the end voxel is excluded from the walk and gets either the
+    # sample (hit) update or, for clipped/as-free rays, a miss update
+    # (ohm/RayMapperOccupancy.cpp:222-233).  Broken-segment continuations get
+    # neither (ohmgpu/gpu/AdjustOccupancy.cl:14-18).
+    end_flat, end_missed = _resolve_slots(b["end_abs"], b["rmin"], b["corner_slots"], cfg)
+    end_is_hit = b["is_sample"] & ray_valid & ~ray_stopped
+    end_is_miss = b["end_as_miss"] & ray_valid & ~ray_stopped
+    if flags & RayFlag.EXCLUDE_SAMPLE:
+        end_is_hit = jnp.zeros_like(end_is_hit)
+    if flags & RayFlag.EXCLUDE_RAY:
+        end_is_miss = jnp.zeros_like(end_is_miss)
+    end_active = end_is_hit | end_is_miss
+    end_flat_masked = jnp.where(end_active, end_flat, cfg.sentinel)
+
+    # --- occupancy + traversal aggregation ----------------------------------
+    walk_is_miss = rec_valid if stop_mask is None else (rec_valid & ~stop_mask)
+    ids = jnp.concatenate([walk_flat.reshape(-1), end_flat_masked])
+    hit_w = jnp.concatenate(
+        [jnp.zeros((B * S,), jnp.float32), end_is_hit.astype(jnp.float32)]
+    )
+    miss_w = jnp.concatenate(
+        [walk_is_miss.reshape(-1).astype(jnp.float32), end_is_miss.astype(jnp.float32)]
+    )
+    payload_list = [(hit_w, "sum"), (miss_w, "sum")]
+
+    if cfg.with_traversal:
+        walk_trav = jnp.where(rec_valid, walk["exits"] - walk["enters"], 0.0)
+        # Sample-voxel traversal: length - enter(end voxel)
+        # (ohm/RayMapperOccupancy.cpp:304-311).
+        end_trav = jnp.where(end_active, b["length"] - walk["end_enter"], 0.0)
+        trav = jnp.concatenate([walk_trav.reshape(-1), end_trav]).astype(jnp.float32)
+        payload_list.append((trav, "sum"))
+
+    # One multi-operand sort moves the payloads with the keys (cheaper than
+    # argsort + gathers on TPU).
+    sorted_all = jax.lax.sort((ids,) + tuple(p for p, _ in payload_list), num_keys=1)
+    ids_sorted = sorted_all[0]
+    payloads = [(sorted_all[1 + i], mode) for i, (_, mode) in enumerate(payload_list)]
+
+    last, reduced = _segment_reduce(ids_sorted, payloads, cfg)
+    n_hit, n_miss = reduced[0], reduced[1]
+
+    arena = dict(arena)
+    arena["occupancy"] = _apply_occupancy_dense(arena["occupancy"], ids_sorted, last, n_hit, n_miss, cfg)
+
+    scatter_idx = _unique_scatter_indices(ids_sorted, last, cfg)
+    if cfg.with_traversal:
+        trav_total = jnp.where(last, reduced[2], 0.0)
+        arena["traversal"] = arena["traversal"].at[scatter_idx].add(trav_total, unique_indices=True)
+
+    # --- sample-only layers (mean / touch time / incident normal) -----------
+    if cfg.with_mean or cfg.with_touch_time or cfg.with_incident:
+        s_ids = jnp.where(end_is_hit, end_flat, cfg.sentinel)
+        s_payload_list = [(end_is_hit.astype(jnp.float32), "sum")]
+        if cfg.with_mean:
+            local_sum = jnp.where(end_is_hit[:, None], b["end_frac"], 0.0)
+            s_payload_list.append((local_sum.astype(jnp.float32), "sum"))
+        if cfg.with_touch_time:
+            s_payload_list.append((jnp.where(end_is_hit, b["touch_enc"], 0).astype(jnp.uint32), "max"))
+        if cfg.with_incident:
+            inc = jnp.where(end_is_hit[:, None], -b["direction"], 0.0)  # unit sample->sensor
+            s_payload_list.append((inc.astype(jnp.float32), "sum"))
+
+        flat_ops = [s_ids]
+        widths = []
+        for p_, _ in s_payload_list:
+            if p_.ndim == 1:
+                flat_ops.append(p_)
+                widths.append(None)
+            else:
+                for c in range(p_.shape[1]):
+                    flat_ops.append(p_[:, c])
+                widths.append(p_.shape[1])
+        sorted_s = jax.lax.sort(tuple(flat_ops), num_keys=1)
+        s_sorted = sorted_s[0]
+        rebuilt = []
+        j = 1
+        for (p_, mode), w in zip(s_payload_list, widths):
+            if w is None:
+                rebuilt.append((sorted_s[j], mode))
+                j += 1
+            else:
+                rebuilt.append((jnp.stack(sorted_s[j:j + w], axis=-1), mode))
+                j += w
+
+        s_last, s_reduced = _segment_reduce(s_sorted, rebuilt, cfg)
+        s_idx = _unique_scatter_indices(s_sorted, s_last, cfg)
+        k = s_reduced[0]
+        active = s_last & (k > 0) & (s_sorted != cfg.sentinel)
+        i = 1
+        if cfg.with_mean:
+            local_sums = s_reduced[i]
+            i += 1
+            old_coord = arena["mean_coord"][s_sorted]
+            old_count = arena["mean_count"][s_sorted].astype(jnp.float32)
+            old_mean = subvoxel_jnp.sub_voxel_to_local_coord(old_coord, cfg.resolution)
+            denom = jnp.maximum(old_count + k, 1.0)
+            new_mean = (old_mean * old_count[:, None] + local_sums) / denom[:, None]
+            new_coord = jnp.where(active, subvoxel_jnp.sub_voxel_coord(new_mean, cfg.resolution), old_coord)
+            new_count = jnp.where(active, arena["mean_count"][s_sorted] + k.astype(jnp.uint32), jnp.uint32(0))
+            new_coord = jnp.where(s_last, new_coord, jnp.uint32(0))
+            arena["mean_coord"] = arena["mean_coord"].at[s_idx].set(new_coord, unique_indices=True)
+            arena["mean_count"] = arena["mean_count"].at[s_idx].set(new_count, unique_indices=True)
+        if cfg.with_touch_time:
+            touch_max = s_reduced[i]
+            i += 1
+            old_touch = arena["touch_time"][s_sorted]
+            new_touch = jnp.where(active, touch_max, old_touch)
+            new_touch = jnp.where(s_last, new_touch, jnp.uint32(0))
+            arena["touch_time"] = arena["touch_time"].at[s_idx].set(new_touch, unique_indices=True)
+        if cfg.with_incident:
+            inc_sums = s_reduced[i]
+            i += 1
+            old_packed = arena["incident"][s_sorted]
+            old_normal = subvoxel_jnp.decode_normal(old_packed)
+            has_old = jnp.any(old_normal != 0, axis=-1)
+            # Weight by prior sample count (mean layer count before this batch
+            # when available) — reference seeds updateIncidentNormal from the
+            # mean layer count (ohm/RayMapperOccupancy.cpp:283-325).
+            if cfg.with_mean:
+                prior = jnp.maximum(arena["mean_count"][s_sorted].astype(jnp.float32) - k, 0.0)
+            else:
+                prior = jnp.zeros_like(k)
+            w = jnp.where(has_old, prior, 0.0)
+            merged = old_normal * w[:, None] + inc_sums
+            norm = jnp.sqrt(jnp.sum(merged * merged, axis=-1))
+            unit = jnp.where(norm[:, None] > 1e-6, merged / jnp.maximum(norm, 1e-12)[:, None], 0.0)
+            new_packed = jnp.where(active, subvoxel_jnp.encode_normal(unit), old_packed)
+            new_packed = jnp.where(s_last, new_packed, jnp.uint32(0))
+            arena["incident"] = arena["incident"].at[s_idx].set(new_packed, unique_indices=True)
+
+    missed_updates = (
+        jnp.sum(jnp.where(rec_valid & walk_missed, 1, 0))
+        + jnp.sum(jnp.where(end_active & end_missed, 1, 0))
+    ).astype(jnp.int32)
+
+    stats = {
+        "missed_updates": missed_updates,
+        "overflow": jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0)).astype(jnp.int32),
+        "touched": jnp.sum((last & (ids_sorted != cfg.sentinel)).astype(jnp.int32)),
+    }
+    return arena, stats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("arena",))
+def integrate_occupancy_jit(arena, batch, cfg: IntegrateConfig):
+    return integrate_occupancy(arena, batch, cfg)

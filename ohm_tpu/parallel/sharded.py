@@ -1,0 +1,158 @@
+"""Spatially sharded region arena over a jax.sharding.Mesh.
+
+Design (SURVEY.md section 5.7-5.8, the "ICI backend" item): the region set is
+partitioned across devices by region-key ownership (hash(region) mod
+n_devices).  Each device keeps an independent arena + region table holding
+only the regions it owns.  A ray batch is replicated to every device; each
+device runs the full expand -> sort -> reduce -> scatter pipeline
+(ops.integrate) against its local table, so contributions to regions it does
+not own resolve to the sentinel and drop out.  Correctness is exact: each
+voxel record is applied on exactly one device.
+
+This trades redundant DDA compute (every chip walks every ray) for zero
+hot-path collectives — the right trade while the walk is tiny next to the
+sort, and rays arrive over DCN/host anyway.  A future all_to_all routing by
+sample region key can shard the walk itself (reference has nothing
+comparable; it is single-GPU).
+
+Host side, the same VoxelArena/HostRegionTable machinery is reused with one
+table per shard (mapping.arena); this module provides the device-side
+shard_map wrapper the driver's dryrun exercises.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ohm_tpu.ops.integrate import IntegrateConfig, integrate_occupancy
+
+
+def region_owner(region_keys: np.ndarray, n_shards: int) -> np.ndarray:
+    """Shard ownership by region key hash (host-side, numpy)."""
+    r = np.asarray(region_keys, dtype=np.int64)
+    h = (r[..., 0] * 73856093) ^ (r[..., 1] * 19349669) ^ (r[..., 2] * 83492791)
+    return (h % n_shards + n_shards) % n_shards
+
+
+class ShardedArena:
+    """Per-device arenas stacked on a leading shard axis.
+
+    arrays: dict name -> [n_shards, ...] jnp arrays, sharded along axis 0.
+    """
+
+    def __init__(self, n_shards: int, capacity: int, region_shift: int, layer_names, mesh: Mesh):
+        from ohm_tpu.mapping.arena import VoxelArena
+
+        self.n_shards = n_shards
+        self.mesh = mesh
+        self.shards = [VoxelArena(capacity, region_shift, layer_names) for _ in range(n_shards)]
+        self.capacity = capacity
+        self.region_shift = region_shift
+
+    def ensure_regions(self, region_keys: np.ndarray, host_map=None):
+        owners = region_owner(region_keys, self.n_shards)
+        for s, arena in enumerate(self.shards):
+            mine = region_keys[owners == s]
+            if len(mine):
+                arena.ensure_regions(mine, host_map)
+
+    def device_state(self) -> dict:
+        """Stack per-shard arrays along a leading axis and shard over the mesh.
+
+        Shard tables can differ in size after growth; pad to the largest.
+        """
+        states = [a.device_state() for a in self.shards]
+        out = {}
+        for key in states[0]:
+            arrs = [np.asarray(s[key]) for s in states]
+            out[key] = np.stack(arrs, axis=0)
+        spec = jax.sharding.NamedSharding(self.mesh, P("shard"))
+        return {k: jax.device_put(v, spec) for k, v in out.items()}
+
+    def adopt(self, new_state: dict):
+        """Scatter updated per-shard arrays back into the shard arenas."""
+        for key in ("occupancy", "traversal", "mean_coord", "mean_count", "touch_time", "incident"):
+            if key in new_state:
+                host = np.asarray(new_state[key])
+                for s, arena in enumerate(self.shards):
+                    arena.arrays[key] = jnp.asarray(host[s])
+
+    def sync_to_host(self, host_map, stamp=None):
+        for arena in self.shards:
+            arena.sync_to_host(host_map, stamp=stamp)
+
+
+def sharded_integrate(mesh: Mesh, cfg: IntegrateConfig):
+    """Build the jitted multi-chip integrate step: replicated batch, sharded arena."""
+
+    def local_step(state, batch):
+        # Inside shard_map: sharded leaves arrive as local blocks of size 1
+        # on the shard axis — squeeze, integrate locally, restore.  The ray
+        # geometry (floats/flags/touch) is replicated; 'ints' is per-shard
+        # because its corner-slot columns index the local shard's arena.
+        local = {k: v[0] for k, v in state.items()}
+        local_batch = dict(batch)
+        local_batch["ints"] = batch["ints"][0]
+        new_local, stats = integrate_occupancy(local, local_batch, cfg)
+        new_state = {k: v[None] for k, v in new_local.items()}
+        stats = {k: v[None] for k, v in stats.items()}
+        return new_state, stats
+
+    shard = P("shard")
+    repl = P()
+    batch_spec = {"ints": shard, "floats": repl, "flags": repl, "touch": repl}
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=({k: shard for k in _state_keys(cfg)}, batch_spec),
+        out_specs=({k: shard for k in _state_keys(cfg)}, {k: shard for k in _stats_keys()}),
+        check_vma=False,
+    )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_sharded_batch(prepared, sharded_arena, mesh: Mesh):
+    """Stack per-shard corner-slot ints and replicate the rest of the batch."""
+    from ohm_tpu.mapping.batch import fill_corner_slots
+
+    ints_per_shard = []
+    for arena in sharded_arena.shards:
+        fill_corner_slots(prepared, arena.table)
+        ints_per_shard.append(prepared.arrays["ints"].copy())
+    ints = np.stack(ints_per_shard, axis=0)
+
+    shard_spec = jax.sharding.NamedSharding(mesh, P("shard"))
+    repl_spec = jax.sharding.NamedSharding(mesh, P())
+    return {
+        "ints": jax.device_put(ints, shard_spec),
+        "floats": jax.device_put(prepared.arrays["floats"], repl_spec),
+        "flags": jax.device_put(prepared.arrays["flags"], repl_spec),
+        "touch": jax.device_put(prepared.arrays["touch"], repl_spec),
+    }
+
+
+def _state_keys(cfg: IntegrateConfig):
+    keys = ["occupancy"]
+    if cfg.with_traversal:
+        keys.append("traversal")
+    if cfg.with_mean:
+        keys += ["mean_coord", "mean_count"]
+    if cfg.with_touch_time:
+        keys.append("touch_time")
+    if cfg.with_incident:
+        keys.append("incident")
+    return keys
+
+
+def _batch_keys():
+    return ["ints", "floats", "flags", "touch"]
+
+
+def _stats_keys():
+    return ["missed_updates", "overflow", "touched"]
