@@ -1,0 +1,102 @@
+"""TpuNdtMap: NDT-OM / NDT-TM ray integration on TPU (reference: GpuNdtMap).
+
+Extends the occupancy mapper with covariance, and for traversability mode
+(NDT-TM) intensity + hit/miss-count layers (reference: ohmgpu/GpuNdtMap.cpp,
+ohm/NdtMap.h).  Parameter defaults mirror ohm/private/NdtMapDetail.h.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ohm_tpu.core.layout import (
+    TRAVERSAL_LAYER,
+    TOUCH_TIME_LAYER,
+    INCIDENT_NORMAL_LAYER,
+)
+from ohm_tpu.core.probability import value_to_probability
+from ohm_tpu.mapping.arena import VoxelArena
+from ohm_tpu.mapping.batch import prepare_ray_batch, fill_corner_slots, max_steps_for
+from ohm_tpu.mapping.tpu_map import TpuRayMapper
+from ohm_tpu.ops.integrate_ndt import NdtConfig, integrate_ndt_jit
+from ohm_tpu.oracle.ndt import NdtParams, ndt_adaptation_rate_from_miss_probability
+
+
+class TpuNdtMap(TpuRayMapper):
+    """NDT integrator; ``params.ndt_tm`` selects traversability mode."""
+
+    def __init__(self, map_obj, params: NdtParams | None = None, capacity: int = 1024,
+                 segment_length: float | None = None, validate: bool = False, miss_k: int = 1 << 16):
+        self.params = params or NdtParams()
+        if self.params.adaptation_rate <= 0:
+            miss_p = float(value_to_probability(map_obj.miss_value))
+            self.params.adaptation_rate = ndt_adaptation_rate_from_miss_probability(miss_p)
+        # NDT requires occupancy + mean + covariance (+ intensity/hit-miss for TM).
+        map_obj.layout.add_occupancy()
+        map_obj.layout.add_mean()
+        map_obj.layout.add_covariance()
+        if self.params.ndt_tm:
+            map_obj.layout.add_intensity()
+            map_obj.layout.add_hit_miss_count()
+        self.miss_k = miss_k
+
+        super().__init__(map_obj, capacity=capacity, segment_length=segment_length, validate=validate)
+
+        layer_names = list(self.arena.layer_names)
+        extra = ["cov"]
+        if self.params.ndt_tm:
+            extra += ["intensity", "hit_count", "miss_count"]
+        for name in extra:
+            if name not in layer_names:
+                layer_names.append(name)
+        self.arena = VoxelArena(self.arena.capacity, self.region_shift, layer_names,
+                                scatter_pad=self.arena.scatter_pad)
+
+    def _ndt_config(self, ray_flags: int) -> NdtConfig:
+        p = self.params
+        return NdtConfig(
+            base=self._config(ray_flags),
+            sensor_noise=float(p.sensor_noise),
+            sample_threshold=int(p.sample_threshold),
+            adaptation_rate=float(p.adaptation_rate),
+            reinit_threshold=float(np.float32(p.reinitialise_covariance_threshold)),
+            reinit_count=int(p.reinitialise_covariance_point_count),
+            initial_intensity_covariance=float(p.initial_intensity_covariance),
+            ndt_tm=bool(p.ndt_tm),
+            miss_k=self.miss_k,
+        )
+
+    def integrate_rays(self, rays, intensities=None, timestamps=None, ray_update_flags: int = 0) -> int:
+        m = self.map
+        m.touch()
+        prepared = prepare_ray_batch(
+            m, rays, timestamps=timestamps, intensities=intensities,
+            ray_update_flags=ray_update_flags, segment_length=self.segment_length,
+        )
+        n_rays = np.asarray(rays).reshape(-1, 3).shape[0] // 2
+        if prepared.n_segments == 0:
+            return n_rays
+
+        self.arena.ensure_regions(prepared.region_keys, host_map=m)
+        fill_corner_slots(prepared, self.arena.table)
+
+        batch = {k: jnp.asarray(v) for k, v in prepared.arrays.items()}
+        batch["intensity"] = jnp.asarray(
+            prepared.intensities if prepared.intensities is not None
+            else np.zeros(prepared.size, dtype=np.float32))
+        cfg = self._ndt_config(ray_update_flags)
+        state = self.arena.device_state()
+        new_state, stats = integrate_ndt_jit(state, batch, cfg)
+        self.arena.update_state(new_state)
+
+        self._stats["rays"] += n_rays
+        self._stats["segments"] += prepared.n_segments
+        self._stats["batches"] += 1
+        self._pending_stats.append({k: v for k, v in stats.items() if k in ("missed_updates", "overflow")})
+        if self.validate:
+            self._drain_stats()
+            assert self._stats["missed_updates"] == 0, "device slot resolution missed"
+            assert self._stats["overflow"] == 0, "DDA step cap exceeded"
+        return n_rays

@@ -1,0 +1,389 @@
+"""Fused NDT-OM / NDT-TM ray-batch integration.
+
+TPU-native replacement for the reference's two-phase GPU NDT
+(ohmgpu/GpuNdtMap.cpp:150-489): phase 1 `regionRayUpdateNdt` (per-ray miss
+walk with CAS) and phase 2 `covarianceHitNdt` (leader-elected sequential
+Gram-Schmidt over samples sorted by voxel).  Here:
+
+- The miss phase computes per-(ray, voxel) NDT log-odds deltas.  Only voxels
+  holding a usable Gaussian (sample count >= threshold) need the expensive
+  likelihood math, and they are a small minority of visited voxels, so the
+  pipeline *compacts*: records are flagged via one count gather, sorted by
+  flag, and only the first `miss_k` records run the likelihood math and the
+  per-voxel state gathers (a ~10x reduction in latency-bound random gathers).
+  Overflowing records degrade gracefully to standard occupancy misses (the
+  same math the reference applies below the sample threshold) and are counted
+  in stats.
+- The hit phase replaces the sequential per-sample recursion with the
+  closed-form batch merge (ops.ndt.merge_covariance_batch) — exact in exact
+  arithmetic — plus per-sample NDT-TM consistency checks evaluated against
+  batch-start state.
+- Occupancy applies via the same packed-count scatter + dense sweep as the
+  occupancy pipeline, extended with the NDT miss delta plane.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ohm_tpu.core.rayflags import RayFlag
+from ohm_tpu.ops import ndt as ndtops
+from ohm_tpu.ops import subvoxel_jnp
+from ohm_tpu.ops.ddawalk import walk_rays
+from ohm_tpu.ops.integrate import (
+    IntegrateConfig,
+    _resolve_slots,
+    _segment_reduce,
+    _unique_scatter_indices,
+    _unpack_batch,
+    _unobserved,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class NdtConfig:
+    """Static NDT parameters layered over the base integrate config."""
+
+    base: IntegrateConfig
+    sensor_noise: float = 0.05
+    sample_threshold: int = 3
+    adaptation_rate: float = 0.4
+    reinit_threshold: float = -1.3862944  # probabilityToValue(0.2)
+    reinit_count: int = 100
+    initial_intensity_covariance: float = 1.0
+    ndt_tm: bool = False
+    #: Compaction budget for Gaussian-bearing miss records per batch.
+    miss_k: int = 1 << 16
+
+
+def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
+    """Integrate one packed ray batch with NDT-OM (+TM) semantics.
+
+    arena layers: occupancy, mean_coord, mean_count, cov [N,6] (packed sqrt
+    covariance), optional traversal/touch_time/incident and, for NDT-TM,
+    intensity [N,2] + hit_count/miss_count.
+    """
+    base = cfg.base
+    flags = base.ray_flags
+    b = _unpack_batch(batch)
+    res = jnp.float32(base.resolution)
+
+    walk = walk_rays(
+        b["start_abs"], b["end_abs"], b["start_frac"],
+        b["direction"], b["length"], base.resolution, base.max_steps,
+    )
+    B, S = walk["valid"].shape
+    ray_valid = b["valid"]
+
+    rec_valid = walk["valid"] & ray_valid[:, None]
+    if flags & RayFlag.EXCLUDE_ORIGIN:
+        first_col = jnp.concatenate([jnp.ones((B, 1), bool), jnp.zeros((B, S - 1), bool)], axis=1)
+        rec_valid = rec_valid & ~(first_col & b["exclude_start"][:, None])
+    if flags & RayFlag.EXCLUDE_RAY:
+        rec_valid = jnp.zeros_like(rec_valid)
+
+    walk_flat, walk_missed = _resolve_slots(walk["voxels"], b["rmin"], b["corner_slots"], base)
+    walk_flat = jnp.where(rec_valid, walk_flat, base.sentinel)
+
+    end_flat, end_missed = _resolve_slots(b["end_abs"], b["rmin"], b["corner_slots"], base)
+    # NDT ignores kRfExcludeSample / state exclusions (ohm/RayMapperNdt.cpp
+    # applies the hit whenever the sample is not folded into the ray).
+    end_is_hit = b["is_sample"] & ray_valid
+    end_is_miss = b["end_as_miss"] & ray_valid
+    if flags & RayFlag.EXCLUDE_RAY:
+        end_is_miss = jnp.zeros_like(end_is_miss)
+
+    N = B * S
+    flat_ids = walk_flat.reshape(-1)
+
+    # ---------------------------------------------------------------- #
+    # Miss phase: classify records by whether the voxel holds a Gaussian.
+    counts_at = arena["mean_count"][flat_ids]  # batch-start counts
+    occ_at = arena["occupancy"][flat_ids]
+    # NDT math applies for observed voxels with count >= threshold
+    # (calculateMissNdt branch structure, ohm/CovarianceVoxelCompute.h:557-580).
+    is_ndt = rec_valid.reshape(-1) & ~_unobserved(occ_at) & (counts_at >= cfg.sample_threshold)
+
+    # Compact: flagged records first, original order preserved within groups.
+    pos = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
+    sort_key = jnp.where(is_ndt, pos, pos + N)  # flagged sort below unflagged
+    order = jax.lax.sort((sort_key, pos), num_keys=1)[1]
+    K = min(cfg.miss_k, N)
+    pos_k = order[:K]
+    active_k = is_ndt[pos_k]
+    # Graceful overflow: flagged records beyond K revert to standard misses.
+    ndt_rank = jnp.cumsum(is_ndt.astype(jnp.int32)) - is_ndt.astype(jnp.int32)
+    ndt_applied = is_ndt & (ndt_rank < K)
+    overflow_ndt = jnp.sum((is_ndt & ~ndt_applied).astype(jnp.int32))
+
+    ids_k = flat_ids[pos_k]
+    ids_k = jnp.where(active_k, ids_k, base.sentinel)
+    vox_k = walk["voxels"].reshape(N, 3)[pos_k]
+    ray_k = pos_k // S
+
+    # Voxel-local geometry: positions relative to the visited voxel centre.
+    start_abs_k = b["start_abs"][ray_k]
+    end_abs_k = b["end_abs"][ray_k]
+    sensor_k = b["start_frac"][ray_k] + (start_abs_k - vox_k).astype(jnp.float32) * res
+    sample_k = b["end_frac"][ray_k] + (end_abs_k - vox_k).astype(jnp.float32) * res
+
+    cov_k = arena["cov"][ids_k]
+    mean_k = subvoxel_jnp.sub_voxel_to_local_coord(arena["mean_coord"][ids_k], base.resolution)
+
+    delta_k, is_miss_k = ndtops.ndt_miss_delta(
+        cov_k, sensor_k, sample_k, mean_k, cfg.adaptation_rate, cfg.sensor_noise
+    )
+    delta_k = jnp.where(active_k, delta_k, 0.0)
+    is_miss_k = is_miss_k & active_k
+
+    # Aggregate deltas per voxel (sort K stream by id, segmented scan).
+    sorted_k = jax.lax.sort((ids_k, delta_k, is_miss_k.astype(jnp.float32)), num_keys=1)
+    kids, kdeltas, kmisses = sorted_k
+    k_last, (delta_tot, miss_tot) = _segment_reduce(kids, [(kdeltas, "sum"), (kmisses, "sum")], base)
+    k_idx = _unique_scatter_indices(kids, k_last, base)
+    pending_delta = jnp.zeros(arena["occupancy"].shape, jnp.float32).at[k_idx].set(
+        jnp.where(k_last, delta_tot, 0.0), unique_indices=True
+    )
+    if cfg.ndt_tm:
+        pending_tm_miss = jnp.zeros(arena["occupancy"].shape, jnp.float32).at[k_idx].set(
+            jnp.where(k_last, miss_tot, 0.0), unique_indices=True
+        )
+
+    # ---------------------------------------------------------------- #
+    # Standard (non-Gaussian) miss + hit counts via the occupancy machinery.
+    std_miss = rec_valid.reshape(-1) & ~ndt_applied
+    key = jnp.concatenate([
+        (jnp.where(std_miss, flat_ids, base.sentinel) << 1),
+        (jnp.where(end_is_hit | end_is_miss, end_flat, base.sentinel) << 1) | end_is_hit.astype(jnp.int32),
+    ])
+    trav_payloads = []
+    if base.with_traversal:
+        walk_trav = jnp.where(rec_valid, walk["exits"] - walk["enters"], 0.0)
+        end_trav = jnp.where(end_is_hit | end_is_miss, b["length"] - walk["end_enter"], 0.0)
+        trav_payloads.append(jnp.concatenate([walk_trav.reshape(-1), end_trav]).astype(jnp.float32))
+
+    sorted_all = jax.lax.sort((key,) + tuple(trav_payloads), num_keys=1)
+    key_s = sorted_all[0]
+    ids_s = key_s >> 1
+    hit_bit = (key_s & 1).astype(jnp.float32)
+    valid_bit = (ids_s != base.sentinel).astype(jnp.float32)
+    payloads = [(hit_bit, "sum"), (valid_bit, "sum")]
+    if base.with_traversal:
+        payloads.append((sorted_all[1], "sum"))
+    last, reduced = _segment_reduce(ids_s, payloads, base)
+    n_hit = reduced[0]
+    n_total = reduced[1]
+    n_miss = n_total - n_hit
+
+    idx_s = _unique_scatter_indices(ids_s, last, base)
+    cap = jnp.float32(65535.0)
+    packed = (jnp.minimum(n_hit, cap).astype(jnp.uint32) << 16) | jnp.minimum(n_miss, cap).astype(jnp.uint32)
+    packed = jnp.where(last, packed, jnp.uint32(0))
+    pending_counts = jnp.zeros(arena["occupancy"].shape, jnp.uint32).at[idx_s].set(packed, unique_indices=True)
+
+    arena = dict(arena)
+    if base.with_traversal:
+        trav_total = jnp.where(last, reduced[2], 0.0)
+        arena["traversal"] = arena["traversal"].at[idx_s].add(trav_total, unique_indices=True)
+
+    # ---------------------------------------------------------------- #
+    # Dense occupancy apply: standard counts + NDT miss deltas.
+    # NDT semantics: no kRfExclude* state matrix; hits via occupancyAdjustUp
+    # (clamp max), misses via occupancyAdjustDown (clamp min), saturation
+    # respected (ohm/RayMapperNdt.cpp:214-215,349-351).
+    initial = arena["occupancy"]
+    unobs = _unobserved(initial)
+    n_hit_d = (pending_counts >> 16).astype(jnp.float32)
+    n_miss_d = (pending_counts & jnp.uint32(0xFFFF)).astype(jnp.float32)
+    total = (n_hit_d * jnp.float32(base.hit_value)
+             + n_miss_d * jnp.float32(base.miss_value)
+             + pending_delta)
+    base_val = jnp.where(unobs, 0.0, initial)
+    value = base_val + total
+    value = jnp.where(total > 0, jnp.minimum(value, jnp.float32(base.max_value)), value)
+    value = jnp.where(total < 0, jnp.maximum(value, jnp.float32(base.min_value)), value)
+    touched = (pending_counts != 0) | (pending_delta != 0)
+    saturated = ~unobs & (
+        (initial <= jnp.float32(base.saturation_min)) | (initial >= jnp.float32(base.saturation_max))
+    )
+    keep = ~touched | saturated
+    new_occupancy = jnp.where(keep, initial, value)
+
+    # ---------------------------------------------------------------- #
+    # Hit phase: batch covariance merge per unique sample voxel.
+    s_ids = jnp.where(end_is_hit, end_flat, base.sentinel)
+    z = jnp.where(end_is_hit[:, None], b["end_frac"], 0.0)
+    zz = jnp.where(end_is_hit[:, None], ndtops._outer6(b["end_frac"]), 0.0)
+
+    flat_ops = [s_ids, end_is_hit.astype(jnp.float32)]
+    flat_ops += [z[:, c] for c in range(3)]
+    flat_ops += [zz[:, c] for c in range(6)]
+    extra_payload_start = len(flat_ops)
+    if cfg.ndt_tm:
+        # Per-sample consistency checks against batch-start state
+        # (calculateHitMissUpdateOnHit) and intensity Welford stats.
+        cov_sample = arena["cov"][jnp.where(end_is_hit, end_flat, base.sentinel)]
+        mean_sample = subvoxel_jnp.sub_voxel_to_local_coord(
+            arena["mean_coord"][jnp.where(end_is_hit, end_flat, base.sentinel)], base.resolution)
+        count_sample = arena["mean_count"][jnp.where(end_is_hit, end_flat, base.sentinel)]
+        occ_sample = initial[jnp.where(end_is_hit, end_flat, base.sentinel)]
+        sensor_local = b["start_frac"] + (b["start_abs"] - b["end_abs"]).astype(jnp.float32) * res
+        _, inc_hit, inc_miss = ndtops.tm_hit_consistency(
+            cov_sample, sensor_local, b["end_frac"], mean_sample, count_sample, occ_sample,
+            {"reinit_threshold": cfg.reinit_threshold, "reinit_count": cfg.reinit_count,
+             "sensor_noise": cfg.sensor_noise, "adaptation_rate": cfg.adaptation_rate,
+             "sample_threshold": cfg.sample_threshold},
+        )
+        intensity = batch["intensity"]
+        flat_ops += [
+            (inc_hit & end_is_hit).astype(jnp.float32),
+            (inc_miss & end_is_hit).astype(jnp.float32),
+            jnp.where(end_is_hit, intensity, 0.0),
+            jnp.where(end_is_hit, intensity * intensity, 0.0),
+        ]
+    if base.with_touch_time:
+        flat_ops.append(jnp.where(end_is_hit, b["touch_enc"], 0).astype(jnp.uint32))
+    if base.with_incident:
+        inc_vec = jnp.where(end_is_hit[:, None], -b["direction"], 0.0)
+        flat_ops += [inc_vec[:, c] for c in range(3)]
+
+    sorted_s = jax.lax.sort(tuple(flat_ops), num_keys=1)
+    s_sorted = sorted_s[0]
+    payloads = [(sorted_s[1], "sum")]  # k
+    payloads += [(sorted_s[2 + c], "sum") for c in range(3)]  # z sums
+    payloads += [(sorted_s[5 + c], "sum") for c in range(6)]  # zz sums
+    j = extra_payload_start
+    if cfg.ndt_tm:
+        payloads += [(sorted_s[j], "sum"), (sorted_s[j + 1], "sum"),
+                     (sorted_s[j + 2], "sum"), (sorted_s[j + 3], "sum")]
+        j += 4
+    if base.with_touch_time:
+        payloads.append((sorted_s[j], "max"))
+        j += 1
+    if base.with_incident:
+        payloads += [(sorted_s[j + c], "sum") for c in range(3)]
+        j += 3
+
+    s_last, s_red = _segment_reduce(s_sorted, payloads, base)
+    k = s_red[0]
+    z_sum = jnp.stack(s_red[1:4], axis=-1)
+    zz_sum = jnp.stack(s_red[4:10], axis=-1)
+    ri = 10
+
+    active = s_last & (k > 0) & (s_sorted != base.sentinel)
+    s_idx = _unique_scatter_indices(s_sorted, s_last, base)
+
+    cov_old = arena["cov"][s_sorted]
+    mean_old = subvoxel_jnp.sub_voxel_to_local_coord(arena["mean_coord"][s_sorted], base.resolution)
+    count_old = arena["mean_count"][s_sorted]
+    occ_old = initial[s_sorted]  # batch-start occupancy for reinit decisions
+
+    cov_new, mean_new, count_new, reset = ndtops.merge_covariance_batch(
+        cov_old, mean_old, count_old, occ_old, k, z_sum, zz_sum,
+        base.resolution, cfg.reinit_threshold, cfg.reinit_count,
+    )
+    cov_w = jnp.where(active[..., None], cov_new, cov_old)
+    cov_w = jnp.where(s_last[..., None], cov_w, 0.0)
+    arena["cov"] = arena["cov"].at[s_idx].set(cov_w, unique_indices=True)
+
+    coord_new = subvoxel_jnp.sub_voxel_coord(mean_new, base.resolution)
+    coord_w = jnp.where(active, coord_new, arena["mean_coord"][s_sorted])
+    coord_w = jnp.where(s_last, coord_w, jnp.uint32(0))
+    arena["mean_coord"] = arena["mean_coord"].at[s_idx].set(coord_w, unique_indices=True)
+    cnt_w = jnp.where(active, count_new.astype(jnp.uint32), count_old)
+    cnt_w = jnp.where(s_last, cnt_w, jnp.uint32(0))
+    arena["mean_count"] = arena["mean_count"].at[s_idx].set(cnt_w, unique_indices=True)
+
+    if cfg.ndt_tm:
+        hit_inc = s_red[ri]
+        miss_inc = s_red[ri + 1]
+        int_sum = s_red[ri + 2]
+        int_sq = s_red[ri + 3]
+        ri += 4
+        # Intensity merge.  The reference per-sample recursion
+        # (calculateIntensityUpdateOnHit) increments the covariance by
+        # delta^2/(n+1) — NOT the Welford n*delta^2/(n+1) — so n*cov_n equals
+        # C0 + sum_j delta_j^2/j, which has no exact batch-moment form.  We
+        # approximate the sum with the batch scatter scaled by the midpoint
+        # count; exact for k == 1 and k == 2, and within a few percent for
+        # larger per-voxel batches (tests compare with matching tolerance).
+        im_old = arena["intensity"][s_sorted, 0]
+        ic_old = arena["intensity"][s_sorted, 1]
+        n0 = jnp.where(reset, 0.0, count_old.astype(jnp.float32))
+        im0 = jnp.where(reset, 0.0, im_old)
+        kf = jnp.maximum(k, 1.0)
+        mu_b = int_sum / kf
+        m2_b = jnp.maximum(int_sq - kf * mu_b * mu_b, 0.0)
+        n_new = n0 + kf
+        d = mu_b - im0
+        cross = (n0 * kf / jnp.maximum(n_new, 1.0)) * d * d
+        q_base = jnp.where(n0 > 0, n0 * ic_old, jnp.float32(cfg.initial_intensity_covariance))
+        n_mid = n0 + jnp.float32(0.5) * (kf + 1.0)
+        q = q_base + (m2_b + cross) / jnp.maximum(n_mid, 1.0) * jnp.minimum(kf, n_mid)
+        im_new = (n0 * im0 + int_sum) / n_new
+        ic_new = q / n_new
+        int_new = jnp.stack([jnp.where(active, im_new, im_old), jnp.where(active, ic_new, ic_old)], axis=-1)
+        int_new = jnp.where(s_last[..., None], int_new, 0.0)
+        arena["intensity"] = arena["intensity"].at[s_idx].set(int_new, unique_indices=True)
+
+        # Hit/miss counters: a reset overwrites with this batch's tallies,
+        # otherwise tallies accumulate (reference resets then increments —
+        # calculateHitMissUpdateOnHit).  NDT miss-phase tallies (rays crossing
+        # the Gaussian) add densely afterwards.
+        old_hit = arena["hit_count"][s_sorted]
+        old_miss = arena["miss_count"][s_sorted]
+        new_hit = jnp.where(reset, hit_inc, old_hit.astype(jnp.float32) + hit_inc)
+        new_miss = jnp.where(reset, miss_inc, old_miss.astype(jnp.float32) + miss_inc)
+        new_hit = jnp.where(active, new_hit, old_hit.astype(jnp.float32))
+        new_miss = jnp.where(active, new_miss, old_miss.astype(jnp.float32))
+        arena["hit_count"] = arena["hit_count"].at[s_idx].set(
+            jnp.where(s_last, new_hit, 0.0).astype(jnp.uint32), unique_indices=True)
+        arena["miss_count"] = arena["miss_count"].at[s_idx].set(
+            jnp.where(s_last, new_miss, 0.0).astype(jnp.uint32), unique_indices=True)
+        arena["miss_count"] = arena["miss_count"] + pending_tm_miss.astype(jnp.uint32)
+
+    arena["occupancy"] = new_occupancy
+
+    # Touch time / incident normals (same semantics as the occupancy pipeline).
+    if base.with_touch_time:
+        touch_max = s_red[ri]
+        ri += 1
+        old_touch = arena["touch_time"][s_sorted]
+        new_touch = jnp.where(active, touch_max, old_touch)
+        arena["touch_time"] = arena["touch_time"].at[s_idx].set(
+            jnp.where(s_last, new_touch, jnp.uint32(0)), unique_indices=True)
+    if base.with_incident:
+        inc_sums = jnp.stack(s_red[ri:ri + 3], axis=-1)
+        ri += 3
+        old_packed = arena["incident"][s_sorted]
+        old_normal = subvoxel_jnp.decode_normal(old_packed)
+        has_old = jnp.any(old_normal != 0, axis=-1)
+        prior = jnp.where(reset, 0.0, count_old.astype(jnp.float32))
+        w = jnp.where(has_old, prior, 0.0)
+        merged = old_normal * w[:, None] + inc_sums
+        norm = jnp.sqrt(jnp.sum(merged * merged, axis=-1))
+        unit = jnp.where(norm[:, None] > 1e-6, merged / jnp.maximum(norm, 1e-12)[:, None], 0.0)
+        new_packed = jnp.where(active, subvoxel_jnp.encode_normal(unit), old_packed)
+        arena["incident"] = arena["incident"].at[s_idx].set(
+            jnp.where(s_last, new_packed, jnp.uint32(0)), unique_indices=True)
+
+    missed_updates = (
+        jnp.sum(jnp.where(rec_valid.reshape(-1) & walk_missed.reshape(-1), 1, 0))
+        + jnp.sum(jnp.where((end_is_hit | end_is_miss) & end_missed, 1, 0))
+    ).astype(jnp.int32)
+    stats = {
+        "missed_updates": missed_updates,
+        "overflow": jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0)).astype(jnp.int32),
+        "touched": jnp.sum((last & (ids_s != base.sentinel)).astype(jnp.int32)),
+        "ndt_overflow": overflow_ndt,
+    }
+    return arena, stats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("arena",))
+def integrate_ndt_jit(arena, batch, cfg: NdtConfig):
+    return integrate_ndt(arena, batch, cfg)
