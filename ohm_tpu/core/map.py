@@ -232,6 +232,26 @@ class OccupancyMap:
     def layer_index(self, name: str) -> int:
         return self.layout.layer_index(name)
 
+    def ensure_chunk_layers(self):
+        """Backfill layer arrays on existing chunks after layout growth.
+
+        The reference allocates VoxelBlocks per layer at chunk construction;
+        adding a layer later (e.g. enabling clearance or NDT on a populated
+        map) must extend existing chunks (reference: updateLayout semantics).
+        """
+        n_layers = len(self.layout)
+        for chunk in self.chunks.values():
+            while len(chunk.layers) < n_layers:
+                layer = self.layout.layers[len(chunk.layers)]
+                volume = layer.volume(self.region_voxel_dims)
+                arr = np.empty(volume, dtype=layer.voxel_layout.numpy_dtype())
+                arr[:] = layer.voxel_layout.clear_record()
+                chunk.layers.append(arr)
+            if len(chunk.touched_stamps) < n_layers:
+                stamps = np.zeros(n_layers, dtype=np.uint64)
+                stamps[: len(chunk.touched_stamps)] = chunk.touched_stamps
+                chunk.touched_stamps = stamps
+
     def voxel_value(self, point=None, key=None) -> float:
         """Occupancy value at a point or (region, local) key; +inf if unobserved/absent."""
         if key is None:

@@ -171,10 +171,15 @@ class VoxelArena:
 
 
 def _region_untouched(pulled: dict) -> bool:
-    occ = pulled.get("occupancy")
-    if occ is None:
-        return False
-    return bool(np.all(np.isinf(occ)))
+    """True when every pulled layer still holds its clear value."""
+    for name, data in pulled.items():
+        _, clear = _LAYER_SPECS[name]
+        if name == "occupancy":
+            if not np.all(np.isinf(data)):
+                return False
+        elif not np.all(data == clear):
+            return False
+    return True
 
 
 def _host_layer_readers(host_map):

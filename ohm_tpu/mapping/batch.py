@@ -178,6 +178,8 @@ def prepare_ray_batch(
     floats[:total, 3:6] = unit[ray_idx].astype(np.float32)
     floats[:total, 6] = seg_len.astype(np.float32)
     floats[:total, 7:10] = end_frac
+    floats[:total, 10] = t0.astype(np.float32)  # distance sensor -> segment start
+    floats[:total, 11] = lengths[ray_idx].astype(np.float32)  # full ray length
 
     flags = np.zeros((size, FLAGS_WIDTH), dtype=bool)
     flags[:total, 0] = is_sample

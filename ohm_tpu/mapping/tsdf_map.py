@@ -1,0 +1,63 @@
+"""TpuTsdfMap: truncated signed distance field integration on TPU.
+
+Reference analogue: ohmgpu/GpuTsdfMap.cpp + ohm/RayMapperTsdf.cpp.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ohm_tpu.core.layout import TSDF_LAYER
+from ohm_tpu.mapping.arena import VoxelArena
+from ohm_tpu.mapping.batch import prepare_ray_batch, fill_corner_slots
+from ohm_tpu.mapping.tpu_map import TpuRayMapper
+from ohm_tpu.ops.integrate_tsdf import TsdfConfig, integrate_tsdf_jit
+from ohm_tpu.oracle.tsdf import TsdfOptions
+
+
+class TpuTsdfMap(TpuRayMapper):
+    """TSDF integrator (tsdf layer only; ray_update_flags ignored as in the
+    reference RayMapperTsdf)."""
+
+    def __init__(self, map_obj, options: TsdfOptions | None = None, capacity: int = 1024,
+                 segment_length: float | None = None, validate: bool = False):
+        self.options = options or TsdfOptions()
+        map_obj.layout.add_tsdf()
+        super().__init__(map_obj, capacity=capacity, segment_length=segment_length, validate=validate)
+        layer_names = ["occupancy", "tsdf_weight", "tsdf_distance"]
+        self.arena = VoxelArena(self.arena.capacity, self.region_shift, layer_names,
+                                scatter_pad=self.arena.scatter_pad)
+
+    def _tsdf_config(self) -> TsdfConfig:
+        o = self.options
+        return TsdfConfig(
+            base=self._config(0),
+            max_weight=float(o.max_weight),
+            default_truncation_distance=float(o.default_truncation_distance),
+            dropoff_epsilon=float(o.dropoff_epsilon),
+            sparsity_compensation_factor=float(o.sparsity_compensation_factor),
+        )
+
+    def integrate_rays(self, rays, intensities=None, timestamps=None, ray_update_flags: int = 0) -> int:
+        m = self.map
+        m.touch()
+        prepared = prepare_ray_batch(m, rays, timestamps=timestamps,
+                                     segment_length=self.segment_length)
+        n_rays = np.asarray(rays).reshape(-1, 3).shape[0] // 2
+        if prepared.n_segments == 0:
+            return n_rays
+        self.arena.ensure_regions(prepared.region_keys, host_map=m)
+        fill_corner_slots(prepared, self.arena.table)
+        batch = {k: jnp.asarray(v) for k, v in prepared.arrays.items()}
+        new_state, stats = integrate_tsdf_jit(self.arena.device_state(), batch, self._tsdf_config())
+        self.arena.update_state(new_state)
+        self._stats["rays"] += n_rays
+        self._stats["segments"] += prepared.n_segments
+        self._stats["batches"] += 1
+        self._pending_stats.append(stats)
+        if self.validate:
+            self._drain_stats()
+            assert self._stats["missed_updates"] == 0
+            assert self._stats["overflow"] == 0
+        return n_rays

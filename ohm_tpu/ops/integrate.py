@@ -89,11 +89,11 @@ class IntegrateConfig:
 
 # Packed batch layout (mapping.batch.prepare_ray_batch):
 #   ints  i32[B, 17]: start_abs xyz | end_abs xyz | rmin xyz | corner_slots[8]
-#   floats f32[B, 10]: start_frac xyz | direction xyz | length | end_frac xyz
+#   floats f32[B, 12]: start_frac xyz | direction xyz | length | end_frac xyz | t0 | full_length
 #   flags bool[B, 4]: is_sample | end_as_miss | exclude_start | valid
 #   touch u32[B]: pre-encoded touch time
 INTS_WIDTH = 17
-FLOATS_WIDTH = 10
+FLOATS_WIDTH = 12
 FLAGS_WIDTH = 4
 
 
@@ -110,6 +110,8 @@ def _unpack_batch(batch):
         "direction": floats[:, 3:6],
         "length": floats[:, 6],
         "end_frac": floats[:, 7:10],
+        "t0": floats[:, 10],
+        "full_length": floats[:, 11],
         "is_sample": flags[:, 0],
         "end_as_miss": flags[:, 1],
         "exclude_start": flags[:, 2],

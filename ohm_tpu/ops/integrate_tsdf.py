@@ -1,0 +1,130 @@
+"""Fused TSDF ray-batch integration.
+
+TPU-native replacement for ohmgpu/gpu/TsdfUpdate.cl (per-visit 64-bit CAS on
+the packed {weight, distance} pair, ohmgpu/GpuTsdfMap.cpp): per-record SDF
+weights are computed vectorised, reduced per voxel with the segmented-scan
+machinery, deposited through two unique-index scatters, and blended with the
+stored voxel state in a dense arena sweep — no gathers, no CAS.
+
+Batch-vs-sequential: the reference truncates the *blended* distance after
+every visit; the batch form blends all of a batch's contributions before one
+truncation.  Identical when no intermediate truncation triggers; bounded by
+the truncation distance otherwise (the reference GPU is itself order-random
+under CAS).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ohm_tpu.ops.ddawalk import walk_rays
+from ohm_tpu.ops.integrate import (
+    IntegrateConfig,
+    _resolve_slots,
+    _segment_reduce,
+    _unique_scatter_indices,
+    _unpack_batch,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TsdfConfig:
+    """Static TSDF parameters (reference: ohm/VoxelTsdf.h:27-37)."""
+
+    base: IntegrateConfig
+    max_weight: float = 1e4
+    default_truncation_distance: float = 0.1
+    dropoff_epsilon: float = 0.0
+    sparsity_compensation_factor: float = 1.0
+
+
+def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
+    """Integrate one packed ray batch into tsdf_weight/tsdf_distance layers."""
+    base = cfg.base
+    b = _unpack_batch(batch)
+    res = jnp.float32(base.resolution)
+
+    walk = walk_rays(
+        b["start_abs"], b["end_abs"], b["start_frac"],
+        b["direction"], b["length"], base.resolution, base.max_steps,
+    )
+    B, S = walk["valid"].shape
+    ray_valid = b["valid"]
+    rec_valid = walk["valid"] & ray_valid[:, None]
+
+    walk_flat, walk_missed = _resolve_slots(walk["voxels"], b["rmin"], b["corner_slots"], base)
+    walk_flat = jnp.where(rec_valid, walk_flat, base.sentinel)
+    end_flat, end_missed = _resolve_slots(b["end_abs"], b["rmin"], b["corner_slots"], base)
+    # The reference TSDF walk includes the sample voxel
+    # (RayMapperTsdf.cpp:178 walks with no exclusion flags); our walk stops
+    # before the end voxel, so final segments contribute an explicit end
+    # record.  Non-final segments' boundary voxels belong to the next segment.
+    end_active = (b["is_sample"] | b["end_as_miss"]) & ray_valid
+    end_flat_masked = jnp.where(end_active, end_flat, base.sentinel)
+
+    # SDF per record: sdf = full_len - dot(c - sensor, dir)
+    #               = full_len - t0 + dot(p0 - c, dir)
+    # with p0 - c = start_frac + (start_abs - voxel) * res (voxel-local f32).
+    # Walk records [B,S]:
+    q_w = b["start_frac"][:, None, :] + (b["start_abs"][:, None, :] - walk["voxels"]).astype(jnp.float32) * res
+    proj_w = jnp.sum(q_w * b["direction"][:, None, :], axis=-1)
+    sdf_w = (b["full_length"] - b["t0"])[:, None] + proj_w
+    # End records [B]: voxel = end_abs.
+    q_e = b["start_frac"] + (b["start_abs"] - b["end_abs"]).astype(jnp.float32) * res
+    sdf_e = (b["full_length"] - b["t0"]) + jnp.sum(q_e * b["direction"], axis=-1)
+
+    trunc = jnp.float32(cfg.default_truncation_distance)
+
+    def weight_of(sdf):
+        w = jnp.ones_like(sdf)
+        if cfg.dropoff_epsilon > 0:
+            w = w * (trunc + sdf) / (trunc - jnp.float32(cfg.dropoff_epsilon))
+        w = jnp.maximum(w, 0.0)
+        if cfg.sparsity_compensation_factor > 0:
+            w = jnp.where(jnp.abs(sdf) < trunc, w * jnp.float32(cfg.sparsity_compensation_factor), w)
+        return w
+
+    w_w = jnp.where(rec_valid, weight_of(sdf_w), 0.0)
+    w_e = jnp.where(end_active, weight_of(sdf_e), 0.0)
+
+    ids = jnp.concatenate([walk_flat.reshape(-1), end_flat_masked])
+    w_all = jnp.concatenate([w_w.reshape(-1), w_e])
+    wsdf_all = jnp.concatenate([(w_w * sdf_w).reshape(-1), w_e * sdf_e])
+
+    sorted_all = jax.lax.sort((ids, w_all, wsdf_all), num_keys=1)
+    ids_s, w_s, wsdf_s = sorted_all
+    last, (w_sum, wsdf_sum) = _segment_reduce(ids_s, [(w_s, "sum"), (wsdf_s, "sum")], base)
+    idx = _unique_scatter_indices(ids_s, last, base)
+
+    shape = arena["tsdf_weight"].shape
+    pending_w = jnp.zeros(shape, jnp.float32).at[idx].set(jnp.where(last, w_sum, 0.0), unique_indices=True)
+    pending_wsdf = jnp.zeros(shape, jnp.float32).at[idx].set(jnp.where(last, wsdf_sum, 0.0), unique_indices=True)
+
+    # Dense blend (calculateTsdf update rule, batched).
+    w0 = arena["tsdf_weight"]
+    d0 = arena["tsdf_distance"]
+    new_w = w0 + pending_w
+    near_zero = jnp.abs(new_w) < jnp.float32(1e-5)
+    new_d = jnp.where(near_zero, d0, (pending_wsdf + d0 * w0) / jnp.where(near_zero, 1.0, new_w))
+    new_d = jnp.where(new_d > 0, jnp.minimum(trunc, new_d), jnp.maximum(-trunc, new_d))
+    touched = pending_w != 0
+    arena = dict(arena)
+    arena["tsdf_weight"] = jnp.where(touched & ~near_zero, jnp.minimum(new_w, jnp.float32(cfg.max_weight)), w0)
+    arena["tsdf_distance"] = jnp.where(touched & ~near_zero, new_d, d0)
+
+    stats = {
+        "missed_updates": (jnp.sum(jnp.where(rec_valid & walk_missed, 1, 0))
+                           + jnp.sum(jnp.where(end_active & end_missed, 1, 0))).astype(jnp.int32),
+        "overflow": jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0)).astype(jnp.int32),
+        "touched": jnp.sum((last & (ids_s != base.sentinel)).astype(jnp.int32)),
+    }
+    return arena, stats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("arena",))
+def integrate_tsdf_jit(arena, batch, cfg: TsdfConfig):
+    return integrate_tsdf(arena, batch, cfg)

@@ -238,6 +238,7 @@ class RayMapperNdt:
         if self.params.ndt_tm:
             lay.add_intensity()
             lay.add_hit_miss_count()
+        map_obj.ensure_chunk_layers()
         self.occupancy_layer = map_obj.layer_index(OCCUPANCY_LAYER)
         self.mean_layer = map_obj.layer_index(MEAN_LAYER)
         self.cov_layer = map_obj.layer_index(COVARIANCE_LAYER)

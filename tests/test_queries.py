@@ -1,0 +1,179 @@
+"""Query tests (reference analogues: RaysQueryTests, LineKeysQuery tests,
+NearestNeighbours tests, ranges/clearance GPU tests)."""
+
+import numpy as np
+import pytest
+
+from ohm_tpu.core.map import OccupancyMap, MapFlag
+from ohm_tpu.core.layout import CLEARANCE_LAYER
+from ohm_tpu.mapping.tpu_map import TpuRayMapper
+from ohm_tpu.oracle.occupancy import RayMapperOccupancy
+from ohm_tpu.query import RaysQuery, LineKeysQuery, NearestNeighbours, LineQuery, ClearanceProcess, OccupancyType
+from ohm_tpu.query.clearance import UNKNOWN_AS_OCCUPIED
+from ohm_tpu.core.compare import compare_maps
+from ohm_tpu.core.copyutil import copy_map
+from ohm_tpu.mapping.mapper import Mapper, ClearanceMappingProcess
+from ohm_tpu.query.rays_query import _device_fn_cache
+
+
+@pytest.fixture
+def wall_map():
+    """Map with an occupied wall at x = 2 and free corridor before it."""
+    m = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    mapper = RayMapperOccupancy(m)
+    rng = np.random.default_rng(21)
+    n = 120
+    rays = np.empty((2 * n, 3))
+    rays[0::2] = (0.0, 0.0, 0.0)
+    rays[1::2] = np.column_stack([np.full(n, 2.0), rng.uniform(-1, 1, n), rng.uniform(-1, 1, n)])
+    for _ in range(3):
+        mapper.integrate_rays(rays)
+    return m
+
+
+def test_rays_query_hits_wall(wall_map):
+    q = RaysQuery(wall_map, volume_coefficient=1.0)
+    q.set_rays(np.array([
+        [0.0, 0.0, 0.0], [3.0, 0.0, 0.0],   # through the wall
+        [0.0, 0.0, 0.0], [1.0, 0.0, 0.0],   # stops in free space
+        [0.0, 5.0, 0.0], [1.0, 5.0, 0.0],   # entirely unobserved
+    ]))
+    q.execute()
+    assert q.terminal_states[0] == OccupancyType.OCCUPIED
+    assert 1.7 < q.ranges[0] < 2.1, f"range to wall: {q.ranges[0]}"
+    assert q.terminal_states[1] == OccupancyType.FREE
+    assert q.ranges[1] == pytest.approx(1.0, abs=0.3)
+    assert q.terminal_states[2] == OccupancyType.UNOBSERVED
+    assert q.unobserved_volumes[2] > 0
+    # Observed corridor contributes no unobserved volume.
+    assert q.unobserved_volumes[1] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_rays_query_long_ray_segments(wall_map):
+    # A ray much longer than a region edge exercises segment stitching.
+    q = RaysQuery(wall_map)
+    q.set_rays(np.array([[-20.0, 0.0, 0.0], [30.0, 0.0, 0.0]]))
+    q.execute()
+    assert q.terminal_states[0] == OccupancyType.OCCUPIED
+    assert q.ranges[0] == pytest.approx(22.0, abs=0.3)
+
+
+def test_line_keys_query(wall_map):
+    q = LineKeysQuery(wall_map)
+    q.set_rays(np.array([[0.0, 0.0, 0.0], [2.5, 0.0, 0.0],
+                         [0.0, 0.0, 0.0], [0.0, -1.0, 0.0]]))
+    q.execute()
+    assert q.result_counts[0] == 11  # 2.5m / 0.25m + end voxel
+    assert q.result_counts[1] == 5
+    keys = q.result_keys[0]
+    np.testing.assert_array_equal(np.diff(keys[:, 0]), 1)
+
+
+def test_nearest_neighbours(wall_map):
+    q = NearestNeighbours(wall_map, near_point=(2.0, 0.0, 0.0), search_radius=0.6)
+    q.execute()
+    assert q.number_of_results() > 0
+    assert q.ranges.max() <= 0.6
+    # All results should be on the wall plane x ~ 2.
+    from ohm_tpu.core import keys as keymath
+
+    region, local = keymath.abs_to_key(q.intersected_voxels, wall_map.region_voxel_dims)
+    centres = wall_map.voxel_centre_global(region, local)
+    assert np.all(np.abs(centres[:, 0] - 2.0) < 0.6)
+
+
+def test_clearance_process(wall_map):
+    proc = ClearanceProcess(wall_map, search_radius=1.0)
+    n = proc.update(force=True)
+    assert n > 0
+    clear_idx = wall_map.layer_index(CLEARANCE_LAYER)
+    # Voxel adjacent to the wall: clearance ~ one voxel.
+    region, local = wall_map.voxel_key([1.7, 0.0, 0.0])
+    chunk = wall_map.region(region)
+    c = chunk.layers[clear_idx][CLEARANCE_LAYER][int(wall_map.voxel_index(local))]
+    assert 0.0 < c <= 0.5, f"clearance near wall: {c}"
+    # Far free voxel: clearance beyond radius -> -1.
+    region, local = wall_map.voxel_key([0.3, 0.0, 0.0])
+    chunk = wall_map.region(region)
+    c = chunk.layers[clear_idx][CLEARANCE_LAYER][int(wall_map.voxel_index(local))]
+    assert c == -1.0 or c > 1.0
+
+
+def test_clearance_matches_brute_force(wall_map):
+    proc = ClearanceProcess(wall_map, search_radius=1.0)
+    proc.update(force=True)
+    clear_idx = wall_map.layer_index(CLEARANCE_LAYER)
+    occ_idx = wall_map.layer_index("occupancy")
+    from ohm_tpu.core import keys as keymath
+
+    dims = wall_map.region_voxel_dims
+    # Gather all occupied voxel centres.
+    occ_centres = []
+    for key, chunk in wall_map.chunks.items():
+        occ = chunk.layers[occ_idx]["occupancy"]
+        sel = np.flatnonzero(np.isfinite(occ) & (occ >= wall_map.occupancy_threshold_value))
+        if sel.size:
+            local = keymath.local_key_from_index(sel, dims)
+            region = np.broadcast_to(np.asarray(key, np.int32), (len(sel), 3))
+            occ_centres.append(wall_map.voxel_centre_global(region, local))
+    occ_centres = np.concatenate(occ_centres)
+
+    rng = np.random.default_rng(3)
+    for _ in range(30):
+        p = np.array([rng.uniform(0, 2.4), rng.uniform(-0.8, 0.8), rng.uniform(-0.8, 0.8)])
+        region, local = wall_map.voxel_key(p)
+        chunk = wall_map.region(region)
+        if chunk is None:
+            continue
+        centre = wall_map.voxel_centre_global(region, local)
+        expected = np.linalg.norm(occ_centres - centre, axis=1).min()
+        got = chunk.layers[clear_idx][CLEARANCE_LAYER][int(wall_map.voxel_index(local))]
+        if expected <= 1.0:
+            assert got == pytest.approx(expected, abs=1e-4), f"at {p}"
+        else:
+            assert got == -1.0
+
+
+def test_line_query(wall_map):
+    q = LineQuery(wall_map, start_point=(0.0, 0.0, 0.0), end_point=(2.4, 0.0, 0.0), search_radius=1.0)
+    q.execute()
+    assert q.number_of_results() > 0
+    # Clearance shrinks approaching the wall.
+    valid = q.ranges > 0
+    assert valid.any()
+    r = q.ranges[valid]
+    assert r[-1] <= r.max()
+
+
+def test_compare_and_copy(wall_map):
+    clone = wall_map.clone()
+    result = compare_maps(wall_map, clone)
+    assert result.ok, result.messages
+
+    dst = OccupancyMap(resolution=wall_map.resolution, flags=MapFlag.NONE)
+    n = copy_map(dst, wall_map)
+    assert n == len(wall_map.chunks)
+    assert compare_maps(wall_map, dst, tolerance=0).voxels_failed == 0
+
+    # AABB-filtered copy copies fewer regions.
+    dst2 = OccupancyMap(resolution=wall_map.resolution, flags=MapFlag.NONE)
+    n2 = copy_map(dst2, wall_map, extents=((0, -0.5, -0.5), (0.5, 0.5, 0.5)))
+    assert 0 < n2 <= n
+
+    # updated_since filter: nothing new.
+    dst3 = OccupancyMap(resolution=wall_map.resolution, flags=MapFlag.NONE)
+    assert copy_map(dst3, wall_map, updated_since=wall_map.stamp) == 0
+
+
+def test_mapper_scheduler(wall_map):
+    proc = ClearanceProcess(wall_map, search_radius=0.5)
+    mapper = Mapper(wall_map)
+    mapper.add_process(ClearanceMappingProcess(proc))
+    # Run to completion.
+    for _ in range(50):
+        if mapper.update(0.5) == 2:  # COMPLETE
+            break
+    clear_idx = wall_map.layer_index(CLEARANCE_LAYER)
+    region, local = wall_map.voxel_key([1.9, 0.0, 0.0])
+    chunk = wall_map.region(region)
+    assert chunk.layers[clear_idx][CLEARANCE_LAYER][int(wall_map.voxel_index(local))] >= 0.0

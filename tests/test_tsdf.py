@@ -1,0 +1,93 @@
+"""TSDF differential tests (reference analogue: ohmtestgpu TSDF tests)."""
+
+import numpy as np
+import pytest
+
+from ohm_tpu.core.map import OccupancyMap, MapFlag
+from ohm_tpu.core.layout import TSDF_LAYER
+from ohm_tpu.oracle.tsdf import RayMapperTsdf, TsdfOptions
+from ohm_tpu.mapping.tsdf_map import TpuTsdfMap
+
+
+def sphere_rays(n, rng, radius=2.0, sensor=(0.0, 0.0, 0.0)):
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rays = np.empty((2 * n, 3))
+    rays[0::2] = sensor
+    rays[1::2] = np.asarray(sensor) + dirs * radius
+    return rays
+
+
+def compare_tsdf(cpu_map, dev_map, atol=5e-3):
+    idx = cpu_map.layer_index(TSDF_LAYER)
+    checked = 0
+    for key, a in cpu_map.chunks.items():
+        b = dev_map.region(key)
+        assert b is not None, f"missing region {key}"
+        wa = a.layers[idx]["weight"]
+        wb = b.layers[idx]["weight"]
+        da = a.layers[idx]["distance"]
+        db = b.layers[idx]["distance"]
+        active = (wa > 0) | (wb > 0)
+        np.testing.assert_allclose(wa[active], wb[active], rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(da[active], db[active], atol=atol)
+        checked += int(active.sum())
+    assert checked > 0
+
+
+def test_tsdf_differential():
+    rng = np.random.default_rng(12)
+    cpu_map = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    dev_map = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    oracle = RayMapperTsdf(cpu_map, TsdfOptions(default_truncation_distance=0.3))
+    tpu = TpuTsdfMap(dev_map, TsdfOptions(default_truncation_distance=0.3), capacity=64, validate=True)
+    rays = sphere_rays(150, rng)
+    for i in range(0, rays.shape[0], 60):
+        oracle.integrate_rays(rays[i:i + 60])
+        tpu.integrate_rays(rays[i:i + 60])
+    tpu.sync_voxels()
+    compare_tsdf(cpu_map, dev_map)
+
+
+def test_tsdf_surface_zero_crossing():
+    """The TSDF must cross zero at the sampled surface."""
+    rng = np.random.default_rng(13)
+    m = OccupancyMap(resolution=0.1, flags=MapFlag.NONE)
+    tpu = TpuTsdfMap(m, TsdfOptions(default_truncation_distance=0.3), capacity=256, validate=True)
+    # Repeated rays to a wall at x = 2.0.
+    n = 100
+    rays = np.empty((2 * n, 3))
+    rays[0::2] = (0.0, 0.0, 0.0)
+    rays[1::2] = np.column_stack([np.full(n, 2.0), rng.uniform(-0.2, 0.2, n), rng.uniform(-0.2, 0.2, n)])
+    tpu.integrate_rays(rays)
+    tpu.sync_voxels()
+    idx = m.layer_index(TSDF_LAYER)
+
+    def tsdf_at(p):
+        region, local = m.voxel_key(p)
+        chunk = m.region(region)
+        i = int(m.voxel_index(local))
+        return float(chunk.layers[idx]["distance"][i]), float(chunk.layers[idx]["weight"][i])
+
+    d_before, w_before = tsdf_at([1.8, 0.0, 0.0])
+    d_at, w_at = tsdf_at([1.97, 0.0, 0.0])
+    assert w_before > 0 and w_at > 0
+    assert d_before > 0.15, f"free space ahead of surface must be positive: {d_before}"
+    assert abs(d_at) < 0.1, f"distance at surface must be near zero: {d_at}"
+
+
+def test_tsdf_weight_clamp():
+    m1 = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    m2 = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    opts = TsdfOptions(max_weight=5.0)
+    oracle = RayMapperTsdf(m1, opts)
+    tpu = TpuTsdfMap(m2, opts, capacity=16, validate=True)
+    ray = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    for _ in range(10):
+        oracle.integrate_rays(ray)
+        tpu.integrate_rays(ray)
+    tpu.sync_voxels()
+    compare_tsdf(m1, m2)
+    idx = m1.layer_index(TSDF_LAYER)
+    for chunk in m1:
+        assert chunk.layers[idx]["weight"].max() <= 5.0
