@@ -1,0 +1,164 @@
+"""Heightmap tests (reference analogue: tests/ohmtestheightmap/HeightmapTests.cpp)."""
+
+import numpy as np
+import pytest
+
+from ohm_tpu.core.map import OccupancyMap, MapFlag
+from ohm_tpu.oracle.occupancy import RayMapperOccupancy
+from ohm_tpu.heightmap import Heightmap, HeightmapMode, UpAxis, HeightmapVoxelType
+from ohm_tpu.heightmap.heightmap import HEIGHTMAP_LAYER
+from ohm_tpu.io import save, load
+
+
+def build_floor_map(rng, slope=0.0, hole=False, res=0.25, sensor=None):
+    """Scan a floor z = slope * x (+ optional hole) from above.
+
+    With ``hole``, a single elevated sensor is used so rays cross over the
+    hole leaving free voxels above unobserved ones (virtual surface setup).
+    """
+    m = OccupancyMap(resolution=res, flags=MapFlag.VOXEL_MEAN)
+    mapper = RayMapperOccupancy(m)
+    xs, ys = np.meshgrid(np.arange(-2, 2.01, res / 2), np.arange(-2, 2.01, res / 2))
+    pts = np.column_stack([xs.ravel(), ys.ravel(), slope * xs.ravel()])
+    if hole:
+        keep = ~((np.abs(pts[:, 0]) < 0.5) & (np.abs(pts[:, 1]) < 0.5))
+        pts = pts[keep]
+    rays = np.empty((2 * len(pts), 3))
+    if sensor is None and hole:
+        sensor = (0.0, 0.0, 3.0)
+    if sensor is not None:
+        rays[0::2] = np.asarray(sensor)
+    else:
+        rays[0::2] = pts + np.array([0.0, 0.0, 5.0])
+    rays[1::2] = pts
+    mapper.integrate_rays(rays)
+    return m
+
+
+def test_planar_heightmap_flat_floor():
+    rng = np.random.default_rng(31)
+    m = build_floor_map(rng)
+    hm = Heightmap(min_clearance=1.0, up_axis=UpAxis.Z)
+    n = hm.build_heightmap(m, reference_pos=(0, 0, 1.0))
+    assert n > 100
+    pts, kinds = hm.surface_points()
+    # All surface heights ~ 0 (the floor plane).
+    assert np.all(kinds == HeightmapVoxelType.SURFACE)
+    assert np.abs(pts[:, 2]).max() < m.resolution
+
+
+def test_sloped_floor_heights():
+    rng = np.random.default_rng(32)
+    m = build_floor_map(rng, slope=0.3)
+    hm = Heightmap(min_clearance=0.5)
+    hm.build_heightmap(m, reference_pos=(0, 0, 1.0))
+    pts, _ = hm.surface_points()
+    # Height tracks the slope (within a voxel).
+    err = np.abs(pts[:, 2] - 0.3 * pts[:, 0])
+    assert np.median(err) < m.resolution
+
+
+def test_virtual_surfaces_fill_hole():
+    rng = np.random.default_rng(33)
+    m = build_floor_map(rng, hole=True)
+    hm = Heightmap(min_clearance=0.5)
+    hm.generate_virtual_surfaces = True
+    hm.build_heightmap(m, reference_pos=(0, 0, 1.0))
+    pts, kinds = hm.surface_points()
+    assert (kinds == HeightmapVoxelType.VIRTUAL_SURFACE).any(), "hole edges should yield virtual surfaces"
+    assert (kinds == HeightmapVoxelType.SURFACE).any()
+
+
+def test_min_clearance_excludes_covered_ground():
+    # Floor plus a low ceiling slab over half the area: covered ground fails
+    # a 1.2 m clearance requirement.
+    res = 0.25
+    m = OccupancyMap(resolution=res, flags=MapFlag.NONE)
+    mapper = RayMapperOccupancy(m)
+    xs, ys = np.meshgrid(np.arange(-2, 2.01, res / 2), np.arange(-2, 2.01, res / 2))
+    floor = np.column_stack([xs.ravel(), ys.ravel(), np.zeros(xs.size)])
+    rays = np.empty((2 * len(floor), 3))
+    rays[0::2] = floor + np.array([0, 0, 0.8])  # sensor under the slab height
+    rays[1::2] = floor
+    mapper.integrate_rays(rays)
+    ceil_sel = xs.ravel() > 0
+    ceiling = np.column_stack([xs.ravel()[ceil_sel], ys.ravel()[ceil_sel], np.full(ceil_sel.sum(), 1.0)])
+    rays2 = np.empty((2 * len(ceiling), 3))
+    rays2[0::2] = ceiling - np.array([0, 0, 0.5])
+    rays2[1::2] = ceiling
+    mapper.integrate_rays(rays2)
+
+    hm = Heightmap(min_clearance=1.2)
+    hm.build_heightmap(m, reference_pos=(0, 0, 0.5))
+    pts, _ = hm.surface_points()
+    floor_pts = pts[np.abs(pts[:, 2]) < 0.3]
+    # Open half keeps ground; covered half must be excluded (or reports the slab).
+    assert (floor_pts[:, 0] < 0).sum() > 0
+    covered = floor_pts[(floor_pts[:, 0] > 0.3)]
+    assert len(covered) == 0, f"covered ground voxels leaked: {covered[:5]}"
+
+
+def test_layered_heightmap_two_surfaces():
+    # Floor at z=0 and a platform at z=2 -> layered mode reports both.
+    res = 0.25
+    m = OccupancyMap(resolution=res, flags=MapFlag.NONE)
+    mapper = RayMapperOccupancy(m)
+    xs, ys = np.meshgrid(np.arange(-1, 1.01, res / 2), np.arange(-1, 1.01, res / 2))
+    for z in (0.0, 2.0):
+        pts = np.column_stack([xs.ravel(), ys.ravel(), np.full(xs.size, z)])
+        rays = np.empty((2 * len(pts), 3))
+        rays[0::2] = pts + np.array([0, 0, 1.2])
+        rays[1::2] = pts
+        mapper.integrate_rays(rays)
+
+    hm = Heightmap(min_clearance=0.5)
+    hm.mode = HeightmapMode.LAYERED_FILL
+    n = hm.build_heightmap(m, reference_pos=(0, 0, 0.5))
+    pts, _ = hm.surface_points()
+    zs = np.round(pts[:, 2] / 2.0) * 2.0
+    assert set(np.unique(zs)) == {0.0, 2.0}, f"expected two layers, got {np.unique(pts[:, 2])}"
+
+
+def test_up_axis_negative_z():
+    rng = np.random.default_rng(35)
+    m = build_floor_map(rng)
+    hm = Heightmap(min_clearance=0.5, up_axis=UpAxis.NEG_Z)
+    # With -Z up, the floor is a ceiling; reference below it.
+    n = hm.build_heightmap(m, reference_pos=(0, 0, -1.0))
+    assert n > 0
+    pts, _ = hm.surface_points()
+    assert np.abs(pts[:, 2]).max() < 2 * m.resolution
+
+
+def test_heightmap_serialises():
+    rng = np.random.default_rng(36)
+    m = build_floor_map(rng)
+    hm = Heightmap(min_clearance=0.5)
+    hm.build_heightmap(m, reference_pos=(0, 0, 1.0))
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "hm.ohm")
+        save(path, hm.heightmap())
+        loaded, _ = load(path)
+        assert loaded.layout.layer_index(HEIGHTMAP_LAYER) >= 0
+        assert loaded.info["heightmap"].value is True
+        assert len(loaded.chunks) == len(hm.heightmap().chunks)
+
+
+def test_heightmap_mesh():
+    from ohm_tpu.heightmap import HeightmapMesh
+
+    rng = np.random.default_rng(37)
+    m = build_floor_map(rng, slope=0.2)
+    hm = Heightmap(min_clearance=0.5)
+    hm.build_heightmap(m, reference_pos=(0, 0, 1.0))
+    mesh = HeightmapMesh()
+    assert mesh.build_mesh(hm)
+    assert mesh.vertex_count() > 50
+    assert mesh.triangle_count() > 50
+    # Normals roughly match the slope plane normal.
+    expected = np.array([-0.2, 0.0, 1.0])
+    expected /= np.linalg.norm(expected)
+    dots = mesh.vertex_normals @ expected
+    assert np.median(dots) > 0.95
