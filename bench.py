@@ -38,7 +38,7 @@ def main():
 
     rng = np.random.default_rng(2024)
     resolution = 0.1
-    rays_per_batch = 16384
+    rays_per_batch = 8192
     n_batches = 40
     warmup = 4
 

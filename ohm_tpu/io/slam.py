@@ -1,0 +1,222 @@
+"""SLAM cloud + trajectory ingestion.
+
+Reference parity: slamio/ (SlamCloudLoader, PointCloudReader backends for
+PLY / text trajectory / XYZ) and ohmgpu/GpuTransformSamples (timestamped
+pose interpolation of local samples into global rays, here vectorised with
+searchsorted + lerp/slerp instead of a per-sample GPU binary search).
+
+Supported cloud inputs: .ply (binary LE / ascii, via io.ply), .xyz / .txt
+text tables (time x y z [intensity]), .laz/.las when laspy is importable
+(gated — not part of the baked environment).
+Trajectory inputs: text tables `time x y z [qx qy qz qw]` or a cloud file
+with per-point timestamps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from ohm_tpu.io.ply import load_ply
+
+
+@dataclasses.dataclass
+class SamplePoint:
+    timestamp: float
+    origin: np.ndarray
+    sample: np.ndarray
+    intensity: float = 0.0
+    colour: tuple = ()
+
+
+def _load_text_table(filename):
+    rows = []
+    with open(filename) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith(("#", "//")):
+                continue
+            parts = line.replace(",", " ").split()
+            try:
+                rows.append([float(p) for p in parts])
+            except ValueError:
+                continue  # header line
+    if not rows:
+        return np.zeros((0, 0))
+    width = min(len(r) for r in rows)
+    return np.asarray([r[:width] for r in rows], dtype=np.float64)
+
+
+def load_cloud(filename: str):
+    """Load a point cloud: returns dict with 'points' [N,3], optional
+    'timestamps' [N], 'intensities' [N], 'normals' [N,3]."""
+    ext = os.path.splitext(filename)[1].lower()
+    if ext == ".ply":
+        props = load_ply(filename)
+        out = {"points": np.column_stack([props["x"], props["y"], props["z"]])}
+        for tname in ("time", "timestamp", "gpstime", "gps_time", "t"):
+            if tname in props:
+                out["timestamps"] = np.asarray(props[tname], np.float64)
+                break
+        if "intensity" in props:
+            out["intensities"] = np.asarray(props["intensity"], np.float32)
+        if all(k in props for k in ("nx", "ny", "nz")):
+            out["normals"] = np.column_stack([props["nx"], props["ny"], props["nz"]]).astype(np.float32)
+        return out
+    if ext in (".las", ".laz"):
+        try:
+            import laspy  # noqa: F401  (not in the baked environment)
+        except ImportError as exc:
+            raise RuntimeError("LAS/LAZ support requires laspy, which is unavailable") from exc
+        las = laspy.read(filename)
+        out = {"points": np.column_stack([las.x, las.y, las.z])}
+        if hasattr(las, "gps_time"):
+            out["timestamps"] = np.asarray(las.gps_time, np.float64)
+        if hasattr(las, "intensity"):
+            out["intensities"] = np.asarray(las.intensity, np.float32)
+        return out
+    # Text table: [time] x y z [intensity]
+    table = _load_text_table(filename)
+    if table.shape[1] >= 4:
+        return {"timestamps": table[:, 0], "points": table[:, 1:4],
+                **({"intensities": table[:, 4].astype(np.float32)} if table.shape[1] > 4 else {})}
+    return {"points": table[:, 0:3]}
+
+
+def load_trajectory(filename: str):
+    """Load a trajectory: (timestamps [N], positions [N,3], quaternions [N,4] or None).
+
+    Text format: `time x y z [qx qy qz qw]` (reference: slamio text trajectory).
+    """
+    ext = os.path.splitext(filename)[1].lower()
+    if ext == ".ply":
+        props = load_ply(filename)
+        t = None
+        for tname in ("time", "timestamp", "gpstime", "gps_time", "t"):
+            if tname in props:
+                t = np.asarray(props[tname], np.float64)
+                break
+        if t is None:
+            raise ValueError("trajectory cloud must carry per-point timestamps")
+        return t, np.column_stack([props["x"], props["y"], props["z"]]), None
+    table = _load_text_table(filename)
+    if table.shape[1] < 4:
+        raise ValueError("trajectory requires at least `time x y z` columns")
+    quats = table[:, 4:8] if table.shape[1] >= 8 else None
+    return table[:, 0], table[:, 1:4], quats
+
+
+def interpolate_positions(traj_times, traj_pos, times):
+    """Linear position interpolation at sample times (clamped at the ends)."""
+    times = np.asarray(times, np.float64)
+    idx = np.clip(np.searchsorted(traj_times, times), 1, len(traj_times) - 1)
+    t0 = traj_times[idx - 1]
+    t1 = traj_times[idx]
+    w = np.where(t1 > t0, (times - t0) / np.maximum(t1 - t0, 1e-12), 0.0)
+    w = np.clip(w, 0.0, 1.0)[:, None]
+    return traj_pos[idx - 1] * (1 - w) + traj_pos[idx] * w
+
+
+def _slerp(q0, q1, w):
+    d = np.sum(q0 * q1, axis=-1, keepdims=True)
+    q1 = np.where(d < 0, -q1, q1)
+    d = np.abs(d)
+    theta = np.arccos(np.clip(d, -1.0, 1.0))
+    sin_t = np.sin(theta)
+    near = sin_t[:, 0] < 1e-6
+    w0 = np.where(near[:, None], 1 - w, np.sin((1 - w) * theta) / np.maximum(sin_t, 1e-12))
+    w1 = np.where(near[:, None], w, np.sin(w * theta) / np.maximum(sin_t, 1e-12))
+    q = q0 * w0 + q1 * w1
+    return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def _quat_rotate(q, v):
+    """Rotate vectors v by quaternions q (x, y, z, w)."""
+    u = q[:, :3]
+    s = q[:, 3:4]
+    return (2 * np.sum(u * v, axis=-1, keepdims=True) * u
+            + (s * s - np.sum(u * u, axis=-1, keepdims=True)) * v
+            + 2 * s * np.cross(u, v))
+
+
+def transform_samples(sample_times, local_samples, traj_times, traj_pos, traj_quat=None):
+    """Transform sensor-local samples to global rays using timestamped poses.
+
+    TPU-native analogue of ohmgpu/GpuTransformSamples (TransformSamples.cl):
+    vectorised searchsorted + lerp/slerp replaces the per-thread binary
+    search.  Returns interleaved (2N, 3) rays (origin, global sample).
+    """
+    sample_times = np.asarray(sample_times, np.float64)
+    local = np.asarray(local_samples, np.float64).reshape(-1, 3)
+    origins = interpolate_positions(traj_times, traj_pos, sample_times)
+    if traj_quat is not None:
+        idx = np.clip(np.searchsorted(traj_times, sample_times), 1, len(traj_times) - 1)
+        t0 = traj_times[idx - 1]
+        t1 = traj_times[idx]
+        w = np.clip(np.where(t1 > t0, (sample_times - t0) / np.maximum(t1 - t0, 1e-12), 0.0), 0, 1)[:, None]
+        q = _slerp(traj_quat[idx - 1], traj_quat[idx], w)
+        global_samples = origins + _quat_rotate(q, local)
+    else:
+        global_samples = origins + local
+    rays = np.empty((2 * len(local), 3))
+    rays[0::2] = origins
+    rays[1::2] = global_samples
+    return rays
+
+
+class SlamCloudLoader:
+    """Streams (origin, sample) pairs from a cloud + trajectory.
+
+    Reference API: slamio/SlamCloudLoader.h:20-42.  With a ray cloud
+    (normals = sample->sensor) the trajectory is implicit; with no
+    trajectory, origins default to a fixed sensor position.
+    """
+
+    def __init__(self, cloud_file: str, trajectory_file: str | None = None,
+                 ray_cloud: bool = False, fixed_origin=(0.0, 0.0, 0.0)):
+        self.cloud = load_cloud(cloud_file)
+        self.ray_cloud = ray_cloud
+        self.fixed_origin = np.asarray(fixed_origin, np.float64)
+        self.trajectory = load_trajectory(trajectory_file) if trajectory_file else None
+        self._cursor = 0
+
+        pts = self.cloud["points"]
+        times = self.cloud.get("timestamps")
+        if ray_cloud:
+            if "normals" not in self.cloud:
+                raise ValueError("ray cloud requires normals (sample->sensor)")
+            self.origins = pts + self.cloud["normals"].astype(np.float64)
+        elif self.trajectory is not None:
+            if times is None:
+                raise ValueError("trajectory pairing requires per-point timestamps")
+            tt, tp, _ = self.trajectory
+            self.origins = interpolate_positions(tt, tp, times)
+        else:
+            self.origins = np.broadcast_to(self.fixed_origin, pts.shape).copy()
+
+    @property
+    def point_count(self) -> int:
+        return len(self.cloud["points"])
+
+    def next_batch(self, batch_size: int):
+        """Next (rays, timestamps, intensities) batch or None when exhausted."""
+        pts = self.cloud["points"]
+        if self._cursor >= len(pts):
+            return None
+        end = min(self._cursor + batch_size, len(pts))
+        sl = slice(self._cursor, end)
+        self._cursor = end
+        n = end - sl.start
+        rays = np.empty((2 * n, 3))
+        rays[0::2] = self.origins[sl]
+        rays[1::2] = pts[sl]
+        times = self.cloud.get("timestamps")
+        intensities = self.cloud.get("intensities")
+        return (rays,
+                times[sl] if times is not None else None,
+                intensities[sl] if intensities is not None else None)
+
+    def reset(self):
+        self._cursor = 0

@@ -54,8 +54,9 @@ def _next_bucket(n: int, min_size: int = 256) -> int:
 
 
 def max_steps_for(segment_length: float, resolution: float) -> int:
-    """DDA step cap: sum of per-axis key diffs <= sqrt(3) * length / res + slack."""
-    return int(math.ceil(math.sqrt(3.0) * segment_length / resolution)) + 4
+    """DDA per-axis crossing cap: a segment crosses at most length/res + 1
+    walls along any single axis (+ slack for boundary quantisation)."""
+    return int(math.ceil(segment_length / resolution)) + 3
 
 
 def prepare_ray_batch(

@@ -1,25 +1,27 @@
 """Vectorised device DDA: expand a ray batch into per-voxel visit records.
 
 TPU-native replacement for the per-thread DDA in ohmgpu/gpu/LineWalk.cl /
-ohm/LineWalkCompute.h:345-413.  Instead of one GPU thread walking one ray
-with data-dependent loop length, the whole batch advances in lock-step
-through a ``lax.scan`` with a static step cap; finished rays are masked.
+ohm/LineWalkCompute.h:345-413.  Instead of stepping voxels sequentially, the
+walk is computed in closed form: along each axis the wall-crossing times are
+an arithmetic sequence (initial_exit + k * step_delta), so the visit order
+is the three sequences MERGED BY TIME — one vectorised per-ray sort, no
+sequential scan, no data-dependent loop.  (A lax.scan formulation works but
+costs two orders of magnitude more compile time and similar run time.)
+
+Given sorted events, interval i (between events i-1 and i) is a visited
+voxel whose coordinate is start + step_dir * (per-axis event counts before
+i); the final interval is the end voxel, which the caller handles separately
+(hit or as-miss record, reference: RayMapperOccupancy.cpp:222-233), so it
+falls out of the valid set naturally.
 
 Geometry model (precision trick mirrors GpuMap.cpp:666-676): the host
-quantises endpoints to absolute voxel coordinates in float64 and passes
-only *voxel-local* float32 fractions, so single precision on device is
-accurate regardless of distance from the map origin.
+quantises endpoints to absolute voxel coordinates in float64 and passes only
+*voxel-local* float32 fractions, so single precision on device is accurate
+regardless of distance from the map origin.
 
-Inputs per ray (see mapping.batch.RayBatch):
-  start_abs, end_abs : int32[B,3]  absolute voxel coords of endpoints
-  start_frac         : f32[B,3]    start point relative to start voxel centre
-  direction          : f32[B,3]    unit direction
-  length             : f32[B]      segment length
-
-Outputs: [B, S] visit records (absolute voxel coord, enter/exit range,
-valid mask) for every voxel strictly before the end voxel, plus the enter
-range of the end voxel.  The end voxel itself is handled by the caller
-(hit record or miss record, reference: RayMapperOccupancy.cpp:222-233).
+Tie-break parity: simultaneous crossings sort by DESCENDING axis, matching
+walkSelectNextAxis (ohm/LineWalkCompute.h:282-289) where ties pick the
+highest axis.
 """
 
 from __future__ import annotations
@@ -28,10 +30,9 @@ import jax
 import jax.numpy as jnp
 
 # "Infinite" time sentinel.  Deliberately a large finite value, not inf:
-# XLA:CPU's LLVM backend pathologically slow-compiles kernels whose constant
-# pool contains f32 +-inf broadcasts (hundreds of seconds for a single
-# `where(pred, inf, x)`).  Any value far above the longest representable ray
-# works identically for the min/argmin axis selection.
+# the TPU toolchain pathologically slow-compiles kernels whose constant
+# pool contains f32 +-inf broadcasts.  Any value far above the longest
+# representable ray works identically for the time ordering.
 _BIG = jnp.float32(3.0e38)
 
 
@@ -47,8 +48,7 @@ def _init_walk(start_frac, direction, length, start_abs, end_abs, resolution):
 
     # Safe inverse: a zero direction component gets a huge finite inverse
     # (the reference gets IEEE +-inf; any axis with zero direction also has
-    # zero key steps, so its time is forced to _BIG below either way).
-    # Degenerate rays (length == 0) get inverse 0 (ohm/LineWalkCompute.h:204-210).
+    # zero key steps, so its events are masked out entirely).
     inv = jnp.where(direction != 0, 1.0 / jnp.where(direction != 0, direction, 1.0),
                     jnp.where(sign, -_BIG, _BIG))
     inv = jnp.where(length[:, None] > 0, inv, 0.0)
@@ -57,82 +57,66 @@ def _init_walk(start_frac, direction, length, start_abs, end_abs, resolution):
     # travel direction.  Wall offset from start = (+-half - start_frac).
     wall = jnp.where(sign, -half, half)
     initial_exit = (wall - start_frac) * inv
-
-    # Per-axis time step between walls: res / |direction| (inf when axis
-    # direction is zero).
     step_delta = jnp.abs(res * inv)
-
-    steps_remaining = end_abs - start_abs  # int32 [B,3]
-
-    time_next = jnp.where(steps_remaining != 0, initial_exit, _BIG)
-    return sign, initial_exit, step_delta, steps_remaining, time_next
+    crossings = jnp.abs(end_abs - start_abs)  # int32 [B,3] events per axis
+    return sign, initial_exit, step_delta, crossings
 
 
 def walk_rays(start_abs, end_abs, start_frac, direction, length, resolution, max_steps: int):
-    """Expand rays to visit records.
+    """Expand rays to visit records via time-sorted wall-crossing events.
+
+    ``max_steps`` caps the PER-AXIS crossing count (host segmentation
+    guarantees it; see mapping.batch.max_steps_for).  The flattened record
+    axis has size 3 * max_steps.
 
     Returns dict with:
-      voxels   int32[B, S, 3]  visited voxel abs coords (excludes end voxel)
-      enters   f32[B, S]       enter range per visit
-      exits    f32[B, S]       exit range per visit
-      valid    bool[B, S]      record validity
-      end_enter f32[B]         enter range of the end voxel
-      overflow bool[B]         ray did not reach its end voxel within S steps
+      voxels   int32[B, 3S, 3]  visited voxel abs coords (excludes end voxel)
+      enters   f32[B, 3S]       enter range per visit
+      exits    f32[B, 3S]       exit range per visit
+      valid    bool[B, 3S]      record validity
+      end_enter f32[B]          enter range of the end voxel
+      overflow bool[B]          a per-axis crossing count exceeded max_steps
     """
     B = start_abs.shape[0]
-    sign, initial_exit, step_delta, steps_remaining, time_next = _init_walk(
+    S = max_steps
+    sign, initial_exit, step_delta, crossings = _init_walk(
         start_frac, direction, length, start_abs, end_abs, resolution
     )
     step_dir = jnp.where(sign, -1, 1).astype(jnp.int32)  # [B,3]
 
-    at_end0 = jnp.all(start_abs == end_abs, axis=-1)
+    # Event times per axis: t[a, k] = initial_exit[a] + k * step_delta[a],
+    # masked BIG beyond that axis's crossing count.
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
+    times = initial_exit[:, :, None] + step_delta[:, :, None] * k.astype(jnp.float32)
+    mask = k < jnp.minimum(crossings, S)[:, :, None]
+    times = jnp.where(mask, times, _BIG)
+    axis_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 3, 1), 1)
 
-    def body(carry, _):
-        current, time_next, steps_remaining, stepped, last_time, done = carry
+    flat_times = times.reshape(B, 3 * S)
+    # Tie-break: equal times order by DESCENDING axis (2 - axis ascending).
+    flat_tie = jnp.broadcast_to(2 - axis_ids, times.shape).reshape(B, 3 * S)
+    flat_axis = jnp.broadcast_to(axis_ids, times.shape).reshape(B, 3 * S)
+    t_sorted, _, a_sorted = jax.lax.sort(
+        (flat_times, flat_tie, flat_axis), num_keys=2, dimension=1)
 
-        # Emit the current voxel for rays still walking.
-        emit_valid = ~done
-        axis_time = jnp.min(time_next, axis=-1)  # exit time of current voxel
-        record = (current, last_time, axis_time, emit_valid)
+    # Per-axis exclusive counts -> voxel coordinate of each interval.
+    onehot = (a_sorted[:, :, None] == jnp.arange(3)[None, None, :]).astype(jnp.int32)
+    counts_incl = jnp.cumsum(onehot, axis=1)
+    counts_excl = counts_incl - onehot
+    voxels = start_abs[:, None, :] + step_dir[:, None, :] * counts_excl
 
-        # Step to the next voxel along the axis with the earliest exit.
-        # Tie-break on the HIGHEST axis index, matching the reference's
-        # walkSelectNextAxis chain (ohm/LineWalkCompute.h:282-289) — exact
-        # ties are common because rays often start on voxel corners.
-        axis = 2 - jnp.argmin(time_next[..., ::-1], axis=-1)  # [B]
-        onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)  # [B,3]
-        new_current = current + onehot * step_dir
-        new_stepped = stepped + onehot
-        new_remaining = steps_remaining - onehot * step_dir
-        # Recompute (not accumulate) the axis time as in walkStepNext
-        # (ohm/LineWalkCompute.h:291-307) for exact parity.
-        new_time = initial_exit + step_delta * new_stepped.astype(jnp.float32)
-        new_time = jnp.where(new_remaining != 0, new_time, _BIG)
-        time_next = jnp.where(onehot > 0, new_time, time_next)
+    exits = t_sorted
+    enters = jnp.concatenate([jnp.zeros((B, 1), jnp.float32), t_sorted[:, :-1]], axis=1)
+    valid = t_sorted < _BIG
 
-        new_done = done | jnp.all(new_current == end_abs, axis=-1) | jnp.all(new_remaining == 0, axis=-1)
-        new_last = jnp.where(done, last_time, axis_time)
-        carry = (new_current, time_next, new_remaining, new_stepped, new_last, new_done)
-        return carry, record
+    n_events = valid.sum(axis=1)
+    end_enter = jnp.max(jnp.where(valid, t_sorted, 0.0), axis=1)
+    overflow = jnp.any(crossings > S, axis=1)
 
-    init = (
-        start_abs,
-        time_next,
-        steps_remaining,
-        jnp.zeros_like(start_abs),
-        jnp.zeros((B,), jnp.float32),
-        at_end0,
-    )
-    carry, (voxels, enters, exits, valid) = jax.lax.scan(body, init, None, length=max_steps)
-    _, _, steps_remaining_f, _, end_enter, done_f = carry
-
-    # scan stacks along axis 0 -> [S, B, ...]; move batch first.
-    voxels = jnp.moveaxis(voxels, 0, 1)
-    enters = jnp.moveaxis(enters, 0, 1)
-    exits = jnp.moveaxis(exits, 0, 1)
-    valid = jnp.moveaxis(valid, 0, 1)
-
-    overflow = ~done_f
+    # Degenerate rays (start == end voxel): no events, no records; the end
+    # voxel is the caller's end record with end_enter = 0.  (Matches the
+    # reference where the walk loop body never runs.)
+    del n_events
     return {
         "voxels": voxels,
         "enters": enters,

@@ -1,0 +1,242 @@
+"""End-to-end application/CLI pipeline tests (reference analogue: the
+utils/ binaries exercised over synthetic data)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ohm_tpu.io.ply import save_cloud_ply, load_ply
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    """Synthetic scan: floor + wall observed from a moving sensor."""
+    d = tmp_path_factory.mktemp("scene")
+    rng = np.random.default_rng(77)
+    n = 1500
+    # Sensor path along x.
+    t = np.linspace(0.0, 10.0, n)
+    sensor = np.column_stack([t * 0.3, np.zeros(n), np.full(n, 1.0)])
+    # Samples: floor or wall at x=5.
+    is_wall = rng.random(n) < 0.3
+    floor_pts = np.column_stack([
+        sensor[:, 0] + rng.uniform(-2, 2, n), rng.uniform(-2, 2, n), np.zeros(n)])
+    wall_pts = np.column_stack([
+        np.full(n, 5.0), rng.uniform(-2, 2, n), rng.uniform(0, 2, n)])
+    samples = np.where(is_wall[:, None], wall_pts, floor_pts)
+
+    cloud_file = str(d / "cloud.ply")
+    _write_timed_ply(cloud_file, samples, t)
+    traj_file = str(d / "traj.txt")
+    with open(traj_file, "w") as f:
+        f.write("time x y z\n")
+        for i in range(0, n, 10):
+            f.write(f"{t[i]} {sensor[i, 0]} {sensor[i, 1]} {sensor[i, 2]}\n")
+    return {"dir": str(d), "cloud": cloud_file, "traj": traj_file, "n": n}
+
+
+def _write_timed_ply(filename, points, times):
+    import numpy as np
+
+    n = len(points)
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        "property double x\nproperty double y\nproperty double z\n"
+        "property double time\nend_header\n"
+    )
+    rec = np.zeros(n, dtype=[("xyz", np.float64, 3), ("t", np.float64)])
+    rec["xyz"] = points
+    rec["t"] = times
+    with open(filename, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(rec.tobytes())
+
+
+def test_ohmpop_pipeline(scene, tmp_path):
+    from ohm_tpu.app import ohmpop, ohminfo, ohm2ply, ohmheightmap, ohmhm2img
+    from ohm_tpu.app import ohmfilter, ohmcmp, ohmsubmap, ohmprob, ohmquery
+
+    base = str(tmp_path / "scene-map")
+    rc = ohmpop.main([scene["cloud"], scene["traj"], "-o", base, "--resolution", "0.2",
+                      "--voxel-mean", "--device", "tpu", "--arena-capacity", "128",
+                      "--batch-size", "512", "--save-info", "--quiet"])
+    assert rc == 0
+    assert os.path.exists(base + ".ohm")
+    assert os.path.exists(base + ".ply")
+
+    # ohminfo runs and reports layers.
+    assert ohminfo.main([base + ".ohm", "--voxel-stats"]) == 0
+
+    # ohm2ply occupancy export produces points.
+    out_ply = str(tmp_path / "occ.ply")
+    assert ohm2ply.main([base + ".ohm", out_ply]) == 0
+    props = load_ply(out_ply)
+    assert len(props["x"]) > 50
+
+    # Heightmap generation + image.
+    hm_file = str(tmp_path / "hm.ohm")
+    assert ohmheightmap.main([base + ".ohm", hm_file, "--clearance", "0.5",
+                              "--position", "1", "0", "1"]) == 0
+    assert os.path.exists(hm_file)
+    png_file = str(tmp_path / "hm.png")
+    assert ohmhm2img.main([hm_file, png_file]) == 0
+    with open(png_file, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+    # Heightmap PLY export from the serialised heightmap.
+    hm_ply = str(tmp_path / "hm.ply")
+    assert ohm2ply.main([hm_file, hm_ply, "--mode", "heightmap"]) == 0
+
+    # ohmfilter keeps wall/floor points, rejects mid-air points.
+    test_cloud = str(tmp_path / "test_cloud.ply")
+    pts = np.array([[5.0, 0.0, 1.0],   # on the wall
+                    [0.0, 0.0, 0.0],   # on the floor
+                    [2.0, 0.0, 5.0]])  # in the sky (unobserved)
+    save_cloud_ply(test_cloud, pts)
+    filtered = str(tmp_path / "filtered.ply")
+    assert ohmfilter.main([base + ".ohm", test_cloud, filtered]) == 0
+    kept = load_ply(filtered)
+    assert len(kept["x"]) < 3, "sky point must be filtered out"
+
+    # ohmsubmap extracts fewer regions; ohmcmp self-compare passes.
+    sub_file = str(tmp_path / "sub.ohm")
+    assert ohmsubmap.main([base + ".ohm", sub_file, "--min", "-1", "-1", "-1",
+                           "--max", "1", "1", "1"]) == 0
+    assert ohmcmp.main([base + ".ohm", base + ".ohm"]) == 0
+    assert ohmcmp.main([base + ".ohm", sub_file]) == 1  # differs
+
+    # ohmprob round trip.
+    assert ohmprob.main(["0.9"]) == 0
+    assert ohmprob.main(["2.1972246"]) == 0
+
+    # ohmquery nearest + rays.
+    assert ohmquery.main([base + ".ohm", "nearest", "--point", "5", "0", "1",
+                          "--radius", "0.5"]) == 0
+    assert ohmquery.main([base + ".ohm", "rays", "--ray", "0", "0", "1", "8", "0", "1"]) == 0
+
+
+def test_slam_loader_interpolates(scene):
+    from ohm_tpu.io.slam import SlamCloudLoader
+
+    loader = SlamCloudLoader(scene["cloud"], scene["traj"])
+    assert loader.point_count == scene["n"]
+    batch = loader.next_batch(100)
+    rays, times, _ = batch
+    # Origins interpolated along the sensor path: z == 1, x in path range.
+    origins = rays[0::2]
+    np.testing.assert_allclose(origins[:, 2], 1.0, atol=1e-9)
+    assert origins[:, 0].min() >= -0.01
+    assert times is not None
+
+
+def test_transform_samples():
+    from ohm_tpu.io.slam import transform_samples
+
+    traj_t = np.array([0.0, 1.0, 2.0])
+    traj_p = np.array([[0.0, 0, 0], [1.0, 0, 0], [2.0, 0, 0]])
+    # Local samples 1 m ahead in y.
+    times = np.array([0.5, 1.5])
+    local = np.array([[0.0, 1.0, 0.0], [0.0, 1.0, 0.0]])
+    rays = transform_samples(times, local, traj_t, traj_p)
+    np.testing.assert_allclose(rays[0], [0.5, 0, 0])
+    np.testing.assert_allclose(rays[1], [0.5, 1, 0])
+    np.testing.assert_allclose(rays[2], [1.5, 0, 0])
+
+    # With quaternions: 90 degree z rotation at t=1 rotates y -> -x... (x,y,z,w)
+    qz90 = np.array([0.0, 0.0, np.sin(np.pi / 4), np.cos(np.pi / 4)])
+    qid = np.array([0.0, 0.0, 0.0, 1.0])
+    rays_q = transform_samples(np.array([1.0]), np.array([[0.0, 1.0, 0.0]]),
+                               traj_t, traj_p, np.stack([qz90, qz90, qz90]))
+    np.testing.assert_allclose(rays_q[1], [0.0, 0.0, 0.0], atol=1e-9)  # y rotated to -x from (1,0,0)
+
+
+def test_ray_pattern_clearing():
+    from ohm_tpu.core.raypattern import RayPatternConical, ClearingPattern
+    from ohm_tpu.core.map import OccupancyMap, MapFlag
+    from ohm_tpu.oracle.occupancy import RayMapperOccupancy
+
+    m = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    mapper = RayMapperOccupancy(m)
+    # Occupied obstacle ahead.
+    for _ in range(3):
+        mapper.integrate_rays(np.array([[0.0, 0, 0], [1.5, 0, 0]]))
+    v_before = m.voxel_value(point=[1.5, 0, 0])
+    assert v_before >= m.occupancy_threshold_value
+
+    pattern = RayPatternConical((1.0, 0, 0), cone_angle=0.3, range_=3.0, angular_resolution=0.15)
+    assert pattern.ray_count > 5
+    clearing = ClearingPattern(pattern)
+    clearing.apply(mapper, position=(0.0, 0.0, 0.0))
+    v_after = m.voxel_value(point=[1.5, 0, 0])
+    assert v_after < v_before, "clearing must degrade the occupied voxel"
+    # Free/unobserved voxels untouched (EXCLUDE_FREE | EXCLUDE_UNOBSERVED).
+    assert np.isinf(m.voxel_value(point=[0.5, 0.4, 0.4]))
+
+
+def test_secondary_samples():
+    from ohm_tpu.oracle.secondary import RayMapperSecondarySample, secondary_sample_range_mean, \
+        secondary_sample_std_dev
+    from ohm_tpu.core.map import OccupancyMap, MapFlag
+    from ohm_tpu.core.layout import SECONDARY_SAMPLES_LAYER
+
+    m = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    mapper = RayMapperSecondarySample(m)
+    # Primary at origin-ish, secondaries clustered at [1,0,0] with range ~2.
+    # All secondaries inside the voxel [1.0, 1.25) (res 0.25 grid boundaries).
+    rays = np.array([
+        [-1.0, 0, 0], [1.05, 0, 0],
+        [-1.0, 0, 0], [1.10, 0, 0],
+        [-1.0, 0, 0], [1.20, 0, 0],
+    ])
+    mapper.integrate_rays(rays)
+    region, local = m.voxel_key([1.1, 0, 0])
+    chunk = m.region(region)
+    idx = int(m.voxel_index(local))
+    layer = chunk.layers[m.layer_index(SECONDARY_SAMPLES_LAYER)]
+    assert layer["count"][idx] == 3
+    assert secondary_sample_range_mean(layer, idx) == pytest.approx(2.1167, abs=0.01)
+    assert secondary_sample_std_dev(layer, idx) < 0.2
+
+
+def test_profile_and_progress_and_trace(tmp_path):
+    import time
+
+    from ohm_tpu.utils import Profile, ProfileMarker, ProgressMonitor, Trace
+
+    prof = Profile()
+    with ProfileMarker("outer", prof):
+        with ProfileMarker("inner", prof):
+            time.sleep(0.01)
+    report = prof.report()
+    assert "outer" in report and "inner" in report
+
+    pm = ProgressMonitor(interval=0.01, out=open(os.devnull, "w"))
+    pm.set_target(10)
+    pm.start_thread()
+    for _ in range(10):
+        pm.increment()
+    pm.join()
+    assert pm.progress == 10
+
+    trace_file = str(tmp_path / "trace.jsonl")
+    with Trace(trace_file) as tr:
+        tr.event("test", value=1)
+    lines = open(trace_file).read().strip().splitlines()
+    assert len(lines) == 3  # begin, event, end
+
+
+def test_ohmgen_generators():
+    from ohm_tpu.tools import fill_map_with_empty_space, box_room, slope
+    from ohm_tpu.core.map import OccupancyMap, MapFlag
+
+    m = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    box_room(m, (-1.0, -1.0, -1.0), (1.0, 1.0, 1.0))
+    # Interior free, wall occupied.
+    assert m.voxel_value(point=[0.0, 0.0, 0.0]) < m.occupancy_threshold_value
+    assert m.voxel_value(point=[0.99, 0.0, 0.0]) >= m.occupancy_threshold_value
+
+    m2 = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    slope(m2, (-1, -1, 0), (1, 1, 2), gradient=0.5)
+    assert m2.voxel_value(point=[0.9, 0.0, 0.95]) >= m2.occupancy_threshold_value
