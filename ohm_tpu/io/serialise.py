@@ -18,10 +18,9 @@ Format (v0.5.0, marker 0x44330011; ohm/MapSerialise.cpp:83-95,288-327):
     per chunk: 3 x i32 region coord, 3 x f64 centre, f64 touched time;
                per non-skipped layer: u64 touched stamp (v0.4+), raw voxel bytes
 
-Versioned loading keeps old maps readable (v0.1 .. v0.5; 0.3.x is explicitly
-unsupported per the reference, and v0's pre-layout format is rejected with a
-clear error).  Byte-exactness of voxel payloads is guaranteed by the packed
-structured dtypes in core.layout.
+Versioned loading keeps old maps readable (v0 and v0.1 .. v0.5; 0.3.x is
+explicitly unsupported, matching the reference).  Byte-exactness of voxel
+payloads is guaranteed by the packed structured dtypes in core.layout.
 """
 
 from __future__ import annotations
@@ -330,9 +329,24 @@ def save(filename: str, map_obj: OccupancyMap, progress=None):
 def _read_header(stream: _InStream):
     marker, major = _r(stream, "<II", raw=True)
     if marker != MAP_HEADER_MARKER:
-        raise SerialisationError(
-            "not a versioned .ohm file (v0 maps without a header marker are not supported)"
-        )
+        # Version 0 files carry no marker: those 8 bytes are origin.x
+        # (reference: ohm/MapSerialise.cpp loadHeader migration path).
+        import struct as _struct
+
+        origin_x = _struct.unpack("<d", _struct.pack("<II", marker, major))[0]
+        header = {}
+        header["origin"] = np.array([origin_x, *_r(stream, "<2d", raw=True)])
+        header["region_spatial"] = np.array(_r(stream, "<3d", raw=True))
+        header["region_voxel_dims"] = np.array(_r(stream, "<3i", raw=True), dtype=np.int32)
+        header["resolution"] = _r(stream, "<d", raw=True)
+        header["occupancy_threshold_value"] = _r(stream, "<d", raw=True)
+        header["hit_value"] = _r(stream, "<d", raw=True)
+        header["miss_value"] = _r(stream, "<d", raw=True)
+        header["region_count"] = _r(stream, "<I", raw=True)
+        header["first_ray_time"] = -1.0
+        header["stamp"] = 0
+        header["flags"] = 0
+        return (0, 0, 0), header
     minor, patch = _r(stream, "<HH", raw=True)
     version = (major, minor, patch)
     if not (SUPPORTED_MIN <= version <= SUPPORTED_MAX):
@@ -381,6 +395,8 @@ def load(filename: str, progress=None) -> tuple[OccupancyMap, tuple]:
         version, header = _read_header(stream)
         m = _build_map(header)
 
+        if version == (0, 0, 0):
+            return _load_v0_body(stream, m, header, progress), version
         if version >= (0, 2, 0):
             info = _load_map_info(stream)
             m.info = info
@@ -395,6 +411,33 @@ def load(filename: str, progress=None) -> tuple[OccupancyMap, tuple]:
             if progress:
                 progress.increment()
         return m, version
+
+
+def _load_v0_body(stream: _InStream, m: OccupancyMap, header, progress):
+    """Version-zero chunks: interleaved occupancy/clearance float pairs
+    (reference: ohm/serialise/MapSerialiseV0.cpp loadChunk)."""
+    m.layout.add_occupancy()
+    m.layout.add_clearance()
+    volume = int(np.prod(m.region_voxel_dims))
+    occ_dtype = m.layout.layers[0].voxel_layout.numpy_dtype()
+    clear_dtype = m.layout.layers[1].voxel_layout.numpy_dtype()
+    for _ in range(header["region_count"]):
+        coord = _r(stream, "<3i")
+        centre = _r(stream, "<3d")
+        touched_time = _r(stream, "<d")
+        chunk = MapChunk(coord, centre, m.layout, m.region_voxel_dims)
+        chunk.touched_time = touched_time
+        data = np.frombuffer(stream.read(volume * 8), dtype=np.float32).reshape(-1, 2)
+        occ = np.zeros(volume, dtype=occ_dtype)
+        occ["occupancy"] = data[:, 0]
+        clear = np.zeros(volume, dtype=clear_dtype)
+        clear["clearance"] = data[:, 1]
+        chunk.layers[0] = occ
+        chunk.layers[1] = clear
+        m.chunks[chunk.region_key] = chunk
+        if progress:
+            progress.increment()
+    return m
 
 
 def load_header(filename: str) -> tuple[dict, tuple, Optional[MapLayout], dict]:

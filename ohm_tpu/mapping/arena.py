@@ -60,6 +60,9 @@ class VoxelArena:
         self.free_slots = list(range(self.capacity - 1, -1, -1))
         self.last_used = np.zeros(self.capacity, dtype=np.int64)
         self.batch_counter = 0
+        #: Cache statistics (reference: ohmgpu/GpuCacheStats.h): region
+        #: lookups that found a resident slot vs allocations vs evictions.
+        self.stats = {"hits": 0, "misses": 0, "evictions": 0}
 
         # +1 sentinel element (dropped-record gather target) + scratch tail
         # of unique dummy scatter slots (ops.integrate._unique_scatter_indices).
@@ -98,7 +101,9 @@ class VoxelArena:
             slot = self.slot_of.get(key)
             if slot is not None:
                 self.last_used[slot] = self.batch_counter
+                self.stats["hits"] += 1
                 continue
+            self.stats["misses"] += 1
             if not self.free_slots:
                 self._evict_lru(host_map)
             slot = self.free_slots.pop()
@@ -118,6 +123,7 @@ class VoxelArena:
                 f"(capacity={self.capacity} regions)"
             )
         _, slot = min(used)
+        self.stats["evictions"] += 1
         key = self.region_of[slot]
         if host_map is not None:
             self._download_region(host_map, key, slot)

@@ -67,11 +67,15 @@ def prepare_ray_batch(
     ray_update_flags: int = 0,
     segment_length: float | None = None,
     min_bucket: int = 256,
+    use_native: bool | None = None,
 ) -> PreparedBatch:
     """Convert interleaved origin/sample rays (2N, 3) into device-ready arrays.
 
     Corner slots (ints[:, 9:17]) are left as -1; the caller fills them after
     region allocation (see TpuRayMapper.integrate_rays).
+
+    The single-pass C++ implementation (ohm_tpu.native) is used when built;
+    pass use_native=False to force the numpy path (used for parity tests).
     """
     rays = np.asarray(rays, dtype=np.float64).reshape(-1, 3)
     starts = rays[0::2]
@@ -109,6 +113,15 @@ def prepare_ray_batch(
         intensities = np.asarray(intensities, dtype=np.float32).reshape(-1)
         intensities = intensities[accept] if intensities.size == n_rays else None
     n_rays = starts.shape[0]
+
+    if use_native is None:
+        from ohm_tpu import native as _native
+
+        use_native = _native.available()
+    if use_native and n_rays:
+        return _prepare_native(map_obj, starts, ends, filter_flags, timestamps, intensities,
+                               ray_update_flags, segment_length, min_bucket)
+
 
     # --- segment --------------------------------------------------------
     delta = ends - starts
@@ -209,5 +222,61 @@ def prepare_ray_batch(
 def fill_corner_slots(prepared: PreparedBatch, table) -> None:
     """Resolve corner region slots via the host table (ops.regiontable)."""
     total = prepared.n_segments
-    slots = table.lookup_np(prepared.corner_regions)  # [total, 8]
+    from ohm_tpu import native
+
+    if native.available():
+        slots = native.lookup_slots(prepared.corner_regions, table)
+    else:
+        slots = table.lookup_np(prepared.corner_regions)  # [total, 8]
     prepared.arrays["ints"][:total, 9:17] = slots
+
+
+def _prepare_native(map_obj, starts, ends, filter_flags, timestamps, intensities,
+                    ray_update_flags, segment_length, min_bucket) -> PreparedBatch:
+    """C++ single-pass segmentation/quantisation/packing (ohm_tpu.native)."""
+    import ctypes
+
+    from ohm_tpu import native
+
+    n_rays = len(starts)
+    starts = np.ascontiguousarray(starts, dtype=np.float64)
+    ends = np.ascontiguousarray(ends, dtype=np.float64)
+    accept = np.ones(n_rays, np.uint8)  # rejects already dropped
+    total, n_seg = native.count_segments(starts, ends, accept, segment_length)
+    size = _next_bucket(total, min_bucket)
+
+    ints = np.zeros((size, INTS_WIDTH), np.int32)
+    ints[:, 9:17] = -1
+    floats = np.zeros((size, FLOATS_WIDTH), np.float32)
+    flags = np.zeros((size, FLAGS_WIDTH), np.uint8)
+    touch = np.zeros(size, np.uint32)
+    corner_regions = np.zeros((total, 8, 3), np.int32)
+    ray_index = np.zeros(total, np.int32)
+
+    params = native.MapParamsStruct()
+    for a in range(3):
+        params.origin[a] = float(map_obj.origin[a])
+        params.region_spatial[a] = float(map_obj.region_spatial_dims[a])
+    params.resolution = float(map_obj.resolution)
+    params.region_dim = int(map_obj.region_voxel_dims[0])
+
+    ts = np.ascontiguousarray(timestamps, np.float64) if timestamps is not None else None
+    time_base = map_obj.first_ray_time if ts is not None else -1.0
+    native.fill_segments(
+        starts, ends, accept, np.ascontiguousarray(filter_flags, np.uint32), ts, time_base,
+        n_seg, segment_length, bool(ray_update_flags & RayFlag.END_POINT_AS_FREE),
+        params, ints, floats, flags, touch, corner_regions, ray_index)
+
+    packed = keymath.pack_region_key(corner_regions.reshape(-1, 3))
+    region_keys = keymath.unpack_region_key(np.unique(packed)).astype(np.int32)
+
+    intens = None
+    if intensities is not None:
+        intens = np.zeros(size, np.float32)
+        intens[:total] = intensities[ray_index]
+
+    return PreparedBatch(
+        size=size, n_segments=total,
+        arrays={"ints": ints, "floats": floats, "flags": flags.astype(bool), "touch": touch},
+        corner_regions=corner_regions, region_keys=region_keys, intensities=intens,
+    )

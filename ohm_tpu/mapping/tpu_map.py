@@ -28,7 +28,13 @@ from ohm_tpu.core.layout import (
 )
 from ohm_tpu.mapping.arena import VoxelArena
 from ohm_tpu.mapping.batch import prepare_ray_batch, fill_corner_slots, max_steps_for
-from ohm_tpu.ops.integrate import IntegrateConfig, integrate_occupancy_jit
+from ohm_tpu.ops.integrate import (
+    IntegrateConfig,
+    integrate_occupancy_jit,
+    expand_records_jit,
+    apply_records_jit,
+)
+from ohm_tpu.core.rayflags import RayFlag
 
 
 class TpuRayMapper:
@@ -110,7 +116,16 @@ class TpuRayMapper:
         batch = {k: jnp.asarray(v) for k, v in prepared.arrays.items()}
         cfg = self._config(ray_update_flags)
         state = self.arena.device_state()
-        new_state, stats = integrate_occupancy_jit(state, batch, cfg)
+        if ray_update_flags & RayFlag.STOP_ON_FIRST_OCCUPIED:
+            # State-dependent prefix masking needs the monolithic pipeline.
+            new_state, stats = integrate_occupancy_jit(state, batch, cfg)
+        else:
+            # Split-phase: two smaller XLA programs compile reliably through
+            # the remote TPU compile service and hit the persistent cache.
+            records, stats = expand_records_jit(batch, cfg)
+            new_state, touched = apply_records_jit(state, records, batch, cfg)
+            stats = dict(stats)
+            stats["touched"] = touched
         self.arena.update_state(new_state)
 
         self._stats["rays"] += n_rays

@@ -1,0 +1,114 @@
+"""Native (C++) runtime components, bound via ctypes.
+
+The reference's runtime is C++ (ohm/, ohmgpu/ host side); here the
+TPU compute path is JAX/XLA while the per-batch host pipeline (ray
+segmentation, f64 quantisation, packing, region-slot resolution) runs in
+C++ (batch_prep.cpp) — it is on the critical path between ray ingestion and
+device dispatch.
+
+The shared library builds on first import (g++ -O3) and is cached next to
+the source; if no compiler is available the callers fall back to the numpy
+implementation in mapping.batch.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "batch_prep.cpp")
+_LIB = os.path.join(_HERE, "libbatchprep.so")
+
+_lib = None
+_build_error = None
+
+
+class MapParamsStruct(ctypes.Structure):
+    _fields_ = [
+        ("origin", ctypes.c_double * 3),
+        ("region_spatial", ctypes.c_double * 3),
+        ("resolution", ctypes.c_double),
+        ("region_dim", ctypes.c_int32),
+    ]
+
+
+def _build() -> str | None:
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+        return _LIB
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _LIB + ".tmp"],
+            check=True, capture_output=True, timeout=120)
+        os.replace(_LIB + ".tmp", _LIB)
+        return _LIB
+    except Exception as exc:  # pragma: no cover - environment dependent
+        global _build_error
+        _build_error = exc
+        return None
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = _build()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.count_segments.restype = ctypes.c_int64
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def count_segments(starts, ends, accept, segment_length):
+    lib = get_lib()
+    n = len(starts)
+    n_seg = np.zeros(n, np.int32)
+    total = lib.count_segments(
+        _ptr(starts, ctypes.c_double), _ptr(ends, ctypes.c_double),
+        _ptr(accept, ctypes.c_uint8), ctypes.c_int64(n),
+        ctypes.c_double(segment_length), _ptr(n_seg, ctypes.c_int32))
+    return int(total), n_seg
+
+
+def fill_segments(starts, ends, accept, filter_flags, timestamps, time_base,
+                  n_seg, segment_length, sample_in_ray, params: MapParamsStruct,
+                  ints, floats, flags, touch, corner_regions, ray_index):
+    lib = get_lib()
+    lib.fill_segments(
+        _ptr(starts, ctypes.c_double), _ptr(ends, ctypes.c_double),
+        _ptr(accept, ctypes.c_uint8), _ptr(filter_flags, ctypes.c_uint32),
+        _ptr(timestamps, ctypes.c_double) if timestamps is not None else None,
+        ctypes.c_double(time_base), ctypes.c_int64(len(starts)),
+        _ptr(n_seg, ctypes.c_int32), ctypes.c_double(segment_length),
+        ctypes.c_int(1 if sample_in_ray else 0), ctypes.byref(params),
+        _ptr(ints, ctypes.c_int32), _ptr(floats, ctypes.c_float),
+        _ptr(flags, ctypes.c_uint8), _ptr(touch, ctypes.c_uint32),
+        _ptr(corner_regions, ctypes.c_int32), _ptr(ray_index, ctypes.c_int32))
+
+
+def lookup_slots(regions, table):
+    """Vectorised region -> slot resolution via the host table (C++)."""
+    lib = get_lib()
+    regions = np.ascontiguousarray(regions, dtype=np.int32)
+    flat = regions.reshape(-1, 3)
+    out = np.empty(len(flat), np.int32)
+    lib.lookup_slots(
+        _ptr(flat, ctypes.c_int32), ctypes.c_int64(len(flat)),
+        _ptr(table.ab, ctypes.c_int32), _ptr(table.z, ctypes.c_int32),
+        _ptr(table.slot, ctypes.c_int32), ctypes.c_int32(table.table_size),
+        _ptr(out, ctypes.c_int32))
+    return out.reshape(regions.shape[:-1])

@@ -1,0 +1,208 @@
+// Native host-side ray batch preparation.
+//
+// C++ implementation of the per-batch hot path otherwise performed in numpy
+// (ohm_tpu/mapping/batch.py): ray filtering, segmentation to region-edge
+// pieces, float64 two-step voxel quantisation (reference: ohm/MapRegion.cpp
+// voxelKey + ohm/MapCoord.h), voxel-local float32 frame construction
+// (reference precision model: ohmgpu/GpuMap.cpp:666-676), corner-region
+// enumeration, and region-table slot resolution (probe sequence must match
+// ohm_tpu/ops/regiontable.py).
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in this image).
+// Build: g++ -O3 -march=native -shared -fPIC batch_prep.cpp -o libbatchprep.so
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+
+namespace {
+
+constexpr double kRegionEps = 1e-6;  // ohm/MapCoord.h:45-80
+
+struct MapParams {
+  double origin[3];
+  double region_spatial[3];
+  double resolution;
+  int32_t region_dim;  // cubic power-of-two voxel dim
+};
+
+inline int32_t point_to_region(double coord, double region_size) {
+  return (int32_t)std::floor(coord / region_size + 0.5);
+}
+
+inline int32_t point_to_region_voxel(double coord, double res, double region_size) {
+  if (coord < 0 && coord >= -kRegionEps) coord = 0;
+  else if (coord >= region_size && coord - kRegionEps < region_size) coord -= kRegionEps;
+  return (int32_t)std::floor(coord / res);
+}
+
+// Two-step quantisation: point -> (region, local) -> absolute voxel coord +
+// voxel centre (global), matching ohm_tpu.core.keys.voxel_key/voxel_centre.
+inline void quantise(const MapParams& p, const double* pt, int32_t* abs_out,
+                     double* centre_out) {
+  for (int a = 0; a < 3; ++a) {
+    const double local_pt = pt[a] - p.origin[a];
+    const int32_t region = point_to_region(local_pt, p.region_spatial[a]);
+    const double region_min = region * p.region_spatial[a] - 0.5 * p.region_spatial[a];
+    int32_t local = point_to_region_voxel(local_pt - region_min, p.resolution, p.region_spatial[a]);
+    if (local < 0) local = 0;
+    if (local >= p.region_dim) local = p.region_dim - 1;
+    abs_out[a] = region * p.region_dim + local;
+    double centre = (double)region * p.region_spatial[a];
+    centre -= 0.5 * p.region_spatial[a];
+    centre += p.origin[a];
+    centre += (double)local * p.resolution;
+    centre += 0.5 * p.resolution;
+    centre_out[a] = centre;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Count segments per ray. Returns total segments.
+// lengths/n_seg are per accepted ray (n entries).
+int64_t count_segments(const double* starts, const double* ends, const uint8_t* accept,
+                       int64_t n, double segment_length, int32_t* n_seg_out) {
+  int64_t total = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (!accept[i]) { n_seg_out[i] = 0; continue; }
+    double d2 = 0;
+    for (int a = 0; a < 3; ++a) {
+      const double d = ends[3 * i + a] - starts[3 * i + a];
+      d2 += d * d;
+    }
+    const double len = std::sqrt(d2);
+    int32_t s = (int32_t)std::ceil(len / segment_length);
+    if (s < 1) s = 1;
+    n_seg_out[i] = s;
+    total += s;
+  }
+  return total;
+}
+
+// Fill packed per-segment arrays.  Layout must match
+// ohm_tpu/ops/integrate.py (_unpack_batch):
+//   ints  i32[size,17]: start_abs xyz | end_abs xyz | rmin xyz | corner_slots[8]
+//   floats f32[size,12]: start_frac | direction | length | end_frac | t0 | full_len
+//   flags u8[size,4]: is_sample | end_as_miss | exclude_start | valid
+//   touch u32[size]
+// corner_regions i32[total,8,3]; ray_index i32[total].
+void fill_segments(const double* starts, const double* ends, const uint8_t* accept,
+                   const uint32_t* filter_flags, const double* timestamps,
+                   double time_base, int64_t n_rays, const int32_t* n_seg,
+                   double segment_length, int sample_in_ray_flag,
+                   const MapParams* params,
+                   int32_t* ints, float* floats, uint8_t* flags, uint32_t* touch,
+                   int32_t* corner_regions, int32_t* ray_index) {
+  const MapParams p = *params;
+  int64_t seg = 0;
+  for (int64_t i = 0; i < n_rays; ++i) {
+    if (!accept[i]) continue;
+    const double* s = starts + 3 * i;
+    const double* e = ends + 3 * i;
+    double delta[3] = {e[0] - s[0], e[1] - s[1], e[2] - s[2]};
+    const double len = std::sqrt(delta[0] * delta[0] + delta[1] * delta[1] + delta[2] * delta[2]);
+    double unit[3] = {0, 0, 0};
+    if (len > 0) { unit[0] = delta[0] / len; unit[1] = delta[1] / len; unit[2] = delta[2] / len; }
+    const int32_t segments = n_seg[i];
+    // kRffClippedEnd == 1 << 2 (ohm/RayFilter.h:28).
+    const bool clipped_end = (filter_flags && (filter_flags[i] & 4u)) != 0;
+    const bool fold_sample = clipped_end || sample_in_ray_flag;
+    const uint32_t touch_enc = (timestamps && time_base >= 0)
+        ? (uint32_t)((timestamps[i] - time_base) / 0.001) : 0u;
+
+    for (int32_t k = 0; k < segments; ++k, ++seg) {
+      const bool last = (k == segments - 1);
+      const double t0 = k * segment_length;
+      const double t1 = last ? len : (k + 1) * segment_length;
+      double p0[3], p1[3];
+      for (int a = 0; a < 3; ++a) {
+        p0[a] = s[a] + unit[a] * t0;
+        p1[a] = last ? e[a] : s[a] + unit[a] * t1;
+      }
+      int32_t abs0[3], abs1[3];
+      double c0[3], c1[3];
+      quantise(p, p0, abs0, c0);
+      quantise(p, p1, abs1, c1);
+
+      int32_t* I = ints + 17 * seg;
+      float* F = floats + 12 * seg;
+      uint8_t* G = flags + 4 * seg;
+      int32_t rmin[3], rmax[3];
+      for (int a = 0; a < 3; ++a) {
+        I[a] = abs0[a];
+        I[3 + a] = abs1[a];
+        // floor-divide for negatives
+        int32_t r0 = abs0[a] >= 0 ? abs0[a] / p.region_dim
+                                  : -(((-abs0[a]) + p.region_dim - 1) / p.region_dim);
+        int32_t r1 = abs1[a] >= 0 ? abs1[a] / p.region_dim
+                                  : -(((-abs1[a]) + p.region_dim - 1) / p.region_dim);
+        rmin[a] = std::min(r0, r1);
+        rmax[a] = std::max(r0, r1);
+        I[6 + a] = rmin[a];
+        F[a] = (float)(p0[a] - c0[a]);
+        F[3 + a] = (float)unit[a];
+        F[7 + a] = (float)(p1[a] - c1[a]);
+      }
+      for (int c = 0; c < 8; ++c) {
+        I[9 + c] = -1;
+        int32_t* R = corner_regions + (seg * 8 + c) * 3;
+        R[0] = (c & 1) ? rmax[0] : rmin[0];
+        R[1] = (c & 2) ? rmax[1] : rmin[1];
+        R[2] = (c & 4) ? rmax[2] : rmin[2];
+      }
+      F[6] = (float)(t1 - t0);
+      F[10] = (float)t0;
+      F[11] = (float)len;
+      G[0] = last && !fold_sample;  // is_sample
+      G[1] = last && fold_sample;   // end_as_miss
+      G[2] = (k == 0);              // exclude_start candidate (first segment)
+      G[3] = 1;                     // valid
+      touch[seg] = touch_enc;
+      ray_index[seg] = (int32_t)i;
+    }
+  }
+}
+
+// Region hash-table slot lookup; probe sequence mirrors
+// ohm_tpu/ops/regiontable.py (hash_region/pack_ab, PROBE_DEPTH=8).
+void lookup_slots(const int32_t* regions, int64_t n,
+                  const int32_t* table_ab, const int32_t* table_z,
+                  const int32_t* table_slot, int32_t table_size,
+                  int32_t* slots_out) {
+  const int32_t mask = table_size - 1;
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t x = regions[3 * i + 0];
+    const int32_t y = regions[3 * i + 1];
+    const int32_t z = regions[3 * i + 2];
+    const int32_t ab = (x & 0xFFFF) | (int32_t)((uint32_t)y << 16);
+    int32_t h = (int32_t)((uint32_t)(x * 73856093) ^ (uint32_t)(y * 19349669)
+                          ^ (uint32_t)(z * 83492791)) & mask;
+    int32_t slot = -1;
+    for (int k = 0; k < 8; ++k) {
+      const int32_t idx = (h + k) & mask;
+      if (table_slot[idx] >= 0 && table_ab[idx] == ab && table_z[idx] == z) {
+        slot = table_slot[idx];
+        break;
+      }
+    }
+    slots_out[i] = slot;
+  }
+}
+
+// Pack unique region keys: writes int64 packed keys for dedup on the Python
+// side (numpy unique on int64 is the fast path there already); provided for
+// completeness if callers want a single C pass.
+void pack_regions(const int32_t* regions, int64_t n, int64_t* packed_out) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t x = regions[3 * i + 0] & 0xFFFF;
+    const int64_t y = regions[3 * i + 1] & 0xFFFF;
+    const int64_t z = regions[3 * i + 2] & 0xFFFF;
+    packed_out[i] = x | (y << 16) | (z << 32);
+  }
+}
+
+}  // extern "C"

@@ -461,3 +461,169 @@ def integrate_occupancy(arena: dict, batch: dict, cfg: IntegrateConfig):
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("arena",))
 def integrate_occupancy_jit(arena, batch, cfg: IntegrateConfig):
     return integrate_occupancy(arena, batch, cfg)
+
+
+# --------------------------------------------------------------------------- #
+# Split-phase variant: two smaller XLA programs instead of one monolith.
+# The remote TPU compile service handles small programs far more reliably
+# (and persists them in the compilation cache, which silently fails for the
+# monolithic program), at identical warm cost — intermediates stay in HBM.
+# Used by TpuRayMapper for flag sets without state-dependent masking.
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def expand_records_jit(batch, cfg: IntegrateConfig):
+    """Phase 1: DDA expand + slot resolve -> packed sort keys (+ payloads)."""
+    flags = cfg.ray_flags
+    b = _unpack_batch(batch)
+    walk = walk_rays(
+        b["start_abs"], b["end_abs"], b["start_frac"],
+        b["direction"], b["length"], cfg.resolution, cfg.max_steps,
+    )
+    B, S = walk["valid"].shape
+    ray_valid = b["valid"]
+    rec_valid = walk["valid"] & ray_valid[:, None]
+    if flags & RayFlag.EXCLUDE_ORIGIN:
+        first = jnp.concatenate([jnp.ones((B, 1), bool), jnp.zeros((B, S - 1), bool)], axis=1)
+        rec_valid = rec_valid & ~(first & b["exclude_start"][:, None])
+    if flags & RayFlag.EXCLUDE_RAY:
+        rec_valid = jnp.zeros_like(rec_valid)
+
+    walk_flat, walk_missed = _resolve_slots(walk["voxels"], b["rmin"], b["corner_slots"], cfg)
+    walk_flat = jnp.where(rec_valid, walk_flat, cfg.sentinel)
+    end_flat, end_missed = _resolve_slots(b["end_abs"], b["rmin"], b["corner_slots"], cfg)
+    end_is_hit = b["is_sample"] & ray_valid
+    end_is_miss = b["end_as_miss"] & ray_valid
+    if flags & RayFlag.EXCLUDE_SAMPLE:
+        end_is_hit = jnp.zeros_like(end_is_hit)
+    if flags & RayFlag.EXCLUDE_RAY:
+        end_is_miss = jnp.zeros_like(end_is_miss)
+    end_active = end_is_hit | end_is_miss
+
+    key = jnp.concatenate([
+        walk_flat.reshape(-1) << 1,
+        (jnp.where(end_active, end_flat, cfg.sentinel) << 1) | end_is_hit.astype(jnp.int32),
+    ])
+    out = {"key": key, "end_flat": end_flat, "end_is_hit": end_is_hit}
+    if cfg.with_traversal:
+        walk_trav = jnp.where(rec_valid, walk["exits"] - walk["enters"], 0.0)
+        end_trav = jnp.where(end_active, b["length"] - walk["end_enter"], 0.0)
+        out["trav"] = jnp.concatenate([walk_trav.reshape(-1), end_trav]).astype(jnp.float32)
+    stats = {
+        "missed_updates": (jnp.sum(jnp.where(rec_valid & walk_missed, 1, 0))
+                           + jnp.sum(jnp.where(end_active & end_missed, 1, 0))).astype(jnp.int32),
+        "overflow": jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0)).astype(jnp.int32),
+    }
+    return out, stats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("arena",))
+def apply_records_jit(arena, records, batch, cfg: IntegrateConfig):
+    """Phase 2: sort + segmented reduce + scatter + dense occupancy apply."""
+    key = records["key"]
+    operands = (key,) + ((records["trav"],) if cfg.with_traversal else ())
+    sorted_ops = jax.lax.sort(operands, num_keys=1)
+    key_s = sorted_ops[0]
+    ids_s = key_s >> 1
+    hit_bit = (key_s & 1).astype(jnp.float32)
+    first = jnp.concatenate([jnp.array([True]), ids_s[1:] != ids_s[:-1]])
+    last = jnp.concatenate([ids_s[1:] != ids_s[:-1], jnp.array([True])])
+
+    if cfg.with_traversal:
+        def op(a, b2):
+            fa, ha, ca, ta = a
+            fb, hb, cb, tb = b2
+            return (fa | fb, jnp.where(fb, hb, ha + hb), jnp.where(fb, cb, ca + cb),
+                    jnp.where(fb, tb, ta + tb))
+        valid_bit = (ids_s != cfg.sentinel).astype(jnp.float32)
+        _, n_hit, n_tot, trav_tot = jax.lax.associative_scan(
+            op, (first, hit_bit, valid_bit, sorted_ops[1]))
+    else:
+        def op(a, b2):
+            fa, ha, ca = a
+            fb, hb, cb = b2
+            return fa | fb, jnp.where(fb, hb, ha + hb), jnp.where(fb, cb, ca + cb)
+        valid_bit = (ids_s != cfg.sentinel).astype(jnp.float32)
+        _, n_hit, n_tot = jax.lax.associative_scan(op, (first, hit_bit, valid_bit))
+    n_miss = n_tot - n_hit
+
+    arena = dict(arena)
+    arena["occupancy"] = _apply_occupancy_dense(arena["occupancy"], ids_s, last, n_hit, n_miss, cfg)
+    if cfg.with_traversal:
+        idx = _unique_scatter_indices(ids_s, last, cfg)
+        arena["traversal"] = arena["traversal"].at[idx].add(
+            jnp.where(last, trav_tot, 0.0), unique_indices=True)
+
+    # Sample-only layers reuse the batch's end records (B-sized streams).
+    if cfg.with_mean or cfg.with_touch_time or cfg.with_incident:
+        b = _unpack_batch(batch)
+        end_is_hit = records["end_is_hit"]
+        end_flat = records["end_flat"]
+        s_ids = jnp.where(end_is_hit, end_flat, cfg.sentinel)
+        flat_ops = [s_ids, end_is_hit.astype(jnp.float32)]
+        if cfg.with_mean:
+            z = jnp.where(end_is_hit[:, None], b["end_frac"], 0.0)
+            flat_ops += [z[:, c] for c in range(3)]
+        if cfg.with_touch_time:
+            flat_ops.append(jnp.where(end_is_hit, b["touch_enc"], 0).astype(jnp.uint32))
+        if cfg.with_incident:
+            inc = jnp.where(end_is_hit[:, None], -b["direction"], 0.0)
+            flat_ops += [inc[:, c] for c in range(3)]
+        sorted_s = jax.lax.sort(tuple(flat_ops), num_keys=1)
+        s_sorted = sorted_s[0]
+        payloads = [(sorted_s[1], "sum")]
+        j = 2
+        if cfg.with_mean:
+            payloads += [(sorted_s[j + c], "sum") for c in range(3)]
+            j += 3
+        if cfg.with_touch_time:
+            payloads.append((sorted_s[j], "max"))
+            j += 1
+        if cfg.with_incident:
+            payloads += [(sorted_s[j + c], "sum") for c in range(3)]
+            j += 3
+        s_last, s_red = _segment_reduce(s_sorted, payloads, cfg)
+        s_idx = _unique_scatter_indices(s_sorted, s_last, cfg)
+        k = s_red[0]
+        active = s_last & (k > 0) & (s_sorted != cfg.sentinel)
+        i = 1
+        if cfg.with_mean:
+            local_sums = jnp.stack(s_red[i:i + 3], axis=-1)
+            i += 3
+            old_coord = arena["mean_coord"][s_sorted]
+            old_count = arena["mean_count"][s_sorted].astype(jnp.float32)
+            old_mean = subvoxel_jnp.sub_voxel_to_local_coord(old_coord, cfg.resolution)
+            denom = jnp.maximum(old_count + k, 1.0)
+            new_mean = (old_mean * old_count[:, None] + local_sums) / denom[:, None]
+            new_coord = jnp.where(active, subvoxel_jnp.sub_voxel_coord(new_mean, cfg.resolution), old_coord)
+            new_count = jnp.where(active, arena["mean_count"][s_sorted] + k.astype(jnp.uint32), jnp.uint32(0))
+            new_coord = jnp.where(s_last, new_coord, jnp.uint32(0))
+            arena["mean_coord"] = arena["mean_coord"].at[s_idx].set(new_coord, unique_indices=True)
+            arena["mean_count"] = arena["mean_count"].at[s_idx].set(new_count, unique_indices=True)
+        if cfg.with_touch_time:
+            touch_max = s_red[i]
+            i += 1
+            old_touch = arena["touch_time"][s_sorted]
+            new_touch = jnp.where(active, touch_max, old_touch)
+            arena["touch_time"] = arena["touch_time"].at[s_idx].set(
+                jnp.where(s_last, new_touch, jnp.uint32(0)), unique_indices=True)
+        if cfg.with_incident:
+            inc_sums = jnp.stack(s_red[i:i + 3], axis=-1)
+            i += 3
+            old_packed = arena["incident"][s_sorted]
+            old_normal = subvoxel_jnp.decode_normal(old_packed)
+            has_old = jnp.any(old_normal != 0, axis=-1)
+            if cfg.with_mean:
+                prior = jnp.maximum(arena["mean_count"][s_sorted].astype(jnp.float32) - k, 0.0)
+            else:
+                prior = jnp.zeros_like(k)
+            w = jnp.where(has_old, prior, 0.0)
+            merged = old_normal * w[:, None] + inc_sums
+            norm = jnp.sqrt(jnp.sum(merged * merged, axis=-1))
+            unit = jnp.where(norm[:, None] > 1e-6, merged / jnp.maximum(norm, 1e-12)[:, None], 0.0)
+            new_packed = jnp.where(active, subvoxel_jnp.encode_normal(unit), old_packed)
+            arena["incident"] = arena["incident"].at[s_idx].set(
+                jnp.where(s_last, new_packed, jnp.uint32(0)), unique_indices=True)
+
+    touched = jnp.sum((last & (ids_s != cfg.sentinel)).astype(jnp.int32))
+    return arena, touched

@@ -1,0 +1,88 @@
+"""Native (C++) batch prep parity tests: C++ output must match numpy exactly."""
+
+import numpy as np
+import pytest
+
+from ohm_tpu import native
+from ohm_tpu.core.map import OccupancyMap, MapFlag
+from ohm_tpu.mapping.batch import prepare_ray_batch, fill_corner_slots
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+
+
+def random_rays(rng, n, spread=20.0):
+    starts = rng.uniform(-spread / 4, spread / 4, (n, 3))
+    ends = starts + rng.normal(0, spread / 3, (n, 3))
+    rays = np.empty((2 * n, 3))
+    rays[0::2] = starts
+    rays[1::2] = ends
+    return rays
+
+
+@pytest.mark.parametrize("resolution,origin", [(0.1, (0, 0, 0)), (0.25, (3.3, -2.7, 0.1))])
+def test_native_prep_matches_numpy(resolution, origin):
+    rng = np.random.default_rng(55)
+    m = OccupancyMap(resolution=resolution, flags=MapFlag.NONE, origin=origin)
+    rays = random_rays(rng, 300)
+    ts = np.linspace(100.0, 101.0, 300)
+    m.update_first_ray_time(100.0)
+
+    a = prepare_ray_batch(m, rays, timestamps=ts, use_native=False)
+    b = prepare_ray_batch(m, rays, timestamps=ts, use_native=True)
+
+    assert a.n_segments == b.n_segments
+    assert a.size == b.size
+    t = a.n_segments
+    np.testing.assert_array_equal(a.arrays["ints"][:t], b.arrays["ints"][:t])
+    np.testing.assert_array_equal(a.arrays["flags"][:t], b.arrays["flags"][:t])
+    np.testing.assert_array_equal(a.arrays["touch"][:t], b.arrays["touch"][:t])
+    np.testing.assert_allclose(a.arrays["floats"][:t], b.arrays["floats"][:t], rtol=0, atol=2e-6)
+    # Quantised geometry must be bit-exact.
+    np.testing.assert_array_equal(a.corner_regions, b.corner_regions)
+    np.testing.assert_array_equal(a.region_keys, b.region_keys)
+
+
+def test_native_slot_lookup_matches_numpy():
+    from ohm_tpu.ops.regiontable import HostRegionTable
+
+    rng = np.random.default_rng(9)
+    table = HostRegionTable()
+    keys = rng.integers(-100, 100, (200, 3))
+    for i, k in enumerate(np.unique(keys, axis=0)):
+        table.insert(tuple(int(v) for v in k), i)
+    probe = np.concatenate([keys, rng.integers(-100, 100, (100, 3))]).astype(np.int32)
+    np.testing.assert_array_equal(native.lookup_slots(probe, table), table.lookup_np(probe))
+
+
+def test_native_end_to_end_differential():
+    """TPU integration with native prep must equal numpy-prep results."""
+    import jax
+
+    from ohm_tpu.mapping.tpu_map import TpuRayMapper
+    from tests.test_tpu_integrate import compare_occupancy
+
+    rng = np.random.default_rng(10)
+    rays = random_rays(rng, 150, spread=6.0)
+    maps = []
+    for use_native in (False, True):
+        m = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+        mapper = TpuRayMapper(m, capacity=128, validate=True)
+        import ohm_tpu.mapping.batch as batchmod
+
+        orig = batchmod.prepare_ray_batch
+        # Route through the requested implementation.
+        def patched(map_obj, r, **kw):
+            kw["use_native"] = use_native
+            return orig(map_obj, r, **kw)
+
+        batchmod_prepare = batchmod.prepare_ray_batch
+        try:
+            import ohm_tpu.mapping.tpu_map as tm
+
+            tm.prepare_ray_batch = patched
+            mapper.integrate_rays(rays)
+            mapper.sync_voxels()
+        finally:
+            tm.prepare_ray_batch = batchmod_prepare
+        maps.append(m)
+    compare_occupancy(maps[0], maps[1], tolerance=0.0, allowed_failure_ratio=0.0)

@@ -177,3 +177,61 @@ def test_mapper_scheduler(wall_map):
     region, local = wall_map.voxel_key([1.9, 0.0, 0.0])
     chunk = wall_map.region(region)
     assert chunk.layers[clear_idx][CLEARANCE_LAYER][int(wall_map.voxel_index(local))] >= 0.0
+
+
+def test_voxel_accessor_and_aabb(wall_map):
+    from ohm_tpu.core.voxel import Voxel, VoxelBuffer, Aabb, calculate_segment_keys
+
+    occ_idx = wall_map.layer_index("occupancy")
+    v = Voxel(wall_map, occ_idx)
+    v.set_point([2.0, 0.0, 0.0])
+    assert v.is_valid
+    assert v.read()["occupancy"] >= wall_map.occupancy_threshold_value
+    # Write through the accessor.
+    v2 = Voxel(wall_map, occ_idx, allow_create=True)
+    v2.set_point([10.0, 10.0, 10.0])
+    v2.write(np.float32(1.5))
+    assert wall_map.voxel_value(point=[10.0, 10.0, 10.0]) == np.float32(1.5)
+
+    buf = VoxelBuffer(wall_map.region(v._chunk.region_key), occ_idx)
+    assert buf.voxel_count == int(np.prod(wall_map.region_voxel_dims))
+
+    box = Aabb((0, 0, 0), (1, 1, 1))
+    assert box.contains((0.5, 0.5, 0.5)) and not box.contains((2, 0, 0))
+    assert box.overlaps(Aabb((0.5, 0.5, 0.5), (2, 2, 2)))
+
+    keys = calculate_segment_keys(wall_map, (0, 0, 0), (1.0, 0, 0))
+    assert len(keys) == 5  # 4 traversed + end voxel at 0.25 resolution
+
+
+def test_compression_store(wall_map):
+    from ohm_tpu.core.compression import CompressedChunkStore
+
+    store = CompressedChunkStore(wall_map, high_tide_bytes=1, low_tide_bytes=0)
+    before = wall_map.voxel_value(point=[2.0, 0.0, 0.0])
+    freed = store.run_once()
+    assert freed > 0
+    assert store.compressed_count() > 0
+    # Transparent decompress on access restores identical data.
+    region, _ = wall_map.voxel_key([2.0, 0.0, 0.0])
+    chunk = store.access(region)
+    assert chunk.layers, "chunk must be decompressed on access"
+    assert wall_map.voxel_value(point=[2.0, 0.0, 0.0]) == before
+
+
+def test_arena_cache_stats(wall_map):
+    from ohm_tpu.mapping.tpu_map import TpuRayMapper
+    from ohm_tpu.core.map import OccupancyMap, MapFlag
+
+    m = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    mapper = TpuRayMapper(m, capacity=4, validate=True)
+    rng = np.random.default_rng(14)
+    for i in range(6):
+        centre = np.array([i * 10.0, 0.0, 0.0])
+        rays = np.empty((20, 3))
+        rays[0::2] = centre
+        rays[1::2] = centre + rng.uniform(-1, 1, (10, 3))
+        mapper.integrate_rays(rays)
+    stats = mapper.arena.stats
+    assert stats["misses"] >= 6
+    assert stats["evictions"] > 0  # capacity 4 < 6 spread-out region groups

@@ -97,6 +97,7 @@ def test_load_header_only(tmp_path):
 
 @pytest.mark.skipif(not os.path.isdir(REFERENCE_DATA), reason="reference checkout unavailable")
 @pytest.mark.parametrize("name,version", [
+    ("test-map.0.ohm", (0, 0, 0)),
     ("test-map.0.1.0.ohm", (0, 1, 0)),
     ("test-map.0.2.0.ohm", (0, 2, 0)),
     ("test-map.0.4.0.ohm", (0, 4, 0)),
