@@ -16,7 +16,7 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
 
 
 def box_scene_rays(n, rng, half=(10.0, 10.0, 5.0), sensor=(0.0, 0.0, 0.0)):
@@ -32,7 +32,9 @@ def box_scene_rays(n, rng, half=(10.0, 10.0, 5.0), sensor=(0.0, 0.0, 0.0)):
 
 def main():
     import jax
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from ohm_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from ohm_tpu.core.map import OccupancyMap, MapFlag
     from ohm_tpu.mapping.tpu_map import TpuRayMapper
 

@@ -159,6 +159,12 @@ class MapHarness:
             pass  # not on the main thread (tests)
 
     def run(self) -> int:
+        from ohm_tpu.utils.cache import enable_persistent_cache
+
+        try:
+            enable_persistent_cache()
+        except Exception:
+            pass
         self._install_signals()
         self.map, self.mapper = build_mapper(self.map_options)
         mapper = self.mapper
