@@ -280,3 +280,31 @@ def _prepare_native(map_obj, starts, ends, filter_flags, timestamps, intensities
         arrays={"ints": ints, "floats": floats, "flags": flags.astype(bool), "touch": touch},
         corner_regions=corner_regions, region_keys=region_keys, intensities=intens,
     )
+
+
+def compact_batch(prepared: PreparedBatch, region_dim: int,
+                  with_mean: bool = False, with_tsdf: bool = False) -> dict:
+    """Compact wire arrays for host->device transfer (layout in ops.integrate).
+
+    Region-relative 6-bit endpoint offsets + int16 rmin/corner-slots roughly
+    halve the per-batch bytes versus the full int32 block; float width is
+    trimmed to what the active layer set reads.  Requires region_dim <= 32
+    (offsets < 2*dim must fit 6 bits) and arena capacity < 32768 (slots in
+    int16); callers fall back to the full arrays otherwise.
+    """
+    ints = prepared.arrays["ints"]
+    rmin = ints[:, 6:9]
+    ints16 = np.concatenate([rmin, ints[:, 9:17]], axis=1).astype(np.int16)
+    s_off = (ints[:, 0:3] - rmin * region_dim).astype(np.uint32)
+    e_off = (ints[:, 3:6] - rmin * region_dim).astype(np.uint32)
+    offs = np.zeros((len(ints), 2), np.uint32)
+    offs[:, 0] = s_off[:, 0] | (s_off[:, 1] << 6) | (s_off[:, 2] << 12)
+    offs[:, 1] = e_off[:, 0] | (e_off[:, 1] << 6) | (e_off[:, 2] << 12)
+    width = 12 if with_tsdf else (10 if with_mean else 7)
+    return {
+        "ints16": ints16,
+        "offs": offs,
+        "floats": np.ascontiguousarray(prepared.arrays["floats"][:, :width]),
+        "flags": prepared.arrays["flags"],
+        "touch": prepared.arrays["touch"],
+    }

@@ -27,7 +27,7 @@ from ohm_tpu.core.layout import (
     INCIDENT_NORMAL_LAYER,
 )
 from ohm_tpu.mapping.arena import VoxelArena
-from ohm_tpu.mapping.batch import prepare_ray_batch, fill_corner_slots, max_steps_for
+from ohm_tpu.mapping.batch import prepare_ray_batch, fill_corner_slots, max_steps_for, compact_batch
 from ohm_tpu.ops.integrate import (
     IntegrateConfig,
     integrate_occupancy_jit,
@@ -113,7 +113,13 @@ class TpuRayMapper:
         self.arena.ensure_regions(prepared.region_keys, host_map=m)
         fill_corner_slots(prepared, self.arena.table)
 
-        batch = {k: jnp.asarray(v) for k, v in prepared.arrays.items()}
+        dims0 = int(self.map.region_voxel_dims[0])
+        if dims0 <= 32 and self.arena.capacity < 32767:
+            wire = compact_batch(prepared, dims0, with_mean=self.with_mean,
+                                 with_tsdf=False)
+        else:
+            wire = prepared.arrays
+        batch = {k: jnp.asarray(v) for k, v in wire.items()}
         cfg = self._config(ray_update_flags)
         state = self.arena.device_state()
         if ray_update_flags & RayFlag.STOP_ON_FIRST_OCCUPIED:

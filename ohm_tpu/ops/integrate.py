@@ -87,7 +87,7 @@ class IntegrateConfig:
         return self.sentinel + 1
 
 
-# Packed batch layout (mapping.batch.prepare_ray_batch):
+# Host-side packed batch layout (mapping.batch.prepare_ray_batch):
 #   ints  i32[B, 17]: start_abs xyz | end_abs xyz | rmin xyz | corner_slots[8]
 #   floats f32[B, 12]: start_frac xyz | direction xyz | length | end_frac xyz | t0 | full_length
 #   flags bool[B, 4]: is_sample | end_as_miss | exclude_start | valid
@@ -96,28 +96,75 @@ INTS_WIDTH = 17
 FLOATS_WIDTH = 12
 FLAGS_WIDTH = 4
 
+# Compact wire layout (mapping.batch.compact_batch) — what actually crosses
+# host->HBM.  Segments are at most one region edge long, so endpoint voxel
+# coordinates are 6-bit offsets from the segment's minimum region origin:
+#   ints16 i16[B, 11]: rmin xyz | corner_slots[8]   (slots < 32767 regions)
+#   offs   u32[B]:     start xyz (3x6 bits) | end xyz (3x6 bits)  36 bits? ->
+#                      packed as two u32 halves in offs[B, 2]
+#   floats f32[B, W]:  W=7 base (start_frac, direction, length);
+#                      +3 (end_frac) when mean/NDT; +2 (t0, full_len) for TSDF
+#   flags bool[B, 4], touch u32[B] as before.
 
-def _unpack_batch(batch):
-    ints = batch["ints"]
+
+def _unpack_batch(batch, cfg=None):
+    if "ints" in batch:
+        ints = batch["ints"]
+        floats = batch["floats"]
+        flags = batch["flags"]
+        out = {
+            "start_abs": ints[:, 0:3],
+            "end_abs": ints[:, 3:6],
+            "rmin": ints[:, 6:9],
+            "corner_slots": ints[:, 9:17],
+            "start_frac": floats[:, 0:3],
+            "direction": floats[:, 3:6],
+            "length": floats[:, 6],
+            "is_sample": flags[:, 0],
+            "end_as_miss": flags[:, 1],
+            "exclude_start": flags[:, 2],
+            "valid": flags[:, 3],
+            "touch_enc": batch["touch"],
+        }
+        if floats.shape[1] >= 10:
+            out["end_frac"] = floats[:, 7:10]
+        if floats.shape[1] >= 12:
+            out["t0"] = floats[:, 10]
+            out["full_length"] = floats[:, 11]
+        return out
+    # Compact wire layout.
+    ints16 = batch["ints16"].astype(jnp.int32)
+    offs = batch["offs"]
     floats = batch["floats"]
     flags = batch["flags"]
-    return {
-        "start_abs": ints[:, 0:3],
-        "end_abs": ints[:, 3:6],
-        "rmin": ints[:, 6:9],
-        "corner_slots": ints[:, 9:17],
+    rmin = ints16[:, 0:3]
+    shift = cfg.region_shift if cfg is not None else 5
+    base = rmin << shift
+    mask6 = jnp.uint32(0x3F)
+    s_off = jnp.stack([
+        (offs[:, 0] & mask6), (offs[:, 0] >> 6) & mask6, (offs[:, 0] >> 12) & mask6], axis=-1)
+    e_off = jnp.stack([
+        (offs[:, 1] & mask6), (offs[:, 1] >> 6) & mask6, (offs[:, 1] >> 12) & mask6], axis=-1)
+    out = {
+        "start_abs": base + s_off.astype(jnp.int32),
+        "end_abs": base + e_off.astype(jnp.int32),
+        "rmin": rmin,
+        "corner_slots": ints16[:, 3:11],
         "start_frac": floats[:, 0:3],
         "direction": floats[:, 3:6],
         "length": floats[:, 6],
-        "end_frac": floats[:, 7:10],
-        "t0": floats[:, 10],
-        "full_length": floats[:, 11],
         "is_sample": flags[:, 0],
         "end_as_miss": flags[:, 1],
         "exclude_start": flags[:, 2],
         "valid": flags[:, 3],
         "touch_enc": batch["touch"],
     }
+    if floats.shape[1] >= 10:
+        out["end_frac"] = floats[:, 7:10]
+    if floats.shape[1] >= 12:
+        out["t0"] = floats[:, 10]
+        out["full_length"] = floats[:, 11]
+    return out
 
 
 def _resolve_slots(voxels, rmin, corner_slots, cfg: IntegrateConfig):
@@ -279,7 +326,7 @@ def integrate_occupancy(arena: dict, batch: dict, cfg: IntegrateConfig):
     segmenter should prevent this).
     """
     flags = cfg.ray_flags
-    b = _unpack_batch(batch)
+    b = _unpack_batch(batch, cfg)
 
     walk = walk_rays(
         b["start_abs"], b["end_abs"], b["start_frac"],
@@ -475,7 +522,7 @@ def integrate_occupancy_jit(arena, batch, cfg: IntegrateConfig):
 def expand_records_jit(batch, cfg: IntegrateConfig):
     """Phase 1: DDA expand + slot resolve -> packed sort keys (+ payloads)."""
     flags = cfg.ray_flags
-    b = _unpack_batch(batch)
+    b = _unpack_batch(batch, cfg)
     walk = walk_rays(
         b["start_abs"], b["end_abs"], b["start_frac"],
         b["direction"], b["length"], cfg.resolution, cfg.max_steps,
@@ -556,7 +603,7 @@ def apply_records_jit(arena, records, batch, cfg: IntegrateConfig):
 
     # Sample-only layers reuse the batch's end records (B-sized streams).
     if cfg.with_mean or cfg.with_touch_time or cfg.with_incident:
-        b = _unpack_batch(batch)
+        b = _unpack_batch(batch, cfg)
         end_is_hit = records["end_is_hit"]
         end_flat = records["end_flat"]
         s_ids = jnp.where(end_is_hit, end_flat, cfg.sentinel)

@@ -69,7 +69,7 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
     """
     base = cfg.base
     flags = base.ray_flags
-    b = _unpack_batch(batch)
+    b = _unpack_batch(batch, base)
     res = jnp.float32(base.resolution)
 
     walk = walk_rays(

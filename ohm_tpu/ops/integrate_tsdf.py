@@ -45,7 +45,7 @@ class TsdfConfig:
 def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
     """Integrate one packed ray batch into tsdf_weight/tsdf_distance layers."""
     base = cfg.base
-    b = _unpack_batch(batch)
+    b = _unpack_batch(batch, base)
     res = jnp.float32(base.resolution)
 
     walk = walk_rays(

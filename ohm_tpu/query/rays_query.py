@@ -39,7 +39,7 @@ def _rays_query_device(arena_state, batch, cfg):
     """Per-segment partial results. Returns (volume, occ_found, range_local,
     terminal_code, end_exit) arrays [B]."""
     base = cfg
-    b = _unpack_batch(batch)
+    b = _unpack_batch(batch, cfg)
     walk = walk_rays(b["start_abs"], b["end_abs"], b["start_frac"],
                      b["direction"], b["length"], base.resolution, base.max_steps)
     B, S = walk["valid"].shape
