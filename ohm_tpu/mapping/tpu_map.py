@@ -46,6 +46,7 @@ class TpuRayMapper:
         capacity: int = 1024,
         segment_length: float | None = None,
         validate: bool = False,
+        scatter_pad: int = 1 << 22,
     ):
         self.map = map_obj
         dims = map_obj.region_voxel_dims
@@ -72,7 +73,7 @@ class TpuRayMapper:
         if self.with_incident:
             layer_names.append("incident")
 
-        self.arena = VoxelArena(capacity, self.region_shift, layer_names)
+        self.arena = VoxelArena(capacity, self.region_shift, layer_names, scatter_pad=scatter_pad)
         self._stats = {"rays": 0, "segments": 0, "batches": 0, "missed_updates": 0, "overflow": 0}
         self._pending_stats = []
 
