@@ -30,3 +30,25 @@ __version__ = "0.1.0"
 from ohm_tpu.core.probability import probability_to_value, value_to_probability
 from ohm_tpu.core.map import OccupancyMap, MapFlag
 from ohm_tpu.core.layout import MapLayout, MapLayer, VoxelLayout, DataType, default_layout
+from ohm_tpu.core.rayflags import RayFlag, RayFilterFlag
+
+
+def __getattr__(name):
+    # Lazy heavyweight imports (jax-dependent) so `import ohm_tpu` stays light.
+    if name == "TpuRayMapper":
+        from ohm_tpu.mapping.tpu_map import TpuRayMapper
+
+        return TpuRayMapper
+    if name == "TpuNdtMap":
+        from ohm_tpu.mapping.ndt_map import TpuNdtMap
+
+        return TpuNdtMap
+    if name == "TpuTsdfMap":
+        from ohm_tpu.mapping.tsdf_map import TpuTsdfMap
+
+        return TpuTsdfMap
+    if name in ("save", "load"):
+        from ohm_tpu.io import serialise
+
+        return getattr(serialise, name)
+    raise AttributeError(name)

@@ -87,6 +87,18 @@ def build_mapper(map_options: MapOptions):
         m.ray_filter = lambda s, e: clip_ray_filter(s, e, max_len)
 
     mode = map_options.mode
+    if map_options.device == "tpu":
+        # Graceful fallback when no accelerator platform is usable
+        # (reference analogue: gpu_ok guards, ohmgpu/GpuMap.cpp:548-551).
+        try:
+            import jax
+
+            jax.devices()
+        except Exception as exc:
+            from ohm_tpu.utils.log import get_logger
+
+            get_logger("app").warning("device init failed (%s); falling back to CPU oracle", exc)
+            map_options.device = "cpu"
     if map_options.device == "cpu":
         if mode in ("ndt", "ndt-tm"):
             from ohm_tpu.oracle.ndt import RayMapperNdt, NdtParams
