@@ -50,6 +50,69 @@ class MapOptions:
     arena_capacity: int = 2048
     batch_size: int = 4096
     ray_length_max: float = 0.0
+    # Data source options (reference: ohmapp/DataSource.h:75-87):
+    point_limit: int = 0  # process at most this many sample points (0 = all)
+    start_time: float = 0.0  # skip data before first_timestamp + start_time
+    time_limit: float = 0.0  # process at most this data-time interval
+    stats_mode: str = "off"  # off | console | csv
+
+
+@dataclasses.dataclass
+class RayStats:
+    """Ray batch statistics (reference: ohmapp/DataSource.h:103-161).
+
+    Times are seconds; ``data_*`` in the source's timestamp base,
+    ``process_*`` in wall clock since run start.
+    """
+
+    process_time_start: float = float("inf")
+    process_time_end: float = 0.0
+    data_time_start: float = float("inf")
+    data_time_end: float = 0.0
+    ray_length_minimum: float = float("inf")
+    ray_length_maximum: float = 0.0
+    ray_length_total: float = 0.0
+    ray_count: int = 0
+
+    def ray_length_average(self) -> float:
+        return self.ray_length_total / self.ray_count if self.ray_count else 0.0
+
+    def data_time(self) -> float:
+        dt = self.data_time_end - self.data_time_start
+        return dt if np.isfinite(dt) else 0.0
+
+    def process_time(self) -> float:
+        dt = self.process_time_end - self.process_time_start
+        return dt if np.isfinite(dt) else 0.0
+
+    def data_rays_per_second(self) -> float:
+        return self.ray_count / self.data_time() if self.data_time() > 0 else 0.0
+
+    def process_rays_per_second(self) -> float:
+        return self.ray_count / self.process_time() if self.process_time() > 0 else 0.0
+
+    def merge(self, other: "RayStats"):
+        """Accumulate (reference: DataSource::addBatchStats, DataSource.cpp:106-121)."""
+        self.data_time_start = min(self.data_time_start, other.data_time_start)
+        self.data_time_end = max(self.data_time_end, other.data_time_end)
+        self.process_time_start = min(self.process_time_start, other.process_time_start)
+        self.process_time_end = max(self.process_time_end, other.process_time_end)
+        self.ray_length_minimum = min(self.ray_length_minimum, other.ray_length_minimum)
+        self.ray_length_maximum = max(self.ray_length_maximum, other.ray_length_maximum)
+        self.ray_length_total += other.ray_length_total
+        self.ray_count += other.ray_count
+
+    CSV_HEADER = ("process_time_start,process_time_end,data_time_start,data_time_end,"
+                  "ray_count,ray_length_minimum,ray_length_maximum,ray_length_average,"
+                  "rays_per_second_data,rays_per_second_process")
+
+    def csv_row(self) -> str:
+        """CSV row matching the reference column order (DataSource.cpp:135-157)."""
+        return (f"{self.process_time_start:.9g},{self.process_time_end:.9g},"
+                f"{self.data_time_start:.9g},{self.data_time_end:.9g},{self.ray_count},"
+                f"{self.ray_length_minimum if self.ray_count else 0.0:.9g},"
+                f"{self.ray_length_maximum:.9g},{self.ray_length_average():.9g},"
+                f"{self.data_rays_per_second():.9g},{self.process_rays_per_second():.9g}")
 
 
 @dataclasses.dataclass
@@ -158,6 +221,7 @@ class MapHarness:
         self.map = None
         self.mapper = None
         self.stats = {}
+        self.global_stats = RayStats()
 
     def _install_signals(self):
         def on_sigint(_sig, _frame):
@@ -190,20 +254,94 @@ class MapHarness:
         if not self.output.quiet:
             progress.start_thread()
 
+        opts = self.map_options
+        stats_csv = None
+        if opts.stats_mode == "csv":
+            stats_csv = open(self.output.base_name + "_stats.csv", "w")
+            stats_csv.write(RayStats.CSV_HEADER + "\n")
+        window: list[RayStats] = []  # 20-deep ring (SlamIOSource.h:107)
+        window_next = 0
+
         t0 = time.perf_counter()
         total_rays = 0
+        first_time = None
         while self.quit_level == 0:
-            batch = self.source.next_batch(self.map_options.batch_size)
+            batch = self.source.next_batch(opts.batch_size)
             if batch is None:
                 break
             rays, timestamps, intensities = batch
-            n = mapper.integrate_rays(rays, intensities=intensities, timestamps=timestamps)
+            finish = False
+            if timestamps is not None and len(timestamps):
+                if first_time is None:
+                    first_time = float(timestamps[0])
+                # start_time / time_limit trim (reference: DataSource.h:79-83;
+                # SlamIOSource treats them relative to the first timestamp).
+                keep = np.ones(len(timestamps), bool)
+                if opts.start_time > 0:
+                    keep &= timestamps >= first_time + opts.start_time
+                if opts.time_limit > 0:
+                    over = timestamps > first_time + opts.start_time + opts.time_limit
+                    keep &= ~over
+                    finish |= bool(over.any())
+                if not keep.all():
+                    rays = rays.reshape(-1, 2, 3)[keep].reshape(-1, 3)
+                    timestamps = timestamps[keep]
+                    if intensities is not None:
+                        intensities = intensities[keep]
+            if opts.point_limit and total_rays + len(rays) // 2 >= opts.point_limit:
+                n_keep = opts.point_limit - total_rays
+                rays = rays[:2 * n_keep]
+                timestamps = timestamps[:n_keep] if timestamps is not None else None
+                intensities = intensities[:n_keep] if intensities is not None else None
+                finish = True
+            bs = RayStats()
+            bs.process_time_start = time.perf_counter() - t0
+            if len(rays):
+                n = mapper.integrate_rays(rays, intensities=intensities, timestamps=timestamps)
+            else:
+                n = 0
+            bs.process_time_end = time.perf_counter() - t0
+            if n and opts.stats_mode != "off":
+                lengths = np.linalg.norm(rays[1::2] - rays[0::2], axis=1)
+                bs.ray_length_minimum = float(lengths.min())
+                bs.ray_length_maximum = float(lengths.max())
+                bs.ray_length_total = float(lengths.sum())
+                bs.ray_count = n
+                if timestamps is not None and len(timestamps):
+                    bs.data_time_start = float(timestamps[0])
+                    bs.data_time_end = float(timestamps[-1])
+                if len(window) < 20:
+                    window.append(bs)
+                    window_next = len(window) % 20
+                else:
+                    window[window_next] = bs
+                    window_next = (window_next + 1) % 20
+                windowed = RayStats()
+                for w in window:
+                    windowed.merge(w)
+                if stats_csv is not None:
+                    stats_csv.write(windowed.csv_row() + "\n")
+                elif opts.stats_mode == "console" and not self.output.quiet:
+                    log.info("window: %d rays, %.0f rays/s (data %.0f/s), len %.2f-%.2f m",
+                             windowed.ray_count, windowed.process_rays_per_second(),
+                             windowed.data_rays_per_second(), windowed.ray_length_minimum,
+                             windowed.ray_length_maximum)
+                self.global_stats.merge(bs)
             total_rays += n
             progress.increment(n)
+            if finish:
+                break
         if hasattr(mapper, "sync_voxels"):
             mapper.sync_voxels()
         elapsed = time.perf_counter() - t0
         progress.join(display_final=not self.output.quiet)
+        if stats_csv is not None:
+            stats_csv.close()
+        if opts.stats_mode != "off" and not self.output.quiet and self.global_stats.ray_count:
+            # End-of-run global stats (reference: MapHarness.cpp:313-317).
+            log.info("Ray length minimum: %.4f", self.global_stats.ray_length_minimum)
+            log.info("Ray length maximum: %.4f", self.global_stats.ray_length_maximum)
+            log.info("Ray length average: %.4f", self.global_stats.ray_length_average())
 
         self.stats = {
             "rays": total_rays,

@@ -31,6 +31,14 @@ def build_parser():
     p.add_argument("--tsdf-max-weight", type=float, default=1e4)
     p.add_argument("--tsdf-truncation", type=float, default=0.1)
     p.add_argument("--ray-length-max", type=float, default=0.0)
+    p.add_argument("--point-limit", type=int, default=0,
+                   help="process at most this many sample points (0 = all)")
+    p.add_argument("--start-time", type=float, default=0.0,
+                   help="skip data before this offset from the first timestamp (s)")
+    p.add_argument("--time-limit", type=float, default=0.0,
+                   help="process at most this data-time interval (s)")
+    p.add_argument("--stats", choices=["off", "console", "csv"], default="off",
+                   help="ray statistics mode; csv writes <output>_stats.csv")
     p.add_argument("--batch-size", type=int, default=4096)
     p.add_argument("--device", choices=["tpu", "cpu"], default="tpu")
     p.add_argument("--arena-capacity", type=int, default=2048, help="device region arena capacity")
@@ -67,6 +75,8 @@ def main(argv=None):
         tsdf_max_weight=args.tsdf_max_weight, tsdf_truncation=args.tsdf_truncation,
         device=args.device, arena_capacity=args.arena_capacity,
         batch_size=args.batch_size, ray_length_max=args.ray_length_max,
+        point_limit=args.point_limit, start_time=args.start_time,
+        time_limit=args.time_limit, stats_mode=args.stats,
     )
     output = OutputOptions(base_name=base, save_map=not args.no_map,
                            save_cloud=not args.no_cloud, save_info=args.save_info,

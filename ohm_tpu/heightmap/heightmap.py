@@ -9,10 +9,14 @@ heights, and single-layer or multi-layer (sorted / unordered) extraction.
 Design note: the reference's planar and flood-fill walkers visit one column
 at a time; this implementation classifies the whole region of interest as a
 dense [X, Y, Z] grid and reduces every column in parallel (numpy today; the
-classification and reductions are jnp-compatible).  The flood-fill
-connectivity restriction of kSimpleFill/kLayeredFill is approximated by full
-coverage of the observed extents — every surface reachable by the reference
-fill is found, plus isolated surfaces the fill would not reach.
+classification and reductions are jnp-compatible).  Coverage of the fill
+modes equals the full extent rectangle in the reference too (neighbours are
+pushed whether or not a column found ground, Heightmap.cpp:619+626); what the
+fill changes is the SEARCH SEED — each column's floor/ceiling band tracks the
+visiting neighbour's ground height rather than the fixed reference plane
+(PlaneFillWalker open list carries the ground key).  kSimpleFill runs that
+BFS height propagation here; the layered modes keep the parallel full-column
+extraction (all candidates per column, a coverage-equal superset).
 """
 
 from __future__ import annotations
@@ -146,8 +150,10 @@ class Heightmap:
         if dense is None:
             return 0
 
-        if self.mode in (HeightmapMode.PLANAR, HeightmapMode.SIMPLE_FILL):
+        if self.mode == HeightmapMode.PLANAR:
             return self._extract_single(dense, reference_pos)
+        if self.mode == HeightmapMode.SIMPLE_FILL:
+            return self._extract_fill(dense, reference_pos)
         return self._extract_layered(dense, sort=self.mode == HeightmapMode.LAYERED_FILL)
 
     # ------------------------------------------------------------------ #
@@ -316,6 +322,66 @@ class Heightmap:
         zi = np.argmin(dist, axis=-1)
         has = np.isfinite(np.take_along_axis(dist, zi[..., None], axis=-1)[..., 0])
         return self._emit(dense, zi[..., None], has[..., None], virtual, clearance, layered=False)
+
+    def _extract_fill(self, dense: _Dense, reference_pos) -> int:
+        """kSimpleFill: 8-connected BFS over the plane where each column's
+        floor/ceiling search band is centred on the VISITING column's ground
+        height, so the heightmap follows terrain beyond the seed plane
+        (reference: Heightmap.cpp:608-626 + PlaneFillWalker — the open list
+        carries the ground key; findNearestSupportingVoxel searches around
+        the propagated walk key, not around the global reference height)."""
+        from collections import deque
+
+        axis = _AXIS_OF[self.up_axis]
+        up_sign = 1 if int(self.up_axis) >= 0 else -1
+        plane_axes = [i for i in range(3) if i != axis]
+        ref_h = float(np.asarray(reference_pos, np.float64)[axis]) * up_sign
+        candidates, virtual, clearance = self._candidates(dense)
+        h = dense.height
+        U, V, W = candidates.shape
+
+        # Seed column from the reference position (clamped into the ROI).
+        src = self._source
+        region, local = src.voxel_key(np.asarray(reference_pos, np.float64))
+        abs_v = np.asarray(region, np.int64) * src.region_voxel_dims + local
+        su = int(np.clip(abs_v[plane_axes[0]] - dense.vmin[plane_axes[0]], 0, U - 1))
+        sv = int(np.clip(abs_v[plane_axes[1]] - dense.vmin[plane_axes[1]], 0, V - 1))
+
+        visited = np.zeros((U, V), bool)
+        has = np.zeros((U, V), bool)
+        out_z = np.zeros((U, V), np.int64)
+        queue = deque([(su, sv, ref_h)])
+        visited[su, sv] = True
+        while queue:
+            u, v, h_seed = queue.popleft()
+            col_h = h[u, v]
+            band = np.ones(W, bool)
+            if self.floor > 0:
+                band &= col_h >= h_seed - self.floor
+            if self.ceiling > 0:
+                band &= col_h <= h_seed + self.ceiling
+            real = candidates[u, v] & band
+            virt = virtual[u, v] & band
+            # Virtual candidates count only without a real one (or below the
+            # seed height when promotion is enabled) — same gating as planar.
+            if real.any():
+                sel = real | (virt & (col_h < h_seed)) if self.virtual_surface_promotion else real
+            else:
+                sel = virt
+            h_next = h_seed
+            if sel.any():
+                dist = np.where(sel, np.abs(col_h - h_seed), np.inf)
+                z = int(np.argmin(dist))
+                has[u, v] = True
+                out_z[u, v] = z
+                h_next = float(col_h[z])
+            for du in (-1, 0, 1):
+                for dv in (-1, 0, 1):
+                    nu, nv = u + du, v + dv
+                    if (du or dv) and 0 <= nu < U and 0 <= nv < V and not visited[nu, nv]:
+                        visited[nu, nv] = True
+                        queue.append((nu, nv, h_next))
+        return self._emit(dense, out_z[..., None], has[..., None], virtual, clearance, layered=False)
 
     def _extract_layered(self, dense: _Dense, sort: bool) -> int:
         candidates, virtual, clearance = self._candidates(dense)

@@ -240,3 +240,51 @@ def test_ohmgen_generators():
     m2 = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
     slope(m2, (-1, -1, 0), (1, 1, 2), gradient=0.5)
     assert m2.voxel_value(point=[0.9, 0.0, 0.95]) >= m2.occupancy_threshold_value
+
+
+def test_ohmpop_stats_and_limits(scene, tmp_path):
+    """DataSource stats + point/time limits (reference: ohmapp/DataSource.h:75-87,
+    DataSource.cpp:135-157 CSV column order, SlamIOSource.cpp:207-212)."""
+    from ohm_tpu.app import ohmpop
+    from ohm_tpu.app.harness import MapHarness, MapOptions, OutputOptions, RayStats
+    from ohm_tpu.io.slam import SlamCloudLoader
+
+    base = str(tmp_path / "stats-map")
+    rc = ohmpop.main([scene["cloud"], scene["traj"], "-o", base, "--resolution", "0.2",
+                      "--device", "cpu", "--batch-size", "128", "--quiet",
+                      "--stats", "csv", "--point-limit", "300"])
+    assert rc == 0
+    with open(base + "_stats.csv") as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0] == RayStats.CSV_HEADER
+    assert len(lines) >= 2
+    last = lines[-1].split(",")
+    assert len(last) == 10
+    assert 0 < int(last[4]) <= 300  # windowed ray_count respects the limit
+    assert float(last[9]) > 0  # rays_per_second_process
+
+    # Precise limit + global stats through the harness surface.
+    source = SlamCloudLoader(scene["cloud"], scene["traj"])
+    h = MapHarness(
+        MapOptions(resolution=0.2, device="cpu", batch_size=128, point_limit=300,
+                   stats_mode="console"),
+        OutputOptions(base_name=str(tmp_path / "lim"), save_map=False,
+                      save_cloud=False, quiet=True), source)
+    assert h.run() == 0
+    assert h.stats["rays"] == 300
+    assert h.global_stats.ray_count == 300
+    assert 0 < h.global_stats.ray_length_minimum <= h.global_stats.ray_length_maximum
+    assert h.global_stats.ray_length_minimum <= h.global_stats.ray_length_average() \
+        <= h.global_stats.ray_length_maximum
+
+    # Time windowing: start_time skips early data, time_limit bounds the span.
+    source = SlamCloudLoader(scene["cloud"], scene["traj"])
+    h2 = MapHarness(
+        MapOptions(resolution=0.2, device="cpu", batch_size=128,
+                   start_time=2.0, time_limit=3.0, stats_mode="console"),
+        OutputOptions(base_name=str(tmp_path / "tlim"), save_map=False,
+                      save_cloud=False, quiet=True), source)
+    assert h2.run() == 0
+    assert 0 < h2.stats["rays"] < scene["n"]
+    span = h2.global_stats.data_time_end - h2.global_stats.data_time_start
+    assert span <= 3.0 + 1e-6

@@ -162,3 +162,46 @@ def test_heightmap_mesh():
     expected /= np.linalg.norm(expected)
     dots = mesh.vertex_normals @ expected
     assert np.median(dots) > 0.95
+
+
+def test_simple_fill_tracks_terrain_beyond_band():
+    """kSimpleFill seeds each column's search band at the visiting
+    neighbour's ground height (reference: Heightmap.cpp:608-626), so a steep
+    slope stays connected even when its far end lies outside the fixed
+    floor/ceiling band that defeats PLANAR mode."""
+    rng = np.random.default_rng(33)
+    m = build_floor_map(rng, slope=0.8, res=0.25)
+
+    def build(mode):
+        hm = Heightmap(min_clearance=0.5, up_axis=UpAxis.Z)
+        hm.mode = mode
+        hm.floor = 0.6   # tight band around the seed height
+        hm.ceiling = 0.6
+        hm.build_heightmap(m, reference_pos=(0, 0, 0.0))
+        return hm.surface_points()[0]
+
+    planar_pts = build(HeightmapMode.PLANAR)
+    fill_pts = build(HeightmapMode.SIMPLE_FILL)
+    # PLANAR clips the slope to |z| <= band; the fill follows it to the ends.
+    assert planar_pts[:, 2].max() < 0.8
+    assert fill_pts[:, 2].max() > 1.2
+    assert fill_pts[:, 2].min() < -1.2
+    # On-slope accuracy holds for the fill result.
+    err = np.abs(fill_pts[:, 2] - 0.8 * fill_pts[:, 0])
+    assert np.median(err) < m.resolution
+
+
+def test_simple_fill_matches_planar_on_flat_floor():
+    rng = np.random.default_rng(34)
+    m = build_floor_map(rng)
+    hm_p = Heightmap(min_clearance=1.0)
+    hm_p.build_heightmap(m, reference_pos=(0, 0, 1.0))
+    hm_f = Heightmap(min_clearance=1.0)
+    hm_f.mode = HeightmapMode.SIMPLE_FILL
+    hm_f.build_heightmap(m, reference_pos=(0, 0, 1.0))
+    p, _ = hm_p.surface_points()
+    f, _ = hm_f.surface_points()
+    assert len(p) == len(f)
+    order_p = np.lexsort(p.T)
+    order_f = np.lexsort(f.T)
+    np.testing.assert_allclose(p[order_p], f[order_f], atol=1e-6)
