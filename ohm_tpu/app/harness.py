@@ -55,6 +55,7 @@ class MapOptions:
     start_time: float = 0.0  # skip data before first_timestamp + start_time
     time_limit: float = 0.0  # process at most this data-time interval
     stats_mode: str = "off"  # off | console | csv
+    return_number_mode: str = "off"  # off | auto | explicit (dual returns)
 
 
 @dataclasses.dataclass
@@ -262,6 +263,18 @@ class MapHarness:
         window: list[RayStats] = []  # 20-deep ring (SlamIOSource.h:107)
         window_next = 0
 
+        # Dual returns: secondary samples feed a host-side stats mapper in
+        # addition to the primary (reference: OhmAppCpu.cpp:489-536 — the
+        # secondary mapper has no GPU equivalent, docs/docvoxellayers.md:113).
+        secondary_mapper = None
+        primary_flags = 0
+        if opts.return_number_mode != "off":
+            from ohm_tpu.core.rayflags import RayFlag
+            from ohm_tpu.oracle.secondary import RayMapperSecondarySample
+
+            secondary_mapper = RayMapperSecondarySample(self.map)
+            primary_flags = int(RayFlag.EXCLUDE_ORIGIN)
+
         t0 = time.perf_counter()
         total_rays = 0
         first_time = None
@@ -269,7 +282,7 @@ class MapHarness:
             batch = self.source.next_batch(opts.batch_size)
             if batch is None:
                 break
-            rays, timestamps, intensities = batch
+            rays, timestamps, intensities, return_numbers = batch
             finish = False
             if timestamps is not None and len(timestamps):
                 if first_time is None:
@@ -288,16 +301,24 @@ class MapHarness:
                     timestamps = timestamps[keep]
                     if intensities is not None:
                         intensities = intensities[keep]
+                    if return_numbers is not None:
+                        return_numbers = return_numbers[keep]
             if opts.point_limit and total_rays + len(rays) // 2 >= opts.point_limit:
                 n_keep = opts.point_limit - total_rays
                 rays = rays[:2 * n_keep]
                 timestamps = timestamps[:n_keep] if timestamps is not None else None
                 intensities = intensities[:n_keep] if intensities is not None else None
+                return_numbers = return_numbers[:n_keep] if return_numbers is not None else None
                 finish = True
             bs = RayStats()
             bs.process_time_start = time.perf_counter() - t0
             if len(rays):
-                n = mapper.integrate_rays(rays, intensities=intensities, timestamps=timestamps)
+                use_dual = secondary_mapper is not None and return_numbers is not None
+                n = mapper.integrate_rays(rays, intensities=intensities, timestamps=timestamps,
+                                          ray_update_flags=primary_flags if use_dual else 0)
+                if use_dual and return_numbers.any():
+                    sec = return_numbers != 0
+                    secondary_mapper.integrate_rays(rays.reshape(-1, 2, 3)[sec].reshape(-1, 3))
             else:
                 n = 0
             bs.process_time_end = time.perf_counter() - t0

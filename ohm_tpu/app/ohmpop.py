@@ -39,6 +39,8 @@ def build_parser():
                    help="process at most this data-time interval (s)")
     p.add_argument("--stats", choices=["off", "console", "csv"], default="off",
                    help="ray statistics mode; csv writes <output>_stats.csv")
+    p.add_argument("--return-number-mode", choices=["off", "auto", "explicit"], default="off",
+                   help="dual-return handling: secondary samples layer + stats")
     p.add_argument("--batch-size", type=int, default=4096)
     p.add_argument("--device", choices=["tpu", "cpu"], default="tpu")
     p.add_argument("--arena-capacity", type=int, default=2048, help="device region arena capacity")
@@ -62,7 +64,8 @@ def main(argv=None):
 
     base = args.output or os.path.splitext(args.cloud)[0]
     source = SlamCloudLoader(args.cloud, args.trajectory, ray_cloud=args.ray_cloud,
-                             fixed_origin=args.sensor)
+                             fixed_origin=args.sensor,
+                             return_number_mode=args.return_number_mode)
     map_options = MapOptions(
         resolution=args.resolution, region_dim=args.dim,
         hit_probability=args.hit, miss_probability=args.miss,
@@ -77,6 +80,7 @@ def main(argv=None):
         batch_size=args.batch_size, ray_length_max=args.ray_length_max,
         point_limit=args.point_limit, start_time=args.start_time,
         time_limit=args.time_limit, stats_mode=args.stats,
+        return_number_mode=args.return_number_mode,
     )
     output = OutputOptions(base_name=base, save_map=not args.no_map,
                            save_cloud=not args.no_cloud, save_info=args.save_info,

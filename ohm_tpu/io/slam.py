@@ -62,6 +62,10 @@ def load_cloud(filename: str):
                 break
         if "intensity" in props:
             out["intensities"] = np.asarray(props["intensity"], np.float32)
+        for rname in ("return_number", "returnnumber", "return_num"):
+            if rname in props:
+                out["return_numbers"] = np.asarray(props[rname], np.uint8)
+                break
         if all(k in props for k in ("nx", "ny", "nz")):
             out["normals"] = np.column_stack([props["nx"], props["ny"], props["nz"]]).astype(np.float32)
         return out
@@ -175,12 +179,25 @@ class SlamCloudLoader:
     """
 
     def __init__(self, cloud_file: str, trajectory_file: str | None = None,
-                 ray_cloud: bool = False, fixed_origin=(0.0, 0.0, 0.0)):
+                 ray_cloud: bool = False, fixed_origin=(0.0, 0.0, 0.0),
+                 return_number_mode: str = "off"):
         self.cloud = load_cloud(cloud_file)
         self.ray_cloud = ray_cloud
         self.fixed_origin = np.asarray(fixed_origin, np.float64)
         self.trajectory = load_trajectory(trajectory_file) if trajectory_file else None
         self._cursor = 0
+        # Dual-return handling (reference: ohmapp/DataSource.h ReturnNumberMode,
+        # slamio/SlamCloudLoader.cpp:376-413): "explicit" uses a return_number
+        # channel; "auto" additionally infers — consecutive samples sharing a
+        # timestamp are marked as second returns.
+        self.return_numbers = None
+        if return_number_mode != "off":
+            self.return_numbers = self.cloud.get("return_numbers")
+            times = self.cloud.get("timestamps")
+            if self.return_numbers is None and return_number_mode == "auto" and times is not None:
+                same = np.zeros(len(times), bool)
+                same[1:] = times[1:] == times[:-1]
+                self.return_numbers = same.astype(np.uint8)
 
         pts = self.cloud["points"]
         times = self.cloud.get("timestamps")
@@ -201,7 +218,9 @@ class SlamCloudLoader:
         return len(self.cloud["points"])
 
     def next_batch(self, batch_size: int):
-        """Next (rays, timestamps, intensities) batch or None when exhausted."""
+        """Next (rays, timestamps, intensities, return_numbers) batch or None
+        when exhausted.  return_numbers is None unless dual-return handling is
+        enabled (nonzero = secondary return)."""
         pts = self.cloud["points"]
         if self._cursor >= len(pts):
             return None
@@ -216,7 +235,8 @@ class SlamCloudLoader:
         intensities = self.cloud.get("intensities")
         return (rays,
                 times[sl] if times is not None else None,
-                intensities[sl] if intensities is not None else None)
+                intensities[sl] if intensities is not None else None,
+                self.return_numbers[sl] if self.return_numbers is not None else None)
 
     def reset(self):
         self._cursor = 0

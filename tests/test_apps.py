@@ -123,7 +123,7 @@ def test_slam_loader_interpolates(scene):
     loader = SlamCloudLoader(scene["cloud"], scene["traj"])
     assert loader.point_count == scene["n"]
     batch = loader.next_batch(100)
-    rays, times, _ = batch
+    rays, times, _, _ = batch
     # Origins interpolated along the sensor path: z == 1, x in path range.
     origins = rays[0::2]
     np.testing.assert_allclose(origins[:, 2], 1.0, atol=1e-9)
@@ -288,3 +288,33 @@ def test_ohmpop_stats_and_limits(scene, tmp_path):
     assert 0 < h2.stats["rays"] < scene["n"]
     span = h2.global_stats.data_time_end - h2.global_stats.data_time_start
     assert span <= 3.0 + 1e-6
+
+
+def test_dual_returns_secondary_samples(scene, tmp_path):
+    """ReturnNumberMode auto: consecutive same-timestamp samples become
+    secondary returns feeding the secondary-samples layer
+    (reference: OhmAppCpu.cpp:489-536, slamio/SlamCloudLoader.cpp:404-413)."""
+    import numpy as np
+    from ohm_tpu.app import ohmpop
+    from ohm_tpu.io import load
+    from ohm_tpu.core.layout import SECONDARY_SAMPLES_LAYER
+
+    # Duplicate every 4th timestamp to fabricate dual returns.
+    from ohm_tpu.io.ply import load_ply
+    props = load_ply(scene["cloud"])
+    t = np.asarray(props["time"]).copy()
+    t[1::4] = t[0::4][: len(t[1::4])]
+    pts = np.column_stack([props["x"], props["y"], props["z"]])
+    dual_cloud = str(tmp_path / "dual.ply")
+    _write_timed_ply(dual_cloud, pts, np.sort(t))
+
+    base = str(tmp_path / "dual-map")
+    rc = ohmpop.main([dual_cloud, scene["traj"], "-o", base, "--resolution", "0.2",
+                      "--device", "cpu", "--batch-size", "256", "--quiet",
+                      "--return-number-mode", "auto", "--no-cloud"])
+    assert rc == 0
+    m, _ = load(base + ".ohm")
+    sec_idx = m.layer_index(SECONDARY_SAMPLES_LAYER)
+    assert sec_idx >= 0
+    total = sum(int(c.layers[sec_idx]["count"].sum()) for c in m.chunks.values())
+    assert total > 0
