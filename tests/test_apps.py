@@ -318,3 +318,23 @@ def test_dual_returns_secondary_samples(scene, tmp_path):
     assert sec_idx >= 0
     total = sum(int(c.layers[sec_idx]["count"].sum()) for c in m.chunks.values())
     assert total > 0
+
+
+def test_ray_stats_window_ring():
+    """RayStats merge + 20-deep window semantics (DataSource.cpp:106-121)."""
+    from ohm_tpu.app.harness import RayStats
+
+    g = RayStats()
+    for i in range(25):
+        b = RayStats(process_time_start=float(i), process_time_end=float(i + 1),
+                     data_time_start=float(i), data_time_end=float(i + 1),
+                     ray_length_minimum=1.0 + i, ray_length_maximum=2.0 + i,
+                     ray_length_total=10.0, ray_count=10)
+        g.merge(b)
+    assert g.ray_count == 250
+    assert g.ray_length_minimum == 1.0
+    assert g.ray_length_maximum == 26.0
+    assert abs(g.ray_length_average() - 1.0) < 1e-9
+    assert g.data_time() == 25.0
+    row = g.csv_row().split(",")
+    assert len(row) == 10 and int(row[4]) == 250

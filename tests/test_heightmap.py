@@ -205,3 +205,22 @@ def test_simple_fill_matches_planar_on_flat_floor():
     order_p = np.lexsort(p.T)
     order_f = np.lexsort(f.T)
     np.testing.assert_allclose(p[order_p], f[order_f], atol=1e-6)
+
+
+def test_simple_fill_virtual_surfaces():
+    """BFS fill keeps the planar virtual-surface gating: virtual candidates
+    only in columns without a real one (Heightmap.h:67-71)."""
+    rng = np.random.default_rng(35)
+    m = build_floor_map(rng, hole=True)
+    hm = Heightmap(min_clearance=0.5)
+    hm.mode = HeightmapMode.SIMPLE_FILL
+    hm.generate_virtual_surfaces = True
+    n = hm.build_heightmap(m, reference_pos=(0, 0, 1.0))
+    assert n > 0
+    pts, kinds = hm.surface_points()
+    # The hole yields virtual surfaces; the floor yields real ones.
+    assert (kinds == HeightmapVoxelType.VIRTUAL_SURFACE).any()
+    assert (kinds == HeightmapVoxelType.SURFACE).any()
+    virt = pts[kinds == HeightmapVoxelType.VIRTUAL_SURFACE]
+    # Virtual cells sit over the hole (|x|,|y| < ~0.75 with margin).
+    assert np.all(np.abs(virt[:, :2]) < 1.0)
