@@ -338,3 +338,30 @@ def test_ray_stats_window_ring():
     assert g.data_time() == 25.0
     row = g.csv_row().split(",")
     assert len(row) == 10 and int(row[4]) == 250
+
+
+def test_timing_run_script(scene, tmp_path):
+    """scripts/timing_run.py end-to-end on the CPU oracle (reference
+    analogue: scripts/ohm-timing-run.py matrix + ohm-parse-timing.py)."""
+    import csv
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "timing_run", _os.path.join(_os.path.dirname(__file__), "..", "scripts", "timing_run.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    assert mod.main(["--cloud", scene["cloud"], "--traj", scene["traj"],
+                     "--device", "cpu", "--dry-run"]) == 0
+    out = str(tmp_path / "timing.csv")
+    assert mod.main(["--cloud", scene["cloud"], "--traj", scene["traj"],
+                     "--device", "cpu", "--mode", "occupancy",
+                     "--resolution", "0.25", "--point-limit", "200",
+                     "-o", out]) == 0
+    with open(out) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 1
+    assert rows[0]["device"] == "cpu"
+    assert int(rows[0]["rays"]) == 200
+    assert float(rows[0]["rays_per_sec"]) > 0
