@@ -212,3 +212,64 @@ def test_ndt_tm_layers():
         assert np.abs(ha - hb).max() <= max(2, int(0.1 * ha.max()))
         checked += int(active.sum())
     assert checked > 0
+
+
+def _surface_rays(samples, sensor):
+    rays = np.empty((2 * len(samples), 3))
+    rays[0::2] = sensor
+    rays[1::2] = samples
+    return rays
+
+
+@pytest.mark.parametrize("geometry", ["cylinder", "sphere"])
+def test_ndt_miss_geometry(geometry):
+    """Cylindrical / spherical NDT miss geometry (reference:
+    tests/ohmtest/NdtTests.cpp:206-410 ndt-miss cylinder/sphere cases):
+    grazing rays that pass tangentially through surface voxels must erode
+    an established curved surface far less than plain occupancy misses,
+    because the voxel Gaussians lie off the ray axis."""
+    rng = np.random.default_rng(11)
+    m = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    tpu = TpuNdtMap(m, NdtParams(), capacity=128, validate=True)
+    n = 400
+    if geometry == "cylinder":
+        # Vertical cylinder wall, radius 1, |z| <= 0.5; scanned from centre.
+        ang = rng.uniform(0, 2 * np.pi, n)
+        z = rng.uniform(-0.5, 0.5, n)
+        samples = np.column_stack([np.cos(ang), np.sin(ang), z])
+        samples[:, :2] *= 1.0 + rng.normal(0, 0.005, n)[:, None]
+        sensor = (0.0, 0.0, 0.0)
+        probe = samples[0]
+    else:
+        # Sphere shell, radius 1, scanned from centre.
+        v = rng.normal(size=(n, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        samples = v * (1.0 + rng.normal(0, 0.005, n)[:, None])
+        sensor = (0.0, 0.0, 0.0)
+        probe = samples[0]
+    tpu.integrate_rays(_surface_rays(samples, sensor))
+    tpu.sync_voxels()
+    v_before = m.voxel_value(point=probe)
+    assert v_before >= m.occupancy_threshold_value
+
+    # Grazing rays: tangent to the surface at the probe point, passing just
+    # outside the Gaussian mean but through the same voxels.
+    k = 40
+    normal = probe / np.linalg.norm(probe)
+    tang = np.cross(normal, [0.0, 0.0, 1.0])
+    if np.linalg.norm(tang) < 1e-6:
+        tang = np.cross(normal, [0.0, 1.0, 0.0])
+    tang /= np.linalg.norm(tang)
+    start = probe + 0.11 * normal - 2.0 * tang
+    ends = probe[None, :] + 0.11 * normal + tang[None, :] * (
+        2.0 + rng.uniform(0, 0.5, k))[:, None]
+    graze = np.empty((2 * k, 3))
+    graze[0::2] = start
+    graze[1::2] = ends
+    tpu.integrate_rays(graze)
+    tpu.sync_voxels()
+    v_after = m.voxel_value(point=probe)
+    # Plain occupancy misses would drop the value by up to k * miss; the
+    # NDT-weighted erosion must be much milder (reference asserts the
+    # surface voxel survives).
+    assert v_after > v_before + 0.5 * k * np.float32(m.miss_value)

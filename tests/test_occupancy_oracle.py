@@ -186,3 +186,30 @@ def test_timestamps_touch_time():
     idx = int(m.voxel_index(local))
     touch = chunk.layers[m.layer_index("touch_time")]["touch"][idx]
     assert subvoxel.decode_touch_time(m.first_ray_time, touch) == pytest.approx(101.5, abs=0.002)
+
+
+def test_clip_bounded_filter_semantics():
+    """AABB clip filter (reference: ohm/RayFilter.cpp:60-78 clipBounded):
+    rays clip to the box, outside voxels stay unobserved, and a clipped
+    sample end integrates as FREE, not a hit."""
+    from ohm_tpu.core.filters import clip_bounded_filter
+    from ohm_tpu.core.rayflags import RayFilterFlag
+
+    box_min, box_max = (-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)
+    starts = np.array([[0.0, 0, 0], [0.0, 0, 0], [3.0, 3, 3]])
+    ends = np.array([[5.0, 0, 0], [0.5, 0, 0], [4.0, 4, 4]])
+    s2, e2, flags, ok = clip_bounded_filter(starts, ends, box_min, box_max)
+    assert ok[0] and ok[1] and not ok[2]  # fully-outside ray rejected
+    np.testing.assert_allclose(e2[0], [1.0, 0, 0])  # clipped to the box wall
+    assert flags[0] & RayFilterFlag.CLIPPED_END
+    assert flags[1] == 0  # untouched ray unflagged
+
+    m = OccupancyMap(resolution=0.2)
+    m.ray_filter = lambda s, e: clip_bounded_filter(s, e, box_min, box_max)
+    mapper = RayMapperOccupancy(m)
+    mapper.integrate_rays(np.array([[0.0, 0, 0], [5.0, 0, 0]]))
+    # Clipped end voxel (wall at x=1) integrates as free, not occupied.
+    assert m.voxel_value(point=[0.9, 0, 0]) < 0
+    # Beyond the box: unobserved.
+    assert not np.isfinite(m.voxel_value(point=[1.5, 0, 0]))
+    assert not np.isfinite(m.voxel_value(point=[4.9, 0, 0]))
