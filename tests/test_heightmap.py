@@ -224,3 +224,37 @@ def test_simple_fill_virtual_surfaces():
     virt = pts[kinds == HeightmapVoxelType.VIRTUAL_SURFACE]
     # Virtual cells sit over the hole (|x|,|y| < ~0.75 with margin).
     assert np.all(np.abs(virt[:, :2]) < 1.0)
+
+
+@pytest.mark.parametrize("axis", [UpAxis.X, UpAxis.NEG_X, UpAxis.Y, UpAxis.NEG_Y])
+def test_up_axis_xy(axis):
+    """±X/±Y up axes (reference: HeightmapTests.cpp axis sweep): a wall
+    perpendicular to the up axis becomes the 'floor' of the heightmap."""
+    rng = np.random.default_rng(36)
+    m = OccupancyMap(resolution=0.25, flags=MapFlag.VOXEL_MEAN)
+    mapper = RayMapperOccupancy(m)
+    a = {UpAxis.X: 0, UpAxis.NEG_X: 0, UpAxis.Y: 1, UpAxis.NEG_Y: 1}[axis]
+    sign = 1 if int(axis) >= 0 else -1
+    # Wall at up-coordinate 0, spanning the other two axes; scan from "above"
+    # (up-positive side).
+    uv = rng.uniform(-1.5, 1.5, (300, 2))
+    pts = np.zeros((300, 3))
+    other = [i for i in range(3) if i != a]
+    pts[:, other[0]] = uv[:, 0]
+    pts[:, other[1]] = uv[:, 1]
+    sensor = np.zeros(3)
+    sensor[a] = 2.0 * sign
+    rays = np.empty((600, 3))
+    rays[0::2] = sensor
+    rays[1::2] = pts
+    mapper.integrate_rays(rays)
+
+    hm = Heightmap(min_clearance=0.5, up_axis=axis)
+    ref = np.zeros(3)
+    ref[a] = 1.0 * sign
+    n = hm.build_heightmap(m, reference_pos=ref)
+    assert n > 50
+    hpts, kinds = hm.surface_points()
+    assert np.all(kinds == HeightmapVoxelType.SURFACE)
+    # Surface sits at up-coordinate ~0 regardless of axis/sign.
+    assert np.abs(hpts[:, a]).max() < m.resolution
