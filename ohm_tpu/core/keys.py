@@ -157,3 +157,32 @@ def unpack_region_key(packed):
         field = (p >> (16 * axis)) & 0xFFFF
         out[..., axis] = ((field + 0x8000) & 0xFFFF) - 0x8000
     return out
+
+
+def range_between(region_a, local_a, region_b, local_b, region_voxel_dims):
+    """Signed voxel-count difference b - a per axis.
+
+    Reference parity: OccupancyMap::rangeBetween (ohm/OccupancyMap.cpp) /
+    KeyRange extents, used by the heightmap walkers and key iteration.
+    """
+    a = key_to_abs(np.asarray(region_a), np.asarray(local_a), region_voxel_dims)
+    b = key_to_abs(np.asarray(region_b), np.asarray(local_b), region_voxel_dims)
+    return b - a
+
+
+def key_range(min_region, min_local, max_region, max_local, region_voxel_dims):
+    """All (region, local) keys in the inclusive box [min_key, max_key],
+    x-fastest (reference: ohm/KeyRange.h iteration order).
+
+    Returns (regions [N,3] int32, locals [N,3] uint8).  Sized for query/
+    heightmap extents — not for streaming whole maps.
+    """
+    diff = range_between(min_region, min_local, max_region, max_local,
+                         region_voxel_dims) + 1
+    if np.any(diff <= 0):
+        return (np.zeros((0, 3), np.int32), np.zeros((0, 3), np.uint8))
+    base = key_to_abs(np.asarray(min_region), np.asarray(min_local), region_voxel_dims)
+    zz, yy, xx = np.meshgrid(np.arange(diff[2]), np.arange(diff[1]),
+                             np.arange(diff[0]), indexing="ij")
+    abs_coords = base + np.column_stack([xx.ravel(), yy.ravel(), zz.ravel()])
+    return abs_to_key(abs_coords, region_voxel_dims)

@@ -76,3 +76,24 @@ def test_neighbouring_voxel_keys_step_regions():
     region, local = m.voxel_key(pts)
     abs_coord = keymath.key_to_abs(region, local, m.region_voxel_dims)
     np.testing.assert_array_equal(np.diff(abs_coord[:, 0]), 1)
+
+
+def test_key_range_iteration():
+    """KeyRange box iteration, x-fastest (reference: ohm/KeyRange.h)."""
+    from ohm_tpu.core.keys import key_range, range_between, abs_to_key
+
+    dims = np.array([32, 32, 32])
+    r0, l0 = abs_to_key(np.array([30, 31, 0]), dims)   # crosses a region edge
+    r1, l1 = abs_to_key(np.array([33, 33, 1]), dims)
+    assert tuple(range_between(r0, l0, r1, l1, dims)) == (3, 2, 1)
+    regions, locals_ = key_range(r0, l0, r1, l1, dims)
+    assert len(regions) == 4 * 3 * 2
+    # First step advances x; region rollover happens at x=32.
+    abs_all = regions.astype(np.int64) * dims + locals_
+    assert tuple(abs_all[0]) == (30, 31, 0)
+    assert tuple(abs_all[1]) == (31, 31, 0)
+    assert tuple(abs_all[2]) == (32, 31, 0)
+    assert tuple(abs_all[-1]) == (33, 33, 1)
+    # Degenerate: inverted range is empty.
+    empty_r, _ = key_range(r1, l1, r0, l0, dims)
+    assert len(empty_r) == 0
