@@ -449,5 +449,14 @@ def load_header(filename: str) -> tuple[dict, tuple, Optional[MapLayout], dict]:
         stream = _InStream(f, compress=True)
         version, header = _read_header(stream)
         info = _load_map_info(stream) if version >= (0, 2, 0) else {}
-        layout = _load_layout(stream)
+        if version == (0, 0, 0):
+            # v0 files carry no layout section (the chunk payload follows the
+            # header directly); synthesise the fixed occupancy+clearance
+            # layout, as the reference loadHeader does
+            # (ohm/MapSerialise.cpp:744-752).
+            layout = MapLayout()
+            layout.add_occupancy()
+            layout.add_clearance()
+        else:
+            layout = _load_layout(stream)
         return header, version, layout, info

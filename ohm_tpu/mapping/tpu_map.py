@@ -74,6 +74,7 @@ class TpuRayMapper:
             layer_names.append("incident")
 
         self.arena = VoxelArena(capacity, self.region_shift, layer_names, scatter_pad=scatter_pad)
+        self._config(0)  # validate int32 addressing headroom at construction
         self._stats = {"rays": 0, "segments": 0, "batches": 0, "missed_updates": 0, "overflow": 0}
         self._pending_stats = []
 

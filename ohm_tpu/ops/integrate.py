@@ -74,6 +74,20 @@ class IntegrateConfig:
     #: for non-segment-last records (see _segment_apply).
     scatter_pad: int = 1 << 22
 
+    def __post_init__(self):
+        # Flat arena addresses and split-phase sort keys are int32; the key
+        # packs (flat << 1 | hit_bit), so the sentinel itself needs headroom:
+        # capacity * voxels_per_region must stay below 2^30, and the scratch
+        # tail (pad_base + scatter_pad) below 2^31.
+        sentinel = self.capacity * (1 << (3 * self.region_shift))
+        if ((sentinel << 1) | 1) > 2**31 - 1:
+            raise ValueError(
+                f"arena capacity {self.capacity} x {1 << (3 * self.region_shift)} voxels/region "
+                f"overflows the int32 sort key (need capacity * voxels_per_region < 2^30)")
+        if sentinel + 1 + self.scatter_pad > 2**31 - 1:
+            raise ValueError(
+                f"arena + scatter_pad ({sentinel + 1 + self.scatter_pad}) overflows int32 addressing")
+
     @property
     def voxels_per_region(self) -> int:
         return 1 << (3 * self.region_shift)
@@ -349,13 +363,28 @@ def integrate_occupancy(arena: dict, batch: dict, cfg: IntegrateConfig):
 
     # kRfStopOnFirstOccupied: suppress occupancy adjustments after the first
     # initially-occupied voxel along each ray (batch-start state).  The walk
-    # itself continues (the reference's visit still accumulates traversal).
+    # itself continues (the reference's visit still accumulates traversal —
+    # ohm/RayMapperOccupancy.cpp:171-183), and the stop is set *after* the
+    # occupied voxel's own miss adjustment.  The stop must carry across the
+    # host's ray segmentation: segments of one ray are contiguous in the
+    # batch with exclude_start marking the first, so a segmented OR-scan over
+    # the segment axis propagates "an earlier segment saw an occupied voxel".
     if flags & RayFlag.STOP_ON_FIRST_OCCUPIED:
         occ_at = arena["occupancy"][walk_flat]
         occupied = ~_unobserved(occ_at) & (occ_at >= jnp.float32(cfg.occupancy_threshold)) & rec_valid
         seen_before = jnp.cumsum(occupied.astype(jnp.int32), axis=1) - occupied.astype(jnp.int32)
-        stop_mask = seen_before > 0
-        ray_stopped = jnp.any(occupied, axis=1)
+        seg_occ = jnp.any(occupied, axis=1)
+        is_first_seg = b["exclude_start"]
+
+        def _seg_or(a, c):
+            (va, fa), (vc, fc) = a, c
+            return jnp.where(fc, vc, va | vc), fa | fc
+
+        stopped_inc, _ = jax.lax.associative_scan(_seg_or, (seg_occ, is_first_seg))
+        prev_stopped = jnp.concatenate([jnp.zeros((1,), bool), stopped_inc[:-1]])
+        prev_stopped = jnp.where(is_first_seg, False, prev_stopped)
+        stop_mask = (seen_before > 0) | prev_stopped[:, None]
+        ray_stopped = stopped_inc
     else:
         stop_mask = None
         ray_stopped = jnp.zeros((B,), bool)
@@ -496,9 +525,18 @@ def integrate_occupancy(arena: dict, batch: dict, cfg: IntegrateConfig):
         jnp.sum(jnp.where(rec_valid & walk_missed, 1, 0))
         + jnp.sum(jnp.where(end_active & end_missed, 1, 0))
     ).astype(jnp.int32)
+    # Records applied locally.  Single-device: applied + missed == active and
+    # missed must be 0.  Sharded: non-owned records intentionally miss, and
+    # the invariant becomes sum_over_shards(applied) == active (each record
+    # applied on exactly one shard) — see parallel.sharded.
+    applied_updates = (
+        jnp.sum(jnp.where(rec_valid & ~walk_missed, 1, 0))
+        + jnp.sum(jnp.where(end_active & ~end_missed, 1, 0))
+    ).astype(jnp.int32)
 
     stats = {
         "missed_updates": missed_updates,
+        "applied_updates": applied_updates,
         "overflow": jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0)).astype(jnp.int32),
         "touched": jnp.sum((last & (ids_sorted != cfg.sentinel)).astype(jnp.int32)),
     }

@@ -155,4 +155,25 @@ def _batch_keys():
 
 
 def _stats_keys():
-    return ["missed_updates", "overflow", "touched"]
+    return ["missed_updates", "applied_updates", "overflow", "touched"]
+
+
+def check_sharded_coverage(stats) -> None:
+    """Validate the multichip write-once invariant.
+
+    Single-device 'missed_updates == 0' is meaningless here: records touching
+    regions owned by other shards intentionally resolve to the sentinel and
+    count as missed on every non-owner.  The sharded invariant is instead
+    that each active record is applied on exactly ONE shard:
+    sum_over_shards(applied) == active, where active = applied + missed on
+    any single shard (ray geometry is replicated, so active counts are
+    shard-invariant).
+    """
+    applied = np.asarray(stats["applied_updates"]).reshape(-1)
+    missed = np.asarray(stats["missed_updates"]).reshape(-1)
+    active = int(applied[0] + missed[0])
+    total_applied = int(applied.sum())
+    if total_applied != active:
+        raise AssertionError(
+            f"sharded coverage broken: {total_applied} records applied across "
+            f"shards but {active} active (each record must apply exactly once)")

@@ -65,7 +65,11 @@ def _rays_query_device(arena_state, batch, cfg):
     occ_prefix = jnp.cumsum(occupied.astype(jnp.int32), axis=1) - occupied.astype(jnp.int32)
     visited = valid & (occ_prefix == 0)
 
-    vol = jnp.where(visited & unobs, exits ** 3 - enters ** 3, 0.0).sum(axis=1)
+    # Unobserved volume cubes ray-GLOBAL ranges (reference:
+    # ohm/RaysQuery.cpp:147-149, RaysQuery.cl:114); segment-local enter/exit
+    # must be offset by the segment's start distance t0 before cubing.
+    t0 = b["t0"][:, None]
+    vol = jnp.where(visited & unobs, (t0 + exits) ** 3 - (t0 + enters) ** 3, 0.0).sum(axis=1)
     # range = exit of the last visited non-occupied voxel.
     not_occ_visit = visited & ~occupied
     range_local = jnp.max(jnp.where(not_occ_visit, exits, 0.0), axis=1)

@@ -49,6 +49,17 @@ def test_rays_query_hits_wall(wall_map):
     assert q.unobserved_volumes[1] == pytest.approx(0.0, abs=1e-6)
 
 
+def test_rays_query_unobserved_volume_global_ranges(wall_map):
+    # The unobserved volume cubes ray-global ranges (ohm/RaysQuery.cpp:147-149):
+    # a 10 m ray through wholly unobserved space yields ~10^3, even though the
+    # ray is split into several device segments.
+    q = RaysQuery(wall_map, volume_coefficient=1.0)
+    q.set_rays(np.array([[0.0, 50.0, 0.0], [10.0, 50.0, 0.0]]))
+    q.execute()
+    assert q.terminal_states[0] == OccupancyType.UNOBSERVED
+    assert q.unobserved_volumes[0] == pytest.approx(1000.0, rel=0.05)
+
+
 def test_rays_query_long_ray_segments(wall_map):
     # A ray much longer than a region edge exercises segment stitching.
     q = RaysQuery(wall_map)

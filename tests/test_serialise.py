@@ -122,6 +122,17 @@ def test_load_reference_maps(name, version):
 
 
 @pytest.mark.skipif(not os.path.isdir(REFERENCE_DATA), reason="reference checkout unavailable")
+def test_load_header_v0_synthesises_layout():
+    # v0 files carry no layout section; load_header must synthesise the
+    # occupancy+clearance default rather than misreading chunk bytes
+    # (reference: ohm/MapSerialise.cpp:744-752).
+    header, version, layout, info = load_header(os.path.join(REFERENCE_DATA, "test-map.0.ohm"))
+    assert version == (0, 0, 0)
+    assert header["region_count"] > 0
+    assert [l.name for l in layout] == ["occupancy", "clearance"]
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_DATA), reason="reference checkout unavailable")
 def test_reference_map_round_trip_via_v05():
     """Load a reference-written map and re-save in v0.5; reload must match."""
     m, _ = load(os.path.join(REFERENCE_DATA, "test-map.0.4.0.ohm"))

@@ -269,3 +269,39 @@ def test_stop_on_first_occupied_batchwise():
     tpu.sync_voxels()
     compare_occupancy(cpu_map, dev_map, tolerance=1e-5)
     assert np.isinf(dev_map.voxel_value(point=[2.0, 0, 0]))
+
+
+def test_stop_on_first_occupied_across_segments():
+    # A clearing ray longer than one region edge is split into several
+    # device segments (0.1 m res -> 3.2 m edge; the ray runs 6 m).  The stop
+    # at the 1 m wall must suppress miss updates in *later* segments too —
+    # voxels behind the wall stay unobserved (reference: stop_adjustments is
+    # per ray, ohm/RayMapperOccupancy.cpp:183).
+    m_kwargs = {"resolution": 0.1, "flags": MapFlag.NONE}
+    cpu_map = OccupancyMap(**m_kwargs)
+    dev_map = OccupancyMap(**m_kwargs)
+    oracle = RayMapperOccupancy(cpu_map)
+    tpu = TpuRayMapper(dev_map, capacity=64, validate=True)
+    wall = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    for _ in range(3):
+        oracle.integrate_rays(wall)
+        tpu.integrate_rays(wall)
+    clearing = np.array([[0.0, 0.0, 0.0], [6.0, 0.0, 0.0]])
+    flags = RayFlag.STOP_ON_FIRST_OCCUPIED | RayFlag.EXCLUDE_SAMPLE
+    oracle.integrate_rays(clearing, ray_update_flags=flags)
+    tpu.integrate_rays(clearing, ray_update_flags=flags)
+    tpu.sync_voxels()
+    compare_occupancy(cpu_map, dev_map, tolerance=1e-5)
+    # Voxels beyond the wall (in segments 2 and 3 of the clearing ray) must
+    # be untouched on both maps.
+    for x in (2.0, 4.0, 5.5):
+        assert np.isinf(dev_map.voxel_value(point=[x, 0, 0])), x
+        assert np.isinf(cpu_map.voxel_value(point=[x, 0, 0])), x
+    # A second, unobstructed clearing ray in the same batch keeps clearing.
+    two = np.array([[0.0, 1.0, 0.0], [6.0, 1.0, 0.0],
+                    [0.0, 0.0, 0.0], [6.0, 0.0, 0.0]])
+    oracle.integrate_rays(two, ray_update_flags=flags)
+    tpu.integrate_rays(two, ray_update_flags=flags)
+    tpu.sync_voxels()
+    compare_occupancy(cpu_map, dev_map, tolerance=1e-5)
+    assert dev_map.voxel_value(point=[5.5, 1.0, 0]) < 0
