@@ -13,6 +13,8 @@ from ohm_tpu.heightmap.heightmap import (
     HeightmapMode,
     UpAxis,
     HeightmapVoxelType,
+    HeightmapVoxelLayer,
+    HVF_OBSERVED_ABOVE,
     add_heightmap_layer,
 )
 from ohm_tpu.heightmap.mesh import HeightmapMesh

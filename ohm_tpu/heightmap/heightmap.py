@@ -70,6 +70,23 @@ class HeightmapVoxelType(IntEnum):
     FENCE = 4
 
 
+class HeightmapVoxelLayer(IntEnum):
+    """HeightmapVoxel.layer marker values (ohmheightmap/HeightmapVoxel.h:16-28).
+
+    NOT a stack index: kLayeredFill marks exactly one voxel per column as the
+    base (preferred) surface; all other surfaces in the column are extended.
+    """
+
+    BASE_LAYER = 0
+    EXTENDED = 1
+    INVALID = 2
+
+
+#: HeightmapVoxel.flags bit: some observed (non-unobserved) voxel exists above
+#: the surface (ohmheightmap/HeightmapVoxel.h:31-56).
+HVF_OBSERVED_ABOVE = 1
+
+
 def add_heightmap_layer(layout: MapLayout):
     """Heightmap voxel layer schema (reference: HeightmapUtil.cpp:39-46)."""
     existing = layout.layer(HEIGHTMAP_LAYER)
@@ -116,6 +133,10 @@ class Heightmap:
         self.floor = 0.0  # limit below reference_pos; 0 = unbounded
         self.generate_virtual_surfaces = False
         self.virtual_surface_promotion = False
+        #: Remove virtual surfaces with fewer than this many surface voxels
+        #: among their 26 source-map neighbours (0 = off; ordered layered
+        #: mode only — reference filterVirtualVoxels).
+        self.virtual_surface_filter_threshold = 0
         self.use_voxel_mean = True
         self._heightmap: OccupancyMap | None = None
         self._source: OccupancyMap | None = None
@@ -154,7 +175,8 @@ class Heightmap:
             return self._extract_single(dense, reference_pos)
         if self.mode == HeightmapMode.SIMPLE_FILL:
             return self._extract_fill(dense, reference_pos)
-        return self._extract_layered(dense, sort=self.mode == HeightmapMode.LAYERED_FILL)
+        return self._extract_layered(dense, reference_pos,
+                                     sort=self.mode == HeightmapMode.LAYERED_FILL)
 
     # ------------------------------------------------------------------ #
 
@@ -255,22 +277,29 @@ class Heightmap:
     # ------------------------------------------------------------------ #
 
     def _candidates(self, dense: _Dense):
-        """Per-column ground candidate mask + clearance (vectorised).
+        """Per-column ground candidate mask + clearance + observation (vectorised).
 
         A ground candidate is an occupied voxel (or, with virtual surfaces, a
-        free voxel whose +up neighbour is unobserved) with at least
-        min_clearance of non-occupied space above it
-        (reference: findNearestSupportingVoxel / findGround).
+        free voxel whose -up neighbour is unobserved) with at least
+        min_clearance of non-occupied space above it; at least one clear voxel
+        directly above is always required (reference: findGround's walk-up and
+        findNearestSupportingVoxel's clearance_voxel_count_permissive =
+        max(1, ...), Heightmap.cpp:568-570).
+
+        Returns (candidates, virtual, clearance_dist, observed_above):
+        clearance_dist is the height gap to the next occupied voxel above
+        (0 = no known obstruction, ohmheightmap HeightmapVoxel::clearance);
+        observed_above marks candidates with any observed voxel above them
+        (HeightmapVoxel kHvfObservedAbove).
         """
         kind = dense.kind
         res = self._source.resolution
-        clearance_vox = max(0, int(np.ceil(self.min_clearance / res)))
+        clearance_vox = max(1, int(np.ceil(self.min_clearance / res)))
         occupied = kind == 2
         free = kind == 1
         unobserved = kind == 0
 
         W = kind.shape[-1]
-        above_occupied = np.zeros_like(occupied)
         # Clearance: no occupied voxel within clearance_vox above the candidate.
         clear = np.ones_like(occupied)
         for dz in range(1, clearance_vox + 1):
@@ -288,7 +317,6 @@ class Heightmap:
             below_unobs[..., 1:] = unobserved[..., :-1]
             virtual = free & below_unobs & clear & ~candidates
         # Clearance distance to the next occupied voxel above (0 = unknown).
-        clearance_dist = np.zeros(kind.shape, np.float32)
         next_occ = np.full(kind.shape, np.inf, np.float32)
         running = np.full(kind.shape[:2], np.inf, np.float32)
         for z in range(W - 1, -1, -1):
@@ -296,12 +324,16 @@ class Heightmap:
             running = np.where(occupied[..., z], dense.height[..., z], running)
         has = np.isfinite(next_occ)
         clearance_dist = np.where(has, next_occ - dense.height, 0.0).astype(np.float32)
-        return candidates, virtual, clearance_dist
+        # Any observed (free or occupied) voxel strictly above -> suffix-any.
+        observed = kind != 0
+        observed_above = np.zeros_like(observed)
+        observed_above[..., :-1] = np.cumsum(observed[..., ::-1], axis=-1)[..., ::-1][..., 1:] > 0
+        return candidates, virtual, clearance_dist, observed_above
 
     def _extract_single(self, dense: _Dense, reference_pos) -> int:
         axis = _AXIS_OF[self.up_axis]
         ref_h = float(np.asarray(reference_pos, np.float64)[axis]) * (1 if int(self.up_axis) >= 0 else -1)
-        candidates, virtual, clearance = self._candidates(dense)
+        candidates, virtual, clearance, observed_above = self._candidates(dense)
         cand = candidates | virtual
         h = dense.height
         # Floor / ceiling band relative to the reference height.
@@ -321,7 +353,7 @@ class Heightmap:
         dist = np.where(cand, np.abs(h - ref_h), np.inf)
         zi = np.argmin(dist, axis=-1)
         has = np.isfinite(np.take_along_axis(dist, zi[..., None], axis=-1)[..., 0])
-        return self._emit(dense, zi[..., None], has[..., None], virtual, clearance, layered=False)
+        return self._emit(dense, zi[..., None], has[..., None], virtual, clearance, observed_above)
 
     def _extract_fill(self, dense: _Dense, reference_pos) -> int:
         """kSimpleFill: 8-connected BFS over the plane where each column's
@@ -336,7 +368,7 @@ class Heightmap:
         up_sign = 1 if int(self.up_axis) >= 0 else -1
         plane_axes = [i for i in range(3) if i != axis]
         ref_h = float(np.asarray(reference_pos, np.float64)[axis]) * up_sign
-        candidates, virtual, clearance = self._candidates(dense)
+        candidates, virtual, clearance, observed_above = self._candidates(dense)
         h = dense.height
         U, V, W = candidates.shape
 
@@ -381,24 +413,123 @@ class Heightmap:
                     if (du or dv) and 0 <= nu < U and 0 <= nv < V and not visited[nu, nv]:
                         visited[nu, nv] = True
                         queue.append((nu, nv, h_next))
-        return self._emit(dense, out_z[..., None], has[..., None], virtual, clearance, layered=False)
+        return self._emit(dense, out_z[..., None], has[..., None], virtual, clearance, observed_above)
 
-    def _extract_layered(self, dense: _Dense, sort: bool) -> int:
-        candidates, virtual, clearance = self._candidates(dense)
+    def _extract_layered(self, dense: _Dense, reference_pos, sort: bool) -> int:
+        """Multi-surface (layered) extraction.
+
+        Reference semantics reproduced (Heightmap.cpp buildHeightmapT +
+        HeightmapOperations.cpp finaliseLayeredHeightmap):
+        - every surface of a column is emitted, stacked consecutively along
+          the up axis from vertical index 0, ordered ascending by height
+          (kLayeredFill sorts columns; kLayeredFillUnordered leaves insertion
+          order unspecified — ascending is emitted for both);
+        - HeightmapVoxel.layer carries kHvlBaseLayer/kHvlExtended markers: the
+          ordered mode marks exactly ONE voxel per column as base — the
+          candidate with clearAbove (clearance > 0 or observed above) closest
+          to the seed height (BaseLayerCandidate::isOtherCandidateBetter);
+          unordered mode marks every base-candidate (no uniqueness pass);
+        - virtual surfaces too close (<= min_clearance) to another surface in
+          the column are dropped (Heightmap.cpp addSurfaceVoxel's
+          nearest_voxel_below/above rejection);
+        - with virtual_surface_filter_threshold > 0, ordered mode removes
+          virtual surfaces with fewer than threshold surface voxels among
+          their 26 source-map neighbours (filterVirtualVoxels).
+
+        Candidate discovery is a parallel full-column classification rather
+        than the reference's sequential per-(column, height) BFS; discovery
+        coverage is a documented superset when a clearance constraint hides
+        surfaces from BFS seeds (the walker pushes all neighbours, so the 2D
+        footprint is identical).
+        """
+        axis = _AXIS_OF[self.up_axis]
+        up_sign = 1 if int(self.up_axis) >= 0 else -1
+        ref_h = float(np.asarray(reference_pos, np.float64)[axis]) * up_sign
+        candidates, virtual, clearance, observed_above = self._candidates(dense)
+        h = dense.height
         cand = candidates | virtual
-        # All candidates per column, bottom-up (already ascending along up).
+
+        # Virtual-surface proximity rejection: ascending sweep keeping the
+        # running height of the last kept surface per column; a virtual
+        # candidate within min_clearance of the kept surface below or the
+        # next real surface above is dropped.
+        if self.min_clearance > 0 and self.generate_virtual_surfaces and virtual.any():
+            W = cand.shape[-1]
+            next_real_h = np.full(cand.shape, np.inf, np.float32)
+            running = np.full(cand.shape[:2], np.inf, np.float32)
+            for z in range(W - 1, -1, -1):
+                next_real_h[..., z] = running
+                running = np.where(candidates[..., z], h[..., z], running)
+            last_h = np.full(cand.shape[:2], -np.inf, np.float32)
+            for z in range(W):
+                sel = cand[..., z]
+                v = virtual[..., z]
+                too_close = v & ((h[..., z] - last_h <= self.min_clearance)
+                                 | (next_real_h[..., z] - h[..., z] <= self.min_clearance))
+                cand[..., z] = sel & ~too_close
+                keep = cand[..., z]
+                last_h = np.where(keep, h[..., z], last_h)
+
+        # Virtual neighbour-support filter (ordered mode only in reference).
+        if sort and self.virtual_surface_filter_threshold > 0 and virtual.any():
+            surf = cand
+            support = np.zeros(cand.shape, np.int32)
+            for du in (-1, 0, 1):
+                for dv in (-1, 0, 1):
+                    for dz in (-1, 0, 1):
+                        if du == 0 and dv == 0 and dz == 0:
+                            continue
+                        shifted = np.zeros_like(surf)
+                        src = shifted[max(0, -du):shifted.shape[0] - max(0, du),
+                                      max(0, -dv):shifted.shape[1] - max(0, dv),
+                                      max(0, -dz):shifted.shape[2] - max(0, dz)]
+                        src[...] = surf[max(0, du):surf.shape[0] - max(0, du),
+                                        max(0, dv):surf.shape[1] - max(0, dv),
+                                        max(0, dz):surf.shape[2] - max(0, dz)]
+                        support += shifted
+            cand &= ~(virtual & (support < self.virtual_surface_filter_threshold))
+
         max_layers = int(cand.sum(axis=-1).max()) if cand.any() else 0
         if max_layers == 0:
             return 0
-        # Indices of candidates per column, padded.
-        W = cand.shape[-1]
-        order = np.argsort(~cand, axis=-1, kind="stable")  # candidates first, ascending z
+        # Indices of candidates per column, ascending up-height (already
+        # ascending along the permuted up axis) -> layered stack order.
+        order = np.argsort(~cand, axis=-1, kind="stable")  # candidates first
         zi = order[..., :max_layers]
         has = np.take_along_axis(cand, zi, axis=-1)
-        return self._emit(dense, zi, has, virtual, clearance, layered=True)
 
-    def _emit(self, dense: _Dense, zi, has, virtual, clearance, layered: bool) -> int:
-        """Write selected candidates into the heightmap map."""
+        # Base-layer candidacy: clearance > 0 or observed above
+        # (Heightmap.cpp:628-631 is_base_layer_candidate).
+        clear_above = (clearance > 0) | observed_above
+        is_base = np.take_along_axis(cand & clear_above, zi, axis=-1) & has
+        layer_marker = np.full(zi.shape, int(HeightmapVoxelLayer.EXTENDED), np.uint8)
+        if sort:
+            # Exactly one base per column: the base candidate closest to the
+            # seed height; single-surface columns are always base
+            # (finaliseLayeredHeightmap single-voxel handling).
+            hh = np.take_along_axis(h, zi, axis=-1)
+            dist = np.where(is_base, np.abs(hh - ref_h), np.inf)
+            best = np.argmin(dist, axis=-1)
+            has_base = np.isfinite(np.take_along_axis(dist, best[..., None], axis=-1)[..., 0])
+            single = has.sum(axis=-1) == 1
+            np.put_along_axis(layer_marker, best[..., None],
+                              np.where(has_base[..., None], int(HeightmapVoxelLayer.BASE_LAYER),
+                                       int(HeightmapVoxelLayer.EXTENDED)).astype(np.uint8), axis=-1)
+            layer_marker[single, 0] = int(HeightmapVoxelLayer.BASE_LAYER)
+        else:
+            layer_marker = np.where(is_base, int(HeightmapVoxelLayer.BASE_LAYER),
+                                    int(HeightmapVoxelLayer.EXTENDED)).astype(np.uint8)
+        return self._emit(dense, zi, has, virtual, clearance, observed_above, layer_marker)
+
+    def _emit(self, dense: _Dense, zi, has, virtual, clearance, observed_above,
+              layer_marker=None) -> int:
+        """Write selected candidates into the heightmap map.
+
+        ``layer_marker`` carries per-entry HeightmapVoxelLayer values for the
+        layered modes; single-layer modes mark everything kHvlBaseLayer
+        (reference: addSurfaceVoxel's is_base_layer_candidate is always true
+        for non-layered maps).
+        """
         hm = self._heightmap
         src = self._source
         axis = _AXIS_OF[self.up_axis]
@@ -423,6 +554,9 @@ class Heightmap:
             heights = dense.height[ui, vi, z] * up_sign
             clear = clearance[ui, vi, z]
             is_virtual = virtual[ui, vi, z]
+            obs_above = observed_above[ui, vi, z]
+            markers = (layer_marker[..., layer_idx][sel] if layer_marker is not None
+                       else np.zeros(len(ui), np.uint8))
             samples = dense.samples[ui, vi, z]
             normals = dense.normal[ui, vi, z] if dense.normal is not None else None
 
@@ -451,7 +585,8 @@ class Heightmap:
                     arr["normal_x"][i] = normals[j][0]
                     arr["normal_y"][i] = normals[j][1]
                     arr["normal_z"][i] = normals[j][2]
-                arr["layer"][i] = layer_idx
+                arr["layer"][i] = markers[j]
+                arr["flags"][i] = HVF_OBSERVED_ABOVE if obs_above[j] else 0
                 arr["contributing_samples"][i] = samples[j]
                 chunk.dirty_stamp = hm.touch()
             count += int(sel.sum())

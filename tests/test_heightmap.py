@@ -258,3 +258,140 @@ def test_up_axis_xy(axis):
     assert np.all(kinds == HeightmapVoxelType.SURFACE)
     # Surface sits at up-coordinate ~0 regardless of axis/sign.
     assert np.abs(hpts[:, a]).max() < m.resolution
+
+
+# --------------------------------------------------------------------------- #
+# Layered-mode parity tests (reference: HeightmapTests.cpp heightmapLayeredTest
+# + finaliseLayeredHeightmap semantics).
+
+from ohm_tpu.heightmap import HeightmapVoxelLayer, HVF_OBSERVED_ABOVE
+from ohm_tpu.core import keys as keymath
+from ohm_tpu.core.layout import OCCUPANCY_LAYER
+
+
+def build_multi_level_map(res=0.25):
+    """Floor over [-2,2]^2 at z=0 plus a platform at z=2 over the x>0 half
+    (analogue of the reference's populateMultiLevelMap scene)."""
+    m = OccupancyMap(resolution=res, flags=MapFlag.NONE)
+    mapper = RayMapperOccupancy(m)
+    xs, ys = np.meshgrid(np.arange(-2, 2.01, res / 2), np.arange(-2, 2.01, res / 2))
+    floor = np.column_stack([xs.ravel(), ys.ravel(), np.zeros(xs.size)])
+    rays = np.empty((2 * len(floor), 3))
+    rays[0::2] = floor + np.array([0, 0, 1.0])  # sensors under the platform
+    rays[1::2] = floor
+    mapper.integrate_rays(rays)
+    sel = xs.ravel() > 0.1
+    plat = np.column_stack([xs.ravel()[sel], ys.ravel()[sel], np.full(sel.sum(), 2.0)])
+    rays2 = np.empty((2 * len(plat), 3))
+    rays2[0::2] = plat + np.array([0, 0, 1.0])
+    rays2[1::2] = plat
+    mapper.integrate_rays(rays2)
+    return m
+
+
+def collect_columns(hm_map):
+    """Heightmap voxels grouped per 2D column: (x_abs, y_abs) ->
+    list of (z_stack_index, absolute_height, layer_marker, flags, occ)."""
+    hm_layer = hm_map.layer_index(HEIGHTMAP_LAYER)
+    occ_layer = hm_map.layer_index(OCCUPANCY_LAYER)
+    dims = hm_map.region_voxel_dims
+    cols = {}
+    for key, chunk in hm_map.chunks.items():
+        occ = chunk.layers[occ_layer][OCCUPANCY_LAYER]
+        arr = chunk.layers[hm_layer]
+        sel = np.flatnonzero(np.isfinite(occ))
+        if not sel.size:
+            continue
+        local = keymath.local_key_from_index(sel, dims)
+        abs_v = np.asarray(key, np.int64) * dims + local
+        region = np.broadcast_to(np.asarray(key, np.int32), (len(sel), 3)).copy()
+        centres = hm_map.voxel_centre_global(region, local)
+        for j, i in enumerate(sel):
+            cols.setdefault((abs_v[j, 0], abs_v[j, 1]), []).append(
+                (abs_v[j, 2], float(arr["height"][i] + centres[j, 2]),
+                 int(arr["layer"][i]), int(arr["flags"][i]), float(occ[i])))
+    for c in cols.values():
+        c.sort()
+    return cols
+
+
+def test_layered_columns_ordered_and_packed():
+    m = build_multi_level_map()
+    hm = Heightmap(min_clearance=0.5)
+    hm.mode = HeightmapMode.LAYERED_FILL
+    assert hm.build_heightmap(m, reference_pos=(0, 0, 0.5)) > 0
+    cols = collect_columns(hm.heightmap())
+    two_layer = [c for c in cols.values() if len(c) == 2]
+    assert len(two_layer) > 50, "platform half should produce two-surface columns"
+    for entries in cols.values():
+        # Packed consecutively from stack index 0.
+        assert [e[0] for e in entries] == list(range(len(entries)))
+        # Heights strictly ascending along the stack (kLayeredFill ordering).
+        heights = [e[1] for e in entries]
+        assert heights == sorted(heights)
+    for entries in two_layer:
+        assert abs(entries[0][1] - 0.0) < m.resolution
+        assert abs(entries[1][1] - 2.0) < m.resolution
+
+
+def test_layered_base_layer_markers_follow_seed():
+    m = build_multi_level_map()
+    for seed_z, base_height in ((0.5, 0.0), (2.5, 2.0)):
+        hm = Heightmap(min_clearance=0.5)
+        hm.mode = HeightmapMode.LAYERED_FILL
+        hm.build_heightmap(m, reference_pos=(0, 0, seed_z))
+        cols = collect_columns(hm.heightmap())
+        for entries in cols.values():
+            base = [e for e in entries if e[2] == HeightmapVoxelLayer.BASE_LAYER]
+            # Exactly one base layer voxel per column.
+            assert len(base) == 1, entries
+            if len(entries) == 2:
+                # The base follows the seed height (isOtherCandidateBetter).
+                assert abs(base[0][1] - base_height) < m.resolution, (seed_z, entries)
+        # Both surfaces under the sensors are observed above.
+        two = next(c for c in cols.values() if len(c) == 2)
+        assert two[0][3] & HVF_OBSERVED_ABOVE
+
+
+def test_layered_unordered_marks_all_base_candidates():
+    m = build_multi_level_map()
+    hm = Heightmap(min_clearance=0.5)
+    hm.mode = HeightmapMode.LAYERED_FILL_UNORDERED
+    hm.build_heightmap(m, reference_pos=(0, 0, 0.5))
+    cols = collect_columns(hm.heightmap())
+    two = [c for c in cols.values() if len(c) == 2]
+    assert two
+    for entries in two:
+        # Unordered mode skips the uniqueness pass: every base candidate
+        # keeps kHvlBaseLayer (both surfaces here have observations above).
+        assert all(e[2] == HeightmapVoxelLayer.BASE_LAYER for e in entries), entries
+
+
+def test_layered_reconstruction_covers_all_surfaces():
+    # Reference heightmapLayeredTest validation: rebuilding a map from every
+    # surface voxel position must reproduce every source occupied voxel that
+    # has no occupied voxel directly above it.
+    m = build_multi_level_map()
+    hm = Heightmap(min_clearance=-1.0)  # no clearance constraint
+    hm.mode = HeightmapMode.LAYERED_FILL
+    hm.build_heightmap(m, reference_pos=(0, 0, 0.5))
+    pts, kinds = hm.surface_points()
+    assert np.all(kinds == HeightmapVoxelType.SURFACE)
+
+    # Expected: occupied source voxels whose +z neighbour is not occupied.
+    occ_idx = m.layer_index(OCCUPANCY_LAYER)
+    dims = m.region_voxel_dims
+    occupied = set()
+    for key, chunk in m.chunks.items():
+        occ = chunk.layers[occ_idx][OCCUPANCY_LAYER]
+        sel = np.flatnonzero(np.isfinite(occ) & (occ >= m.occupancy_threshold_value))
+        local = keymath.local_key_from_index(sel, dims)
+        abs_v = np.asarray(key, np.int64) * dims + local
+        occupied.update(map(tuple, abs_v))
+    expected = {v for v in occupied if (v[0], v[1], v[2] + 1) not in occupied}
+
+    got = set()
+    for p in pts:
+        region, local = m.voxel_key(p)
+        got.add(tuple(np.asarray(region, np.int64) * dims + local))
+    assert got == expected
