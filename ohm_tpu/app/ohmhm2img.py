@@ -34,9 +34,13 @@ def write_png(filename: str, rgb: np.ndarray):
 def main(argv=None):
     p = argparse.ArgumentParser(prog="ohmhm2img", description=__doc__)
     p.add_argument("map", help="heightmap .ohm")
-    p.add_argument("output", nargs="?", default="", help="output .png")
-    p.add_argument("--mode", default="height", choices=["height", "normals", "type"],
-                   help="image content (reference: HeightmapImage modes)")
+    p.add_argument("output", nargs="?", default="", help="output .png / .npy")
+    p.add_argument("--mode", default="height",
+                   choices=["height", "heights-f32", "normals", "normals-f32", "type"],
+                   help="image content; normals*/heights* are mesh-rendered with "
+                        "triangle interpolation (reference: HeightmapImage kImageNormals/"
+                        "kImageNormals888/kImageHeights); 'type' is a cell raster")
+    p.add_argument("--pixels-per-voxel", type=int, default=1)
     args = p.parse_args(argv)
 
     import os
@@ -46,8 +50,14 @@ def main(argv=None):
     from ohm_tpu.heightmap.heightmap import HEIGHTMAP_LAYER, _AXIS_OF, UpAxis
     from ohm_tpu.core.layout import OCCUPANCY_LAYER
 
-    out = args.output or os.path.splitext(args.map)[0] + ".png"
+    float_mode = args.mode in ("heights-f32", "normals-f32")
+    out = args.output or os.path.splitext(args.map)[0] + (".npy" if float_mode else ".png")
     m, _ = load(args.map)
+
+    if args.mode in ("heights-f32", "normals", "normals-f32") or args.mode == "height":
+        rendered = _render_mesh_modes(m, args, out, float_mode)
+        if rendered is not None:
+            return rendered
     hm_idx = m.layer_index(HEIGHTMAP_LAYER)
     occ_idx = m.layer_index(OCCUPANCY_LAYER)
     if hm_idx < 0:
@@ -95,6 +105,42 @@ def main(argv=None):
             img[y, x] = (0, 200, 0) if real else (200, 120, 0)
     write_png(out, img)
     print(f"wrote {out} ({W}x{H})")
+    return 0
+
+
+def _render_mesh_modes(m, args, out, float_mode):
+    """Mesh-rendered modes via HeightmapImage; returns exit code or None to
+    fall back to the cell raster (mesh too small)."""
+    from ohm_tpu.heightmap.image import HeightmapImage, ImageType
+    from ohm_tpu.heightmap.mesh import HeightmapMesh
+    from ohm_tpu.heightmap.heightmap import Heightmap, UpAxis
+
+    axis_code = m.info.get("heightmap-axis")
+    up_axis = UpAxis(int(axis_code.value if hasattr(axis_code, "value") else (axis_code or 2)))
+
+    # Rebuild a Heightmap wrapper around the loaded map for mesh construction.
+    hm = Heightmap(up_axis=up_axis)
+    hm._heightmap = m
+    hm._source = m
+    mesh = HeightmapMesh()
+    if not mesh.build_mesh(hm):
+        return None
+
+    itype = {"height": ImageType.HEIGHTS, "heights-f32": ImageType.HEIGHTS,
+             "normals": ImageType.NORMALS_888, "normals-f32": ImageType.NORMALS}[args.mode]
+    img = HeightmapImage(itype, pixels_per_voxel=args.pixels_per_voxel)
+    if not img.generate_bitmap(mesh, up_axis):
+        return None
+    bitmap, info = img.bitmap()
+    if float_mode:
+        np.save(out, bitmap)
+    elif args.mode == "height":
+        lo, hi = float(bitmap.min()), float(bitmap.max())
+        g = ((bitmap - lo) / max(hi - lo, 1e-9) * 255.0).astype(np.uint8)
+        write_png(out, np.repeat(g[::-1, :, None], 3, axis=2))
+    else:
+        write_png(out, bitmap[::-1])
+    print(f"wrote {out} ({info.image_width}x{info.image_height}, {args.mode})")
     return 0
 
 

@@ -9,3 +9,4 @@ from ohm_tpu.query.line_keys import LineKeysQuery
 from ohm_tpu.query.nearest import NearestNeighbours
 from ohm_tpu.query.line_query import LineQuery
 from ohm_tpu.query.clearance import ClearanceProcess
+from ohm_tpu.query.base import AsyncQueryMixin

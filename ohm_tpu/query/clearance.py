@@ -60,6 +60,11 @@ _edt_jit = jax.jit(_edt, static_argnames=("radius_vox", "resolution"))
 class ClearanceProcess:
     """Computes the clearance layer for map regions (MappingProcess-style)."""
 
+    #: Memory cap for one dense EDT box (voxels).  Larger extents are split
+    #: into overlapping halo tiles (reference analogue: ClearanceProcess's
+    #: per-dirty-region ROI batching keeps GPU memory bounded).
+    max_box_voxels = 256 ** 3
+
     def __init__(self, map_obj, search_radius: float = 1.0, query_flags: int = 0):
         self.map = map_obj
         self.search_radius = float(search_radius)
@@ -69,7 +74,13 @@ class ClearanceProcess:
         self._processed_stamps: dict = {}
 
     def update(self, region_keys=None, force: bool = False):
-        """Compute clearance for the given regions (default: all dirty regions)."""
+        """Compute clearance for the given regions (default: all dirty regions).
+
+        Arbitrarily large extents are processed in overlapping halo tiles:
+        regions are grouped into spatial tiles whose halo-padded dense box
+        stays under ``max_box_voxels``; each tile's EDT sees obstacles up to
+        search_radius beyond its border, so tiling is exact.
+        """
         m = self.map
         if region_keys is None:
             region_keys = [k for k, c in m.chunks.items()
@@ -81,18 +92,35 @@ class ClearanceProcess:
         dims = m.region_voxel_dims
         res = m.resolution
         radius_vox = max(1, int(math.ceil(self.search_radius / res)))
+        halo_regions = int(math.ceil(radius_vox / float(dims.min())))
+
+        # Tile size (in regions per axis) such that the halo-padded box fits.
+        edge_budget = int(self.max_box_voxels ** (1.0 / 3.0)) // int(dims.max())
+        tile_regions = max(1, edge_budget - 2 * halo_regions)
+
+        groups: dict = {}
+        for key in region_keys:
+            tile = tuple(int(np.floor(k / tile_regions)) for k in key)
+            groups.setdefault(tile, []).append(key)
+        total = 0
+        for group in groups.values():
+            total += self._update_box(group, radius_vox, halo_regions)
+        return total
+
+    def _update_box(self, region_keys, radius_vox, halo_regions):
+        """Dense EDT over one halo-padded box of regions."""
+        m = self.map
+        dims = m.region_voxel_dims
+        res = m.resolution
 
         keys_arr = np.array(region_keys, dtype=np.int64)
         rmin = keys_arr.min(axis=0)
         rmax = keys_arr.max(axis=0)
         # Halo in whole regions so neighbouring obstacles are visible.
-        halo_regions = int(math.ceil(radius_vox / float(dims.min())))
         bmin = rmin - halo_regions
         bmax = rmax + halo_regions
         box_regions = bmax - bmin + 1
         box_vox = box_regions * np.asarray(dims, dtype=np.int64)
-        if np.prod(box_vox) > 512 ** 3:
-            raise MemoryError("clearance ROI too large; process regions in smaller groups")
 
         occ_idx = m.layer_index(OCCUPANCY_LAYER)
         clear_idx = m.layer_index(CLEARANCE_LAYER)

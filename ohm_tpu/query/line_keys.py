@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from ohm_tpu.core import keys as keymath
 from ohm_tpu.mapping.batch import prepare_ray_batch, max_steps_for
 from ohm_tpu.ops.ddawalk import walk_rays
+from ohm_tpu.query.base import AsyncQueryMixin
 
 
 _jit_cache = {}
@@ -38,7 +39,7 @@ def _walk_keys(ints, floats, flags, resolution, max_steps):
     return voxels, valid, counts
 
 
-class LineKeysQuery:
+class LineKeysQuery(AsyncQueryMixin):
     """Computes per-ray voxel key lists (reference API: ohm/LineKeysQuery.h)."""
 
     def __init__(self, map_obj):

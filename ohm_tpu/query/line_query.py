@@ -14,9 +14,10 @@ from ohm_tpu.core import keys as keymath
 from ohm_tpu.core.layout import CLEARANCE_LAYER, OCCUPANCY_LAYER
 from ohm_tpu.oracle import linewalk
 from ohm_tpu.query.clearance import ClearanceProcess
+from ohm_tpu.query.base import AsyncQueryMixin
 
 
-class LineQuery:
+class LineQuery(AsyncQueryMixin):
     def __init__(self, map_obj, start_point=(0, 0, 0), end_point=(0, 0, 0),
                  search_radius: float = 1.0, query_flags: int = 0):
         self.map = map_obj

@@ -11,9 +11,10 @@ import numpy as np
 
 from ohm_tpu.core import keys as keymath
 from ohm_tpu.core.layout import OCCUPANCY_LAYER
+from ohm_tpu.query.base import AsyncQueryMixin
 
 
-class NearestNeighbours:
+class NearestNeighbours(AsyncQueryMixin):
     def __init__(self, map_obj, near_point=(0.0, 0.0, 0.0), search_radius: float = 1.0):
         self.map = map_obj
         self.near_point = np.asarray(near_point, dtype=np.float64)

@@ -24,6 +24,7 @@ from ohm_tpu.core import keys as keymath
 from ohm_tpu.mapping.batch import prepare_ray_batch, fill_corner_slots
 from ohm_tpu.ops.ddawalk import walk_rays
 from ohm_tpu.ops.integrate import _resolve_slots, _unpack_batch, _unobserved
+from ohm_tpu.query.base import AsyncQueryMixin
 
 
 class OccupancyType(IntEnum):
@@ -93,7 +94,7 @@ def _rays_query_device(arena_state, batch, cfg):
 _device_fn_cache = {}
 
 
-class RaysQuery:
+class RaysQuery(AsyncQueryMixin):
     """Batch ray query (reference API: ohm/RaysQuery.h:23-45)."""
 
     def __init__(self, map_obj=None, mapper=None, volume_coefficient: float = 1.0):

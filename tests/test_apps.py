@@ -365,3 +365,37 @@ def test_timing_run_script(scene, tmp_path):
     assert rows[0]["device"] == "cpu"
     assert int(rows[0]["rays"]) == 200
     assert float(rows[0]["rays_per_sec"]) > 0
+
+
+def test_ray_mapper_trace_decorator(tmp_path):
+    # Reference: ohm/RayMapperTrace.h:38-80 — wraps a mapper, visualising
+    # rays, voxel type transitions and NDT ellipsoids per integration.
+    import json
+
+    from ohm_tpu.core.map import OccupancyMap, MapFlag
+    from ohm_tpu.oracle.ndt import RayMapperNdt
+    from ohm_tpu.utils.trace import Trace, RayMapperTrace
+
+    m = OccupancyMap(resolution=0.25, flags=MapFlag.VOXEL_MEAN)
+    m.layout.add_covariance()
+    m.ensure_chunk_layers()
+    inner = RayMapperNdt(m)
+    trace_file = str(tmp_path / "rmtrace.jsonl")
+    rays = np.array([[0.0, 0.0, 0.0], [1.5, 0.1, 0.0]] * 4)
+    with Trace(trace_file) as tr:
+        mapper = RayMapperTrace(inner, tr)
+        n = mapper.integrate_rays(rays)
+        assert n == 4
+        mapper.integrate_rays(rays)  # repeat: more hits, fewer transitions
+    events = [json.loads(l) for l in open(trace_file)]
+    integ = [e for e in events if e["event"] == "integrate_rays"]
+    assert len(integ) == 2
+    first = integ[0]
+    # First batch: voxels transition from unobserved.
+    kinds = {(c["from"], c["to"]) for c in first["voxel_changes"]}
+    assert ("null", "free") in kinds or ("unobserved", "free") in kinds
+    assert any(c["to"] == "occupied" for c in first["voxel_changes"])
+    # NDT covariance produces ellipsoids at occupied voxels.
+    assert integ[1]["ellipsoids"], "expected NDT ellipsoids after hits"
+    e = integ[1]["ellipsoids"][0]
+    assert len(e["pos"]) == 3 and len(e["scale"]) == 3

@@ -395,3 +395,60 @@ def test_layered_reconstruction_covers_all_surfaces():
         region, local = m.voxel_key(p)
         got.add(tuple(np.asarray(region, np.int64) * dims + local))
     assert got == expected
+
+
+def test_heightmap_image_render_modes(tmp_path):
+    # Reference: ohmheightmapimage/HeightmapImage.h:111-160 — normals and
+    # depth bitmaps interpolated across the heightmap mesh.
+    from ohm_tpu.heightmap.image import HeightmapImage, ImageType
+
+    rng = np.random.default_rng(40)
+    m = build_floor_map(rng, slope=0.2)
+    hm = Heightmap(min_clearance=0.5)
+    hm.build_heightmap(m, reference_pos=(0, 0, 1.0))
+
+    img = HeightmapImage(ImageType.NORMALS)
+    assert img.generate_from_heightmap(hm)
+    bitmap, info = img.bitmap()
+    assert bitmap.shape == (info.image_height, info.image_width, 3)
+    assert bitmap.dtype == np.float32
+    # Decode: channels map [0,1] -> [-1,1]; a 0.2-slope floor's normal is
+    # ~(-0.196, 0, 0.98) -> blue channel ~0.99, red < 0.5.
+    covered = bitmap[..., 2] > 0
+    assert covered.mean() > 0.5, "mesh interior should be covered"
+    nz = bitmap[covered][:, 2] * 2 - 1
+    nx = bitmap[covered][:, 0] * 2 - 1
+    assert np.median(nz) == pytest.approx(0.98, abs=0.03)
+    assert np.median(nx) == pytest.approx(-0.196, abs=0.05)
+
+    img8 = HeightmapImage(ImageType.NORMALS_888)
+    assert img8.generate_from_heightmap(hm)
+    b8, i8 = img8.bitmap()
+    assert b8.dtype == np.uint8 and i8.bpp == 3
+
+    imgd = HeightmapImage(ImageType.HEIGHTS)
+    assert imgd.generate_from_heightmap(hm)
+    bd, idp = imgd.bitmap()
+    assert bd.dtype == np.float32 and bd.ndim == 2
+    # Depth range ~ slope * x-extent = 0.2 * 4 m.
+    assert bd.max() == pytest.approx(0.8, abs=0.2)
+
+
+def test_ohmhm2img_mesh_modes(tmp_path):
+    import os
+    from ohm_tpu.app import ohmhm2img, ohmheightmap as hm_cli
+    from ohm_tpu.io import save
+
+    rng = np.random.default_rng(41)
+    m = build_floor_map(rng)
+    src = str(tmp_path / "floor.ohm")
+    save(src, m)
+    hm_file = str(tmp_path / "floor-hm.ohm")
+    assert hm_cli.main([src, hm_file, "--clearance", "0.5"]) == 0
+    for mode, ext in (("normals", ".png"), ("normals-f32", ".npy"),
+                      ("heights-f32", ".npy"), ("height", ".png")):
+        out = str(tmp_path / f"img-{mode}{ext}")
+        assert ohmhm2img.main([hm_file, out, "--mode", mode]) == 0
+        assert os.path.getsize(out) > 60
+    npy = np.load(str(tmp_path / "img-normals-f32.npy"))
+    assert npy.ndim == 3 and npy.dtype == np.float32
