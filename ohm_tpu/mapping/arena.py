@@ -48,7 +48,14 @@ class VoxelArena:
     """Fixed-capacity device store of map regions for a set of arena layers."""
 
     def __init__(self, capacity: int, region_shift: int, layer_names: list[str],
-                 scatter_pad: int = 1 << 22):
+                 scatter_pad: int = 1 << 22, occupancy_encoding: str = "inf"):
+        #: 'inf': unobserved voxels hold +inf (the reference marker value).
+        #: 'zero': unobserved voxels hold -0.0, enabling the scatter-ADD delta
+        #: fast path (ops.integrate.apply_delta); converted to/from the host
+        #: map's +inf convention at every host<->device boundary below.
+        if occupancy_encoding not in ("inf", "zero"):
+            raise ValueError(f"unknown occupancy encoding {occupancy_encoding!r}")
+        self.occupancy_encoding = occupancy_encoding
         self.capacity = int(capacity)
         self.region_shift = int(region_shift)
         self.scatter_pad = int(scatter_pad)
@@ -69,10 +76,28 @@ class VoxelArena:
         n = self.capacity * self.voxels_per_region + 1 + self.scatter_pad
         self.arrays: dict[str, jax.Array] = {}
         for name in layer_names:
-            dtype, clear = _LAYER_SPECS[name]
+            dtype, clear = self._clear_value(name)
             width = _VECTOR_LAYERS.get(name)
             shape = (n, width) if width else (n,)
             self.arrays[name] = jnp.full(shape, clear, dtype=dtype)
+
+    def _clear_value(self, name):
+        dtype, clear = _LAYER_SPECS[name]
+        if name == "occupancy" and self.occupancy_encoding == "zero":
+            clear = np.float32(-0.0)
+        return dtype, clear
+
+    def _encode_occupancy(self, host_data: np.ndarray) -> np.ndarray:
+        if self.occupancy_encoding == "zero":
+            return np.where(np.isposinf(host_data), np.float32(-0.0),
+                            host_data).astype(np.float32)
+        return host_data
+
+    def _decode_occupancy(self, device_data: np.ndarray) -> np.ndarray:
+        if self.occupancy_encoding == "zero":
+            unobs = (device_data == 0) & np.signbit(device_data)
+            return np.where(unobs, np.float32(np.inf), device_data).astype(np.float32)
+        return device_data
 
     # ------------------------------------------------------------------ #
 
@@ -148,6 +173,8 @@ class VoxelArena:
                 continue
             data = host_get(chunk)
             if data is not None:
+                if name == "occupancy":
+                    data = self._encode_occupancy(data)
                 self.arrays[name] = self.arrays[name].at[sl].set(jnp.asarray(data))
 
     def _download_region(self, host_map, key, slot: int):
@@ -155,14 +182,18 @@ class VoxelArena:
         chunk = host_map.region(key, allow_create=True)
         sl = self._slot_slice(slot)
         pulled = {name: np.asarray(self.arrays[name][sl]) for name in self.layer_names}
+        if "occupancy" in pulled:
+            pulled["occupancy"] = self._decode_occupancy(pulled["occupancy"])
         _write_host_chunk(host_map, chunk, pulled)
         for name in self.layer_names:
-            dtype, clear = _LAYER_SPECS[name]
+            dtype, clear = self._clear_value(name)
             self.arrays[name] = self.arrays[name].at[sl].set(clear)
 
     def sync_to_host(self, host_map, stamp=None):
         """Download every resident region into the host map (GpuMap::syncVoxels)."""
         pulled_all = {name: np.asarray(self.arrays[name]) for name in self.layer_names}
+        if "occupancy" in pulled_all:
+            pulled_all["occupancy"] = self._decode_occupancy(pulled_all["occupancy"])
         v = self.voxels_per_region
         for key, slot in self.slot_of.items():
             sl = slice(slot * v, (slot + 1) * v)

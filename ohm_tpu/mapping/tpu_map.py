@@ -33,6 +33,9 @@ from ohm_tpu.ops.integrate import (
     integrate_occupancy_jit,
     expand_records_jit,
     apply_records_jit,
+    apply_delta_jit,
+    apply_samples_jit,
+    delta_path_ok,
 )
 from ohm_tpu.core.rayflags import RayFlag
 
@@ -47,6 +50,7 @@ class TpuRayMapper:
         segment_length: float | None = None,
         validate: bool = False,
         scatter_pad: int = 1 << 22,
+        scatter_cap: int = 0,
     ):
         self.map = map_obj
         dims = map_obj.region_voxel_dims
@@ -73,9 +77,16 @@ class TpuRayMapper:
         if self.with_incident:
             layer_names.append("incident")
 
-        self.arena = VoxelArena(capacity, self.region_shift, layer_names, scatter_pad=scatter_pad)
+        # The delta fast path needs the -0.0 unobserved encoding
+        # (ops.integrate.apply_delta); every host<->device transfer converts.
+        self.arena = VoxelArena(capacity, self.region_shift, layer_names,
+                                scatter_pad=scatter_pad, occupancy_encoding="zero")
+        #: Optional per-batch touched-voxel scatter budget for the delta
+        #: path; overflow is counted in stats['dropped_updates'].
+        self.scatter_cap = int(scatter_cap)
         self._config(0)  # validate int32 addressing headroom at construction
-        self._stats = {"rays": 0, "segments": 0, "batches": 0, "missed_updates": 0, "overflow": 0}
+        self._stats = {"rays": 0, "segments": 0, "batches": 0, "missed_updates": 0,
+                       "overflow": 0, "dropped_updates": 0}
         self._pending_stats = []
 
     def _config(self, ray_flags: int) -> IntegrateConfig:
@@ -98,6 +109,8 @@ class TpuRayMapper:
             saturation_min=float(np.float32(m.saturation_min)),
             saturation_max=float(np.float32(m.saturation_max)),
             scatter_pad=self.arena.scatter_pad,
+            zero_unobserved=True,
+            scatter_cap=self.scatter_cap,
         )
 
     def integrate_rays(self, rays, intensities=None, timestamps=None, ray_update_flags: int = 0) -> int:
@@ -127,6 +140,21 @@ class TpuRayMapper:
         if ray_update_flags & RayFlag.STOP_ON_FIRST_OCCUPIED:
             # State-dependent prefix masking needs the monolithic pipeline.
             new_state, stats = integrate_occupancy_jit(state, batch, cfg)
+        elif delta_path_ok(cfg):
+            # Delta fast path: sort + blocked-cummax reduce + compaction sort
+            # + one sorted scatter-add (ops.integrate.apply_delta).  Internal
+            # i64 keys need x64 tracing; inputs/outputs stay i32/f32.
+            records, stats = expand_records_jit(batch, cfg)
+            with jax.enable_x64(True):
+                occ, dstats = apply_delta_jit(state["occupancy"], records["key"], cfg)
+            new_state = dict(state)
+            new_state["occupancy"] = occ
+            if self.with_mean or self.with_touch or self.with_incident:
+                rest = {k: v for k, v in new_state.items() if k != "occupancy"}
+                rest = apply_samples_jit(rest, records, batch, cfg)
+                new_state.update(rest)
+            stats = dict(stats)
+            stats.update(dstats)
         else:
             # Split-phase: two smaller XLA programs compile reliably through
             # the remote TPU compile service and hit the persistent cache.
@@ -144,12 +172,16 @@ class TpuRayMapper:
             self._drain_stats()
             assert self._stats["missed_updates"] == 0, "device slot resolution missed — host allocation bug"
             assert self._stats["overflow"] == 0, "DDA step cap exceeded — segmentation bug"
+            assert self._stats["dropped_updates"] == 0, \
+                "scatter_cap exceeded — raise TpuRayMapper(scatter_cap=...)"
         return n_rays
 
     def _drain_stats(self):
         for stats in self._pending_stats:
             self._stats["missed_updates"] += int(stats["missed_updates"])
             self._stats["overflow"] += int(stats["overflow"])
+            if "dropped_updates" in stats:
+                self._stats["dropped_updates"] += int(stats["dropped_updates"])
         self._pending_stats.clear()
 
     def sync_voxels(self):

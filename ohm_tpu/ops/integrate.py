@@ -41,9 +41,16 @@ from ohm_tpu.ops import subvoxel_jnp
 from ohm_tpu.ops.ddawalk import walk_rays
 
 
-def _unobserved(x):
-    # isposinf rather than == inf: the TPU/axon toolchain pathologically
-    # slow-compiles kernels with f32 inf constants (see ops.ddawalk._BIG).
+def _unobserved(x, zero: bool = False):
+    # Two arena encodings for "never observed":
+    #  - 'inf'  (+inf, the reference's voxel::invalidMarkerValue) — isposinf
+    #    rather than == inf because the TPU/axon toolchain pathologically
+    #    slow-compiles kernels with f32 inf constants (see ops.ddawalk._BIG).
+    #  - 'zero' (-0.0) — used by the delta fast path (apply_delta_jit) so the
+    #    occupancy update is a pure scatter-ADD: IEEE -0.0 + x == x, and
+    #    -0.0 + +0.0 == +0.0 marks "observed with value exactly 0" for free.
+    if zero:
+        return (x == 0) & (jnp.signbit(x))
     return jnp.isposinf(x)
 
 
@@ -69,6 +76,13 @@ class IntegrateConfig:
     max_value: float = 0.0
     saturation_min: float = float("-inf")
     saturation_max: float = float("inf")
+    #: Occupancy arena encoding: True = unobserved stored as -0.0 (delta
+    #: fast path), False = +inf (reference marker).
+    zero_unobserved: bool = False
+    #: Scatter budget for the delta fast path: per-batch touched voxels
+    #: beyond this are dropped (counted in stats['dropped_updates']).
+    #: 0 = no cap (scatter the full record stream).
+    scatter_cap: int = 0
 
     #: Scratch tail appended to arena arrays: unique dummy scatter targets
     #: for non-segment-last records (see _segment_apply).
@@ -296,7 +310,7 @@ def _apply_occupancy_dense(occupancy, ids_sorted, last, n_hit, n_miss, cfg: Inte
     n_miss_d = (pending & jnp.uint32(0xFFFF)).astype(jnp.float32)
 
     initial = occupancy
-    unobs = _unobserved(initial)
+    unobs = _unobserved(initial, cfg.zero_unobserved)
     free = ~unobs & (initial < cfg.occupancy_threshold)
     occd = ~unobs & (initial >= cfg.occupancy_threshold)
 
@@ -371,7 +385,7 @@ def integrate_occupancy(arena: dict, batch: dict, cfg: IntegrateConfig):
     # the segment axis propagates "an earlier segment saw an occupied voxel".
     if flags & RayFlag.STOP_ON_FIRST_OCCUPIED:
         occ_at = arena["occupancy"][walk_flat]
-        occupied = ~_unobserved(occ_at) & (occ_at >= jnp.float32(cfg.occupancy_threshold)) & rec_valid
+        occupied = ~_unobserved(occ_at, cfg.zero_unobserved) & (occ_at >= jnp.float32(cfg.occupancy_threshold)) & rec_valid
         seen_before = jnp.cumsum(occupied.astype(jnp.int32), axis=1) - occupied.astype(jnp.int32)
         seg_occ = jnp.any(occupied, axis=1)
         is_first_seg = b["exclude_start"]
@@ -641,6 +655,17 @@ def apply_records_jit(arena, records, batch, cfg: IntegrateConfig):
 
     # Sample-only layers reuse the batch's end records (B-sized streams).
     if cfg.with_mean or cfg.with_touch_time or cfg.with_incident:
+        arena = _apply_sample_layers(arena, records, batch, cfg)
+
+    touched = jnp.sum((last & (ids_s != cfg.sentinel)).astype(jnp.int32))
+    return arena, touched
+
+
+def _apply_sample_layers(arena, records, batch, cfg: IntegrateConfig):
+    """Mean / touch-time / incident-normal updates from the batch's sample
+    (end-voxel hit) records — B-sized streams, shared by the split-phase and
+    delta pipelines (reference: ohm/RayMapperOccupancy.cpp:283-325)."""
+    if True:
         b = _unpack_batch(batch, cfg)
         end_is_hit = records["end_is_hit"]
         end_flat = records["end_flat"]
@@ -709,6 +734,118 @@ def apply_records_jit(arena, records, batch, cfg: IntegrateConfig):
             new_packed = jnp.where(active, subvoxel_jnp.encode_normal(unit), old_packed)
             arena["incident"] = arena["incident"].at[s_idx].set(
                 jnp.where(s_last, new_packed, jnp.uint32(0)), unique_indices=True)
+    return arena
 
-    touched = jnp.sum((last & (ids_s != cfg.sentinel)).astype(jnp.int32))
-    return arena, touched
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("arena",))
+def apply_samples_jit(arena, records, batch, cfg: IntegrateConfig):
+    return _apply_sample_layers(arena, records, batch, cfg)
+
+
+# --------------------------------------------------------------------------- #
+# Delta fast path ("v3"): sort + blocked-cummax reduce + compaction sort +
+# one sorted-unique scatter-add + unconditional clamp.
+#
+# Motivation (all slope-measured on the v5e chip, scripts/probe_apply*.py):
+# the round-1 apply phase spent ~11 ms in lax.associative_scan and ~11-27 ms
+# in a 2M-record scatter; sorted+unique scatters cost ~5.8 ns/element and
+# gathers ~19-25 ns/element, while 1D single-key sorts cost ~1.4-2.3 ns/elem
+# and blocked cummax ~0.33 ns/elem.  This path therefore:
+#   1. sorts the (flat<<1|hit) record keys (i32),
+#   2. reduces per-voxel hit/miss counts from POSITION DIFFERENCES — the
+#      voxel/run start positions propagate to the run ends via two blocked
+#      cummaxes (ops.blocked), no scan,
+#   3. compacts (voxel, delta) pairs to the stream front with one i64
+#      single-key sort (delta bits ride in the key's low word),
+#   4. scatter-ADDs the deltas at sorted unique indices.  The arena encodes
+#      unobserved as -0.0 so no old-value gather is needed: -0.0 + x == x,
+#      and -0.0 + +0.0 == +0.0 marks "observed, value 0" correctly,
+#   5. clamps the whole arena unconditionally — equivalent to the
+#      reference's one-sided per-update clamp (ohm/VoxelOccupancyCompute.h
+#      occupancyAdjustUp/Down) because every stored value is inside
+#      [min_value, max_value] inductively and 0 (the unobserved base) is
+#      strictly inside, so the inactive side's bound can never engage.
+#
+# Validity gate (TpuRayMapper routes here only when):
+#   - no state-dependent ray flags (kRfExclude{Free,Occupied,Unobserved},
+#     kRfStopOnFirstOccupied) — hit/miss adjustments are then constants,
+#   - saturation disabled (the reference default),
+#   - min_value < 0 < max_value (guards the clamp-equivalence argument and
+#     keeps jnp.minimum/maximum from touching the -0.0 sentinel).
+# Everything else falls back to the monolithic/split-phase pipelines above.
+
+
+def apply_delta(occupancy, key, cfg: IntegrateConfig):
+    """Occupancy delta apply: see module comment.  i64 math inside — callers
+    must trace under jax.enable_x64(True) (TpuRayMapper does)."""
+    from ohm_tpu.ops import blocked
+
+    n = key.shape[0]
+    s = jax.lax.sort((key,), num_keys=1)[0]
+    ids = s >> 1
+    hit = (s & 1).astype(jnp.int32)
+    valid = ids < jnp.int32(cfg.sentinel)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    prev_ids = jnp.concatenate([jnp.full((1,), -1, jnp.int32), ids[:-1]])
+    prev_key = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s[:-1]])
+    next_ids = jnp.concatenate([ids[1:], jnp.full((1,), -1, jnp.int32)])
+    vox_first = ids != prev_ids
+    run_first = s != prev_key
+    vox_last = (ids != next_ids) & valid
+
+    neg = jnp.int32(-(1 << 30))
+    p_vox = blocked.cummax(jnp.where(vox_first, pos, neg), lowest=neg)
+    p_run = blocked.cummax(jnp.where(run_first, pos, neg), lowest=neg)
+
+    # Sorted order within a voxel is [misses (bit 0), hits (bit 1)]; at the
+    # voxel-last record the run/voxel starts give both counts directly.
+    n_hit = jnp.where(hit == 1, pos - p_run + 1, 0)
+    n_miss = jnp.where(hit == 1, p_run - p_vox, pos - p_vox + 1)
+    delta = (n_hit.astype(jnp.float32) * jnp.float32(cfg.hit_value)
+             + n_miss.astype(jnp.float32) * jnp.float32(cfg.miss_value))
+
+    i64max = jnp.int64((1 << 62))
+    delta_bits = jax.lax.bitcast_convert_type(delta, jnp.uint32).astype(jnp.int64)
+    k2 = jnp.where(vox_last, (ids.astype(jnp.int64) << 32) | delta_bits, i64max)
+    s2 = jax.lax.sort((k2,), num_keys=1)[0]
+    cap = cfg.scatter_cap if 0 < cfg.scatter_cap < n else n
+    s2c = s2[:cap]
+
+    idx = (s2c >> 32).astype(jnp.int32)  # pad entries -> 2^30, out of bounds
+    val = jax.lax.bitcast_convert_type(
+        (s2c & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32), jnp.float32)
+    # Out-of-bounds indices drop under the default scatter mode; sortedness
+    # and uniqueness hold (pad keys sort last and the arena is < 2^30 long).
+    occupancy = occupancy.at[idx].add(
+        val, indices_are_sorted=True, unique_indices=True)
+    occupancy = jnp.minimum(
+        jnp.maximum(occupancy, jnp.float32(cfg.min_value)), jnp.float32(cfg.max_value))
+
+    touched = jnp.sum(vox_last.astype(jnp.int32))
+    applied = jnp.sum((s2c != i64max).astype(jnp.int32))
+    stats = {"touched": touched, "dropped_updates": touched - applied}
+    return occupancy, stats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("occupancy",))
+def apply_delta_jit(occupancy, key, cfg: IntegrateConfig):
+    return apply_delta(occupancy, key, cfg)
+
+
+def delta_path_ok(cfg: IntegrateConfig) -> bool:
+    """True when the delta fast path preserves reference semantics."""
+    import numpy as np
+
+    state_flags = (RayFlag.EXCLUDE_FREE | RayFlag.EXCLUDE_OCCUPIED
+                   | RayFlag.EXCLUDE_UNOBSERVED | RayFlag.STOP_ON_FIRST_OCCUPIED)
+    # Saturation "disabled" is encoded as the float32 min/max
+    # (core.map.OccupancyMap.saturation_min/_max), matching the reference's
+    # voxel saturation defaults.
+    sat_off = (cfg.saturation_min <= float(np.finfo(np.float32).min)
+               and cfg.saturation_max >= float(np.finfo(np.float32).max))
+    return (cfg.zero_unobserved
+            and not (cfg.ray_flags & state_flags)
+            and not cfg.with_traversal
+            and sat_off
+            and cfg.min_value < 0.0 < cfg.max_value)

@@ -50,7 +50,10 @@ class ShardedArena:
 
         self.n_shards = n_shards
         self.mesh = mesh
-        self.shards = [VoxelArena(capacity, region_shift, layer_names) for _ in range(n_shards)]
+        # Zero-encoded occupancy to match TpuRayMapper._config
+        # (zero_unobserved=True) — the dryrun builds its cfg from a mapper.
+        self.shards = [VoxelArena(capacity, region_shift, layer_names,
+                                  occupancy_encoding="zero") for _ in range(n_shards)]
         self.capacity = capacity
         self.region_shift = region_shift
 

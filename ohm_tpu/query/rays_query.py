@@ -59,7 +59,7 @@ def _rays_query_device(arena_state, batch, cfg):
     valid = jnp.concatenate([walk["valid"], end_step[:, None]], axis=1) & b["valid"][:, None]
 
     occ = arena_state["occupancy"][ids]
-    unobs = _unobserved(occ)
+    unobs = _unobserved(occ, cfg.zero_unobserved)
     occupied = valid & ~unobs & (occ > jnp.float32(cfg.occupancy_threshold))
 
     # Prefix: steps strictly after the first occupied voxel are not visited.
