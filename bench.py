@@ -60,6 +60,7 @@ def main():
     jax.block_until_ready(mapper.arena.arrays["occupancy"])
     elapsed = time.perf_counter() - t0
 
+    assert mapper.stats["dropped_updates"] == 0, "scatter_cap too small for scene"
     total_rays = rays_per_batch * n_batches
     rays_per_sec = total_rays / elapsed
     print(json.dumps({

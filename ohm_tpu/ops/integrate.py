@@ -618,33 +618,42 @@ def expand_records_jit(batch, cfg: IntegrateConfig):
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("arena",))
 def apply_records_jit(arena, records, batch, cfg: IntegrateConfig):
-    """Phase 2: sort + segmented reduce + scatter + dense occupancy apply."""
+    """Phase 2: sort + blocked position-diff reduce + scatter + dense apply.
+
+    Per-voxel counts come from POSITION DIFFERENCES after the single-key
+    sort: the key packs (flat << 1 | hit), so each voxel's records order
+    [misses, hits] and the voxel/run start positions — propagated to the run
+    ends by two blocked cummaxes (ops.blocked, ~0.33 ns/elem) — yield both
+    counts at the voxel-last record.  This replaces the round-1
+    lax.associative_scan, which cost ~11 ms at 2M records (half the apply
+    budget; scripts/probe_apply7.py stage 4).
+    """
+    from ohm_tpu.ops import blocked
+
     key = records["key"]
     operands = (key,) + ((records["trav"],) if cfg.with_traversal else ())
     sorted_ops = jax.lax.sort(operands, num_keys=1)
     key_s = sorted_ops[0]
     ids_s = key_s >> 1
-    hit_bit = (key_s & 1).astype(jnp.float32)
+    hit_b = key_s & 1
+    n = key_s.shape[0]
     first = jnp.concatenate([jnp.array([True]), ids_s[1:] != ids_s[:-1]])
     last = jnp.concatenate([ids_s[1:] != ids_s[:-1], jnp.array([True])])
+    run_first = jnp.concatenate([jnp.array([True]), key_s[1:] != key_s[:-1]])
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    neg = jnp.int32(-(1 << 30))
+    p_vox = blocked.cummax(jnp.where(first, pos, neg), lowest=neg)
+    p_run = blocked.cummax(jnp.where(run_first, pos, neg), lowest=neg)
+    n_hit = jnp.where(hit_b == 1, pos - p_run + 1, 0).astype(jnp.float32)
+    n_miss = jnp.where(hit_b == 1, p_run - p_vox, pos - p_vox + 1).astype(jnp.float32)
 
     if cfg.with_traversal:
-        def op(a, b2):
-            fa, ha, ca, ta = a
-            fb, hb, cb, tb = b2
-            return (fa | fb, jnp.where(fb, hb, ha + hb), jnp.where(fb, cb, ca + cb),
-                    jnp.where(fb, tb, ta + tb))
-        valid_bit = (ids_s != cfg.sentinel).astype(jnp.float32)
-        _, n_hit, n_tot, trav_tot = jax.lax.associative_scan(
-            op, (first, hit_bit, valid_bit, sorted_ops[1]))
-    else:
-        def op(a, b2):
-            fa, ha, ca = a
-            fb, hb, cb = b2
-            return fa | fb, jnp.where(fb, hb, ha + hb), jnp.where(fb, cb, ca + cb)
-        valid_bit = (ids_s != cfg.sentinel).astype(jnp.float32)
-        _, n_hit, n_tot = jax.lax.associative_scan(op, (first, hit_bit, valid_bit))
-    n_miss = n_tot - n_hit
+        trav_s = sorted_ops[1]
+        t_incl = blocked.cumsum(trav_s)
+        t_excl_first = jnp.where(first, t_incl - trav_s, jnp.float32(-3.0e38))
+        t_base = blocked.cummax(t_excl_first, lowest=jnp.float32(-3.0e38))
+        trav_tot = t_incl - t_base
 
     arena = dict(arena)
     arena["occupancy"] = _apply_occupancy_dense(arena["occupancy"], ids_s, last, n_hit, n_miss, cfg)
@@ -810,15 +819,25 @@ def apply_delta(occupancy, key, cfg: IntegrateConfig):
     k2 = jnp.where(vox_last, (ids.astype(jnp.int64) << 32) | delta_bits, i64max)
     s2 = jax.lax.sort((k2,), num_keys=1)[0]
     cap = cfg.scatter_cap if 0 < cfg.scatter_cap < n else n
+    if cap > cfg.scatter_pad:
+        raise ValueError(
+            f"delta path needs scatter_pad >= scatter window ({cap}); "
+            f"have {cfg.scatter_pad}")
     s2c = s2[:cap]
 
-    idx = (s2c >> 32).astype(jnp.int32)  # pad entries -> 2^30, out of bounds
-    val = jax.lax.bitcast_convert_type(
-        (s2c & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32), jnp.float32)
-    # Out-of-bounds indices drop under the default scatter mode; sortedness
-    # and uniqueness hold (pad keys sort last and the arena is < 2^30 long).
+    # Pad entries route into the arena's scratch tail (pad_base + iota):
+    # in-bounds, sorted (pad_base exceeds every real id) and unique, so the
+    # scatter can promise in-bounds sorted unique indices.  Out-of-bounds
+    # drop-mode indices lower to a ~20x slower predicated scatter on this
+    # toolchain (scripts/probe_v3.py: 279 ms vs 76 ms per batch).
+    cpos = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
+    real = s2c != i64max
+    idx = jnp.where(real, (s2c >> 32).astype(jnp.int32), cfg.pad_base + cpos)
+    val = jnp.where(real, jax.lax.bitcast_convert_type(
+        (s2c & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32), jnp.float32), 0.0)
     occupancy = occupancy.at[idx].add(
-        val, indices_are_sorted=True, unique_indices=True)
+        val, indices_are_sorted=True, unique_indices=True,
+        mode="promise_in_bounds")
     occupancy = jnp.minimum(
         jnp.maximum(occupancy, jnp.float32(cfg.min_value)), jnp.float32(cfg.max_value))
 
@@ -844,7 +863,11 @@ def delta_path_ok(cfg: IntegrateConfig) -> bool:
     # voxel saturation defaults.
     sat_off = (cfg.saturation_min <= float(np.finfo(np.float32).min)
                and cfg.saturation_max >= float(np.finfo(np.float32).max))
-    return (cfg.zero_unobserved
+    # Opt-in: the delta path only wins when a scatter budget bounds the
+    # sorted scatter-add (uncapped 2M .add measured 10x worse than the
+    # split-phase pad-trick .set deposit - scripts/probe_v3.py).
+    return (cfg.scatter_cap > 0
+            and cfg.zero_unobserved
             and not (cfg.ray_flags & state_flags)
             and not cfg.with_traversal
             and sat_off

@@ -32,9 +32,17 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ohm_tpu.ops.integrate import IntegrateConfig, integrate_occupancy
 
 
-def region_owner(region_keys: np.ndarray, n_shards: int) -> np.ndarray:
-    """Shard ownership by region key hash (host-side, numpy)."""
-    r = np.asarray(region_keys, dtype=np.int64)
+def region_owner(region_keys: np.ndarray, n_shards: int, super_shift: int = 2) -> np.ndarray:
+    """Shard ownership by SUPER-REGION hash (host-side, numpy).
+
+    Regions are grouped into super-regions of 2^super_shift per axis before
+    hashing, so a segment's 2x2x2 corner-region box usually lands on one
+    owner: with 4-region super-blocks ~42% of segments have a single owner
+    and the mean owner count is ~1.6 (vs 8 for per-region hashing at 8
+    shards).  Hashing the super-region key (rather than tiling shards in
+    space) keeps load statistically balanced across many frames.
+    """
+    r = np.asarray(region_keys, dtype=np.int64) >> super_shift
     h = (r[..., 0] * 73856093) ^ (r[..., 1] * 19349669) ^ (r[..., 2] * 83492791)
     return (h % n_shards + n_shards) % n_shards
 
@@ -118,6 +126,111 @@ def sharded_integrate(mesh: Mesh, cfg: IntegrateConfig):
         check_vma=False,
     )
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_routed_batch(prepared, sharded_arena, mesh: Mesh):
+    """Route segments to the shards owning their corner regions.
+
+    The replicated scheme (make_sharded_batch) ships every segment to every
+    chip; here a segment is sent only to the DISTINCT owners of its 2x2x2
+    corner-region box, cutting per-chip DDA + sort work ~n-fold.  Every
+    voxel record still reaches exactly one shard (its region's owner is by
+    construction among the segment's corner owners), so the sharded
+    write-once invariant of check_sharded_coverage is preserved.
+
+    Returns (batch dict with all arrays stacked [n_shards, B_max, ...],
+    per-shard active segment counts).
+    """
+    from ohm_tpu.mapping.batch import fill_corner_slots
+
+    n_shards = sharded_arena.n_shards
+    total = prepared.n_segments
+    owners = region_owner(prepared.corner_regions[:total].reshape(-1, 3), n_shards)
+    owners = owners.reshape(total, 8)
+
+    # Per-shard segment index lists (a segment may appear on several shards).
+    sel = [np.flatnonzero((owners == s).any(axis=1)) for s in range(n_shards)]
+    counts = [len(ix) for ix in sel]
+    b_max = _next_pow2(max(max(counts), 1))
+
+    arrays = prepared.arrays
+    ints = np.zeros((n_shards, b_max, arrays["ints"].shape[1]), arrays["ints"].dtype)
+    ints[:, :, 9:17] = -1
+    floats = np.zeros((n_shards, b_max, arrays["floats"].shape[1]), arrays["floats"].dtype)
+    flags = np.zeros((n_shards, b_max, arrays["flags"].shape[1]), arrays["flags"].dtype)
+    touch = np.zeros((n_shards, b_max), arrays["touch"].dtype)
+
+    for sidx, ix in enumerate(sel):
+        k = len(ix)
+        # Resolve corner slots against THIS shard's region table: non-owned
+        # corners resolve to -1 and their records drop on-device.
+        sub = _subset_prepared(prepared, ix)
+        fill_corner_slots(sub, sharded_arena.shards[sidx].table)
+        ints[sidx, :k] = sub.arrays["ints"][:k]
+        floats[sidx, :k] = sub.arrays["floats"][:k]
+        flags[sidx, :k] = sub.arrays["flags"][:k]
+        touch[sidx, :k] = sub.arrays["touch"][:k]
+
+    shard_spec = jax.sharding.NamedSharding(mesh, P("shard"))
+    batch = {
+        "ints": jax.device_put(ints, shard_spec),
+        "floats": jax.device_put(floats, shard_spec),
+        "flags": jax.device_put(flags, shard_spec),
+        "touch": jax.device_put(touch, shard_spec),
+    }
+    return batch, np.asarray(counts)
+
+
+def _next_pow2(n: int) -> int:
+    size = 256
+    while size < n:
+        size *= 2
+    return size
+
+
+def _subset_prepared(prepared, ix):
+    """A PreparedBatch view holding only segments ``ix`` (host-side copy)."""
+    import dataclasses as _dc
+
+    arrays = {k: v[ix].copy() if v.ndim else v for k, v in prepared.arrays.items()}
+    # keep fixed widths; sizes re-derived from ix
+    return _dc.replace(prepared, size=len(ix), n_segments=len(ix),
+                       arrays=arrays, corner_regions=prepared.corner_regions[ix])
+
+
+def sharded_integrate_routed(mesh: Mesh, cfg: IntegrateConfig):
+    """Jitted multi-chip integrate for ROUTED batches: every batch array is
+    sharded on the leading shard axis (no replication)."""
+
+    def local_step(state, batch):
+        local = {k: v[0] for k, v in state.items()}
+        local_batch = {k: v[0] for k, v in batch.items()}
+        new_local, stats = integrate_occupancy(local, local_batch, cfg)
+        return ({k: v[None] for k, v in new_local.items()},
+                {k: v[None] for k, v in stats.items()})
+
+    shard = P("shard")
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=({k: shard for k in _state_keys(cfg)},
+                  {k: shard for k in _batch_keys()}),
+        out_specs=({k: shard for k in _state_keys(cfg)},
+                   {k: shard for k in _stats_keys()}),
+        check_vma=False,
+    )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def check_routed_coverage(stats, total_records: int) -> None:
+    """Routed invariant: every record applies on exactly one shard, so the
+    per-shard applied counts must sum to the SINGLE-DEVICE active record
+    count (which the caller computes from an unrouted reference run)."""
+    applied = int(np.asarray(stats["applied_updates"]).sum())
+    if applied != total_records:
+        raise AssertionError(
+            f"routed coverage broken: {applied} records applied across shards, "
+            f"expected {total_records}")
 
 
 def make_sharded_batch(prepared, sharded_arena, mesh: Mesh):

@@ -1,0 +1,219 @@
+"""Throughput benchmarks for BASELINE.md configs 2-5 (the headline config 1
+lives in bench.py).  Writes one JSON object per config to BENCH_extra.json
+at the repo root and prints them.
+
+Configs (BASELINE.md "Targets"):
+  2. occupancy + VoxelMean, 0.2 m voxels, outdoor-like scene (no .laz ships
+     with the repo, so a synthetic ground+structures cloud substitutes; the
+     slamio .laz path is laspy-gated - see ohm_tpu/io/slam.py)
+  3. NDT-OM covariance voxels with sample/miss separation
+  4. TSDF integration + layered heightmap extraction
+  5. stretch: NDT-TM + clearance + heightmap pipeline on one large frame
+
+Also runs an ON-HARDWARE differential: a 512-ray batch integrated on the
+live jax backend must match the f64 oracle voxel-by-voxel (tol 1e-4),
+mirroring tests/ohmtestgpu/GpuMapTest.cpp compareCpuGpuMaps in the reference.
+
+Run: python -u scripts/bench_modes.py [--quick]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--quick", action="store_true")
+_ap.add_argument("--platform", default=None,
+                 help="pin backend (the axon sitecustomize overrides JAX_PLATFORMS)")
+args = _ap.parse_args()
+
+import jax
+
+if args.platform:
+    jax.config.update("jax_platforms", args.platform)
+else:
+    from ohm_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+from ohm_tpu.core.map import OccupancyMap, MapFlag
+from ohm_tpu.mapping.tpu_map import TpuRayMapper
+from ohm_tpu.mapping.ndt_map import TpuNdtMap
+from ohm_tpu.mapping.tsdf_map import TpuTsdfMap
+from ohm_tpu.heightmap.heightmap import Heightmap, HeightmapMode
+import bench as benchmod
+
+
+def outdoor_rays(n, rng, extent=40.0, sensor_height=1.5):
+    """Outdoor-like frame: ground plane + scattered box structures."""
+    az = rng.uniform(0, 2 * np.pi, n)
+    el = rng.uniform(-0.35, 0.15, n)  # mostly downward/level, lidar-like
+    dirs = np.stack([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)], axis=1)
+    sensor = np.array([0.0, 0.0, sensor_height])
+    # range to ground (z=0) or max extent
+    t_ground = np.where(dirs[:, 2] < -1e-3, -sensor_height / dirs[:, 2], np.inf)
+    t = np.minimum(t_ground, extent / np.maximum(np.linalg.norm(dirs[:, :2], axis=1), 1e-6))
+    t = np.clip(t, 0.5, extent)
+    rays = np.empty((2 * n, 3))
+    rays[0::2] = sensor
+    rays[1::2] = sensor + dirs * t[:, None]
+    return rays
+
+
+def timed_integration(mapper, batches, warmup=2):
+    for b in batches[:warmup]:
+        mapper.integrate_rays(b)
+    jax.block_until_ready(mapper.arena.arrays["occupancy"])
+    t0 = time.perf_counter()
+    for b in batches:
+        mapper.integrate_rays(b)
+    jax.block_until_ready(mapper.arena.arrays["occupancy"])
+    dt = time.perf_counter() - t0
+    n_rays = sum(np.asarray(b).reshape(-1, 3).shape[0] // 2 for b in batches)
+    return n_rays / dt
+
+
+def differential_on_hardware(tol=1e-4):
+    """TPU-vs-f64-oracle voxel differential on the live backend."""
+    from ohm_tpu.oracle.occupancy import RayMapperOccupancy
+
+    rng = np.random.default_rng(11)
+    rays = benchmod.box_scene_rays(512, rng, half=(4.0, 4.0, 2.0))
+
+    m_dev = OccupancyMap(resolution=0.2, flags=MapFlag.NONE)
+    mapper = TpuRayMapper(m_dev, capacity=128, validate=True)
+    mapper.integrate_rays(rays)
+    mapper.sync_voxels()
+
+    m_ref = OccupancyMap(resolution=0.2, flags=MapFlag.NONE)
+    RayMapperOccupancy(m_ref).integrate_rays(rays)
+
+    occ_idx = m_ref.layer_index("occupancy")
+    vals_dev, vals_ref = {}, {}
+    for vals, m in ((vals_dev, m_dev), (vals_ref, m_ref)):
+        for key, chunk in m.chunks.items():
+            occ = chunk.layers[occ_idx]["occupancy"]
+            for i in np.flatnonzero(np.isfinite(occ)):
+                vals[(key, int(i))] = float(occ[i])
+    assert set(vals_dev) == set(vals_ref), (
+        f"voxel coverage differs: dev-only {len(set(vals_dev)-set(vals_ref))}, "
+        f"ref-only {len(set(vals_ref)-set(vals_dev))}")
+    worst = max(abs(vals_dev[k] - vals_ref[k]) for k in vals_ref)
+    assert worst < tol, f"on-hardware differential diverged: {worst}"
+    return {"metric": "hardware_differential_worst_abs_err", "value": worst,
+            "unit": "logit", "voxels": len(vals_ref)}
+
+
+def main():
+    rng = np.random.default_rng(7)
+    n_batches = 4 if args.quick else 12
+    rays_per_batch = 8192
+    results = []
+
+    print(f"devices: {jax.devices()}", flush=True)
+
+    # --- on-hardware differential -------------------------------------------
+    diff = differential_on_hardware()
+    print(json.dumps(diff), flush=True)
+    results.append(diff)
+
+    # --- config 2: occupancy + mean, 0.2 m, outdoor scene ---------------------
+    m2 = OccupancyMap(resolution=0.2, flags=MapFlag.VOXEL_MEAN)
+    mp2 = TpuRayMapper(m2, capacity=1024)
+    batches = [outdoor_rays(rays_per_batch, rng) for _ in range(n_batches)]
+    rps = timed_integration(mp2, batches)
+    r = {"metric": "occupancy_mean_outdoor_rays_per_sec", "value": round(rps, 1),
+         "unit": "rays/s", "vs_baseline": round(rps / 1e8, 5)}
+    print(json.dumps(r), flush=True)
+    results.append(r)
+
+    # --- config 3: NDT-OM ------------------------------------------------------
+    m3 = OccupancyMap(resolution=0.2, flags=MapFlag.NONE)
+    mp3 = TpuNdtMap(m3, capacity=1024)
+    batches = [benchmod.box_scene_rays(rays_per_batch, rng) for _ in range(n_batches)]
+    rps = timed_integration(mp3, batches)
+    r = {"metric": "ndt_om_rays_per_sec", "value": round(rps, 1),
+         "unit": "rays/s", "vs_baseline": round(rps / 1e8, 5)}
+    print(json.dumps(r), flush=True)
+    results.append(r)
+
+    # --- config 4: TSDF + layered heightmap -----------------------------------
+    m4 = OccupancyMap(resolution=0.1, flags=MapFlag.NONE)
+    mp4 = TpuTsdfMap(m4, capacity=1024)
+    batches = [benchmod.box_scene_rays(rays_per_batch, rng) for _ in range(n_batches)]
+    rps = timed_integration(mp4, batches)
+    r = {"metric": "tsdf_rays_per_sec", "value": round(rps, 1),
+         "unit": "rays/s", "vs_baseline": round(rps / 1e8, 5)}
+    print(json.dumps(r), flush=True)
+    results.append(r)
+
+    # layered heightmap extraction from an occupancy map of the same scene
+    m4o = OccupancyMap(resolution=0.1, flags=MapFlag.NONE)
+    mp4o = TpuRayMapper(m4o, capacity=1024)
+    for b in batches[:4]:
+        mp4o.integrate_rays(b)
+    mp4o.sync_voxels()
+    hm = Heightmap(min_clearance=0.5)
+    hm.mode = HeightmapMode.LAYERED_FILL
+    t0 = time.perf_counter()
+    hm.build_heightmap(m4o)
+    dt = time.perf_counter() - t0
+    n_vox = sum(np.isfinite(c.layers[m4o.layer_index("occupancy")]["occupancy"]).sum()
+                for c in m4o.chunks.values())
+    r = {"metric": "layered_heightmap_build_sec", "value": round(dt, 3),
+         "unit": "s", "source_voxels": int(n_vox)}
+    print(json.dumps(r), flush=True)
+    results.append(r)
+
+    # --- config 5 (stretch): NDT-TM + clearance + heightmap, 1M-ray frame -----
+    if not args.quick:
+        from ohm_tpu.oracle.ndt import NdtParams
+        m5 = OccupancyMap(resolution=0.2, flags=MapFlag.NONE)
+        mp5 = TpuNdtMap(m5, params=NdtParams(ndt_tm=True), capacity=1024)
+        frame = benchmod.box_scene_rays(1 << 20, rng, half=(15.0, 15.0, 7.0))
+        intens = rng.uniform(0.0, 1.0, 1 << 20).astype(np.float32)
+        times = np.linspace(0.0, 0.1, 1 << 20)
+        # warm compile on a slice
+        mp5.integrate_rays(frame[: 2 * 8192], intensities=intens[:8192], timestamps=times[:8192])
+        jax.block_until_ready(mp5.arena.arrays["occupancy"])
+        t0 = time.perf_counter()
+        step = 2 * 8192
+        for i in range(0, frame.shape[0], step):
+            mp5.integrate_rays(frame[i:i + step],
+                               intensities=intens[i // 2:i // 2 + 8192],
+                               timestamps=times[i // 2:i // 2 + 8192])
+        jax.block_until_ready(mp5.arena.arrays["occupancy"])
+        t_int = time.perf_counter() - t0
+        mp5.sync_voxels()
+        from ohm_tpu.query.clearance import ClearanceProcess
+
+        t0 = time.perf_counter()
+        ClearanceProcess(m5, search_radius=1.0).update(force=True)
+        t_clear = time.perf_counter() - t0
+        hm5 = Heightmap(min_clearance=0.5)
+        hm5.mode = HeightmapMode.LAYERED_FILL
+        t0 = time.perf_counter()
+        hm5.build_heightmap(m5)
+        t_hm = time.perf_counter() - t0
+        r = {"metric": "ndt_tm_pipeline_frame_sec",
+             "value": round(t_int + t_clear + t_hm, 3), "unit": "s",
+             "rays": 1 << 20,
+             "integrate_sec": round(t_int, 3), "clearance_sec": round(t_clear, 3),
+             "heightmap_sec": round(t_hm, 3),
+             "rays_per_sec": round((1 << 20) / t_int, 1)}
+        print(json.dumps(r), flush=True)
+        results.append(r)
+
+    with open("BENCH_extra.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote BENCH_extra.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()
