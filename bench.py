@@ -45,7 +45,11 @@ def main():
     warmup = 4
 
     m = OccupancyMap(resolution=resolution, flags=MapFlag.NONE)
-    mapper = TpuRayMapper(m, capacity=2048)
+    # The box scene spans ~320 regions total; 512 slots hold the whole map
+    # with no LRU churn while keeping the dense apply sweep (which scales
+    # with arena capacity, not touched regions) 4x smaller than round-1's
+    # 2048-slot arena.
+    mapper = TpuRayMapper(m, capacity=512)
 
     batches = [box_scene_rays(rays_per_batch, rng) for _ in range(n_batches)]
 
@@ -54,9 +58,12 @@ def main():
         mapper.integrate_rays(batches[i % n_batches])
     jax.block_until_ready(mapper.arena.arrays["occupancy"])
 
+    # Pipelined submission: host prep of batch i+1 overlaps device batch i
+    # (TpuRayMapper.integrate_rays_async worker thread).
     t0 = time.perf_counter()
     for b in batches:
-        mapper.integrate_rays(b)
+        mapper.integrate_rays_async(b)
+    mapper.flush()
     jax.block_until_ready(mapper.arena.arrays["occupancy"])
     elapsed = time.perf_counter() - t0
 

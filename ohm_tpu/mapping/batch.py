@@ -308,3 +308,27 @@ def compact_batch(prepared: PreparedBatch, region_dim: int,
         "flags": prepared.arrays["flags"],
         "touch": prepared.arrays["touch"],
     }
+
+
+def pack_wire(wire: dict, with_touch: bool = True) -> np.ndarray:
+    """Pack the compact wire dict into ONE uint8 buffer (single transfer).
+
+    Every host->device array costs a tunnel round trip on the axon runtime;
+    one packed buffer collapses 5 transfers into 1.  SoA layout, 4-byte
+    aligned blocks: [floats f32 BxW | offs u32 Bx2 | touch u32 B? |
+    ints16 i16 Bx11 | flags u8 Bx4] + 2B pad to a 4-byte multiple.
+    The device unpack (ops.integrate._unpack_batch) re-derives the layout
+    from the static shapes in IntegrateConfig.
+    """
+    parts = [
+        np.ascontiguousarray(wire["floats"]).view(np.uint8).reshape(-1),
+        np.ascontiguousarray(wire["offs"]).view(np.uint8).reshape(-1),
+    ]
+    if with_touch:
+        parts.append(np.ascontiguousarray(wire["touch"]).view(np.uint8).reshape(-1))
+    parts.append(np.ascontiguousarray(wire["ints16"]).view(np.uint8).reshape(-1))
+    parts.append(np.ascontiguousarray(wire["flags"].astype(np.uint8)).view(np.uint8).reshape(-1))
+    buf = np.concatenate(parts)
+    if buf.size % 4:
+        buf = np.concatenate([buf, np.zeros(4 - buf.size % 4, np.uint8)])
+    return buf

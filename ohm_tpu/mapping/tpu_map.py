@@ -27,7 +27,8 @@ from ohm_tpu.core.layout import (
     INCIDENT_NORMAL_LAYER,
 )
 from ohm_tpu.mapping.arena import VoxelArena
-from ohm_tpu.mapping.batch import prepare_ray_batch, fill_corner_slots, max_steps_for, compact_batch
+from ohm_tpu.mapping.batch import (
+    prepare_ray_batch, fill_corner_slots, max_steps_for, compact_batch, pack_wire)
 from ohm_tpu.ops.integrate import (
     IntegrateConfig,
     integrate_occupancy_jit,
@@ -88,6 +89,9 @@ class TpuRayMapper:
         self._stats = {"rays": 0, "segments": 0, "batches": 0, "missed_updates": 0,
                        "overflow": 0, "dropped_updates": 0}
         self._pending_stats = []
+        self._worker = None
+        self._queue = None
+        self._worker_error = None
 
     def _config(self, ray_flags: int) -> IntegrateConfig:
         m = self.map
@@ -132,9 +136,11 @@ class TpuRayMapper:
         if dims0 <= 32 and self.arena.capacity < 32767:
             wire = compact_batch(prepared, dims0, with_mean=self.with_mean,
                                  with_tsdf=False)
+            # One packed transfer instead of five (each host->device array
+            # costs a tunnel round trip; mapping.batch.pack_wire).
+            batch = {"wire": jnp.asarray(pack_wire(wire, with_touch=self.with_touch))}
         else:
-            wire = prepared.arrays
-        batch = {k: jnp.asarray(v) for k, v in wire.items()}
+            batch = {k: jnp.asarray(v) for k, v in prepared.arrays.items()}
         cfg = self._config(ray_update_flags)
         state = self.arena.device_state()
         if ray_update_flags & RayFlag.STOP_ON_FIRST_OCCUPIED:
@@ -176,6 +182,49 @@ class TpuRayMapper:
                 "scatter_cap exceeded — raise TpuRayMapper(scatter_cap=...)"
         return n_rays
 
+    # ------------------------------------------------------------------ #
+    # Pipelined submission: a single worker thread runs the host half
+    # (prepare/allocate/pack/transfer/dispatch) of batch i+1 while the
+    # device crunches batch i — the analogue of the reference's
+    # double-buffered uploads (ohmgpu/GpuMap.cpp:878, GpuMapDetail.h:80).
+    # Ordering is preserved (one worker, FIFO queue); sync_voxels drains.
+
+    def integrate_rays_async(self, rays, intensities=None, timestamps=None,
+                             ray_update_flags: int = 0) -> int:
+        """Queue a ray batch; host prep overlaps device execution."""
+        if self._worker is None:
+            import queue
+            import threading
+
+            self._queue = queue.Queue(maxsize=4)
+            self._worker_error = None
+
+            def _loop():
+                while True:
+                    item = self._queue.get()
+                    if item is None:
+                        self._queue.task_done()
+                        return
+                    try:
+                        self.integrate_rays(*item)
+                    except BaseException as e:  # surfaced on sync/drain
+                        self._worker_error = e
+                    finally:
+                        self._queue.task_done()
+
+            self._worker = threading.Thread(target=_loop, daemon=True)
+            self._worker.start()
+        self._queue.put((rays, intensities, timestamps, ray_update_flags))
+        return np.asarray(rays).reshape(-1, 3).shape[0] // 2
+
+    def flush(self):
+        """Wait for all queued batches to be submitted to the device."""
+        if self._worker is not None:
+            self._queue.join()
+            if self._worker_error is not None:
+                err, self._worker_error = self._worker_error, None
+                raise err
+
     def _drain_stats(self):
         for stats in self._pending_stats:
             self._stats["missed_updates"] += int(stats["missed_updates"])
@@ -186,11 +235,13 @@ class TpuRayMapper:
 
     def sync_voxels(self):
         """Flush device voxel state into the host OccupancyMap (GpuMap::syncVoxels)."""
+        self.flush()
         jax.block_until_ready(self.arena.arrays["occupancy"])
         self._drain_stats()
         self.arena.sync_to_host(self.map, stamp=self.map.stamp)
 
     @property
     def stats(self) -> dict:
+        self.flush()
         self._drain_stats()
         return dict(self._stats)

@@ -135,7 +135,45 @@ FLAGS_WIDTH = 4
 #   flags bool[B, 4], touch u32[B] as before.
 
 
+def _wire_float_width(cfg) -> int:
+    """Float block width in the compact wire (mapping.batch.compact_batch)."""
+    # TSDF configs carry t0/full_length (12); mean/NDT carry end_frac (10).
+    if getattr(cfg, "wire_tsdf", False):
+        return 12
+    return 10 if (cfg is not None and cfg.with_mean) else 7
+
+
 def _unpack_batch(batch, cfg=None):
+    if "wire" in batch:
+        # Single-buffer packed layout (mapping.batch.pack_wire): one
+        # host->device transfer instead of five.  Layout is static given the
+        # cfg layer set and the buffer length.
+        buf = batch["wire"]
+        w = _wire_float_width(cfg)
+        with_touch = cfg.with_touch_time if cfg is not None else True
+        bps = 4 * w + 8 + (4 if with_touch else 0) + 22 + 4  # bytes/segment
+        B = buf.shape[0] // bps  # alignment pad is < 4 bytes; floor is exact
+        off = 0
+
+        def take(nbytes):
+            nonlocal off
+            part = buf[off:off + nbytes]
+            off += nbytes
+            return part
+
+        floats = jax.lax.bitcast_convert_type(
+            take(4 * w * B).reshape(B, w, 4), jnp.float32)
+        offs = jax.lax.bitcast_convert_type(
+            take(8 * B).reshape(B, 2, 4), jnp.uint32)
+        touch = (jax.lax.bitcast_convert_type(
+            take(4 * B).reshape(B, 4), jnp.uint32)
+            if with_touch else jnp.zeros((B,), jnp.uint32))
+        ints16 = jax.lax.bitcast_convert_type(
+            take(22 * B).reshape(B, 11, 2), jnp.int16)
+        flags = take(4 * B).reshape(B, 4) != 0
+        batch = {"ints16": ints16, "offs": offs, "floats": floats,
+                 "flags": flags, "touch": touch}
+        # fall through to the compact-wire unpack below
     if "ints" in batch:
         ints = batch["ints"]
         floats = batch["floats"]
@@ -616,6 +654,49 @@ def expand_records_jit(batch, cfg: IntegrateConfig):
     return out, stats
 
 
+def sorted_hit_miss_counts(key_s):
+    """Per-voxel hit/miss counts from a SORTED (flat<<1|hit) key stream.
+
+    Counts come from POSITION DIFFERENCES: each voxel's records order
+    [misses, hits], and the voxel/run start positions — propagated to the
+    run ends by two blocked cummaxes (ops.blocked, ~0.33 ns/elem) — yield
+    both counts at the voxel-last record.  Replaces lax.associative_scan,
+    which cost ~11 ms at 2M records (scripts/probe_apply7.py stage 4).
+
+    Returns (ids, voxel_first, voxel_last, n_hit, n_miss); counts are f32
+    and meaningful at voxel-last positions.
+    """
+    from ohm_tpu.ops import blocked
+
+    ids_s = key_s >> 1
+    hit_b = key_s & 1
+    n = key_s.shape[0]
+    first = jnp.concatenate([jnp.array([True]), ids_s[1:] != ids_s[:-1]])
+    last = jnp.concatenate([ids_s[1:] != ids_s[:-1], jnp.array([True])])
+    run_first = jnp.concatenate([jnp.array([True]), key_s[1:] != key_s[:-1]])
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    neg = jnp.int32(-(1 << 30))
+    p_vox = blocked.cummax(jnp.where(first, pos, neg), lowest=neg)
+    p_run = blocked.cummax(jnp.where(run_first, pos, neg), lowest=neg)
+    n_hit = jnp.where(hit_b == 1, pos - p_run + 1, 0).astype(jnp.float32)
+    n_miss = jnp.where(hit_b == 1, p_run - p_vox, pos - p_vox + 1).astype(jnp.float32)
+    return ids_s, first, last, n_hit, n_miss
+
+
+def sorted_nonneg_sums(vals_s, first):
+    """Segment sums of NON-NEGATIVE values over a sorted stream, at segment
+    lasts: inclusive blocked cumsum minus the segment-start base, which is
+    propagated from segment firsts by a cummax (valid because the cumsum of
+    non-negative values is non-decreasing)."""
+    from ohm_tpu.ops import blocked
+
+    t_incl = blocked.cumsum(vals_s)
+    t_excl_first = jnp.where(first, t_incl - vals_s, jnp.float32(-3.0e38))
+    t_base = blocked.cummax(t_excl_first, lowest=jnp.float32(-3.0e38))
+    return t_incl - t_base
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("arena",))
 def apply_records_jit(arena, records, batch, cfg: IntegrateConfig):
     """Phase 2: sort + blocked position-diff reduce + scatter + dense apply.
@@ -634,26 +715,10 @@ def apply_records_jit(arena, records, batch, cfg: IntegrateConfig):
     operands = (key,) + ((records["trav"],) if cfg.with_traversal else ())
     sorted_ops = jax.lax.sort(operands, num_keys=1)
     key_s = sorted_ops[0]
-    ids_s = key_s >> 1
-    hit_b = key_s & 1
-    n = key_s.shape[0]
-    first = jnp.concatenate([jnp.array([True]), ids_s[1:] != ids_s[:-1]])
-    last = jnp.concatenate([ids_s[1:] != ids_s[:-1], jnp.array([True])])
-    run_first = jnp.concatenate([jnp.array([True]), key_s[1:] != key_s[:-1]])
-
-    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    neg = jnp.int32(-(1 << 30))
-    p_vox = blocked.cummax(jnp.where(first, pos, neg), lowest=neg)
-    p_run = blocked.cummax(jnp.where(run_first, pos, neg), lowest=neg)
-    n_hit = jnp.where(hit_b == 1, pos - p_run + 1, 0).astype(jnp.float32)
-    n_miss = jnp.where(hit_b == 1, p_run - p_vox, pos - p_vox + 1).astype(jnp.float32)
+    ids_s, first, last, n_hit, n_miss = sorted_hit_miss_counts(key_s)
 
     if cfg.with_traversal:
-        trav_s = sorted_ops[1]
-        t_incl = blocked.cumsum(trav_s)
-        t_excl_first = jnp.where(first, t_incl - trav_s, jnp.float32(-3.0e38))
-        t_base = blocked.cummax(t_excl_first, lowest=jnp.float32(-3.0e38))
-        trav_tot = t_incl - t_base
+        trav_tot = sorted_nonneg_sums(sorted_ops[1], first)
 
     arena = dict(arena)
     arena["occupancy"] = _apply_occupancy_dense(arena["occupancy"], ids_s, last, n_hit, n_miss, cfg)

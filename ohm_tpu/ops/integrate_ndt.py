@@ -41,6 +41,8 @@ from ohm_tpu.ops.integrate import (
     _unique_scatter_indices,
     _unpack_batch,
     _unobserved,
+    sorted_hit_miss_counts,
+    sorted_nonneg_sums,
 )
 
 
@@ -168,16 +170,8 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
 
     sorted_all = jax.lax.sort((key,) + tuple(trav_payloads), num_keys=1)
     key_s = sorted_all[0]
-    ids_s = key_s >> 1
-    hit_bit = (key_s & 1).astype(jnp.float32)
-    valid_bit = (ids_s != base.sentinel).astype(jnp.float32)
-    payloads = [(hit_bit, "sum"), (valid_bit, "sum")]
-    if base.with_traversal:
-        payloads.append((sorted_all[1], "sum"))
-    last, reduced = _segment_reduce(ids_s, payloads, base)
-    n_hit = reduced[0]
-    n_total = reduced[1]
-    n_miss = n_total - n_hit
+    # Position-diff reduce (no scan): see integrate.sorted_hit_miss_counts.
+    ids_s, first_s, last, n_hit, n_miss = sorted_hit_miss_counts(key_s)
 
     idx_s = _unique_scatter_indices(ids_s, last, base)
     cap = jnp.float32(65535.0)
@@ -187,8 +181,9 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
 
     arena = dict(arena)
     if base.with_traversal:
-        trav_total = jnp.where(last, reduced[2], 0.0)
-        arena["traversal"] = arena["traversal"].at[idx_s].add(trav_total, unique_indices=True)
+        trav_tot = sorted_nonneg_sums(sorted_all[1], first_s)
+        arena["traversal"] = arena["traversal"].at[idx_s].add(
+            jnp.where(last, trav_tot, 0.0), unique_indices=True)
 
     # ---------------------------------------------------------------- #
     # Dense occupancy apply: standard counts + NDT miss deltas.
