@@ -267,8 +267,7 @@ def _prepare_native(map_obj, starts, ends, filter_flags, timestamps, intensities
         n_seg, segment_length, bool(ray_update_flags & RayFlag.END_POINT_AS_FREE),
         params, ints, floats, flags, touch, corner_regions, ray_index)
 
-    packed = keymath.pack_region_key(corner_regions.reshape(-1, 3))
-    region_keys = keymath.unpack_region_key(np.unique(packed)).astype(np.int32)
+    region_keys = native.unique_regions(corner_regions)
 
     intens = None
     if intensities is not None:
@@ -308,6 +307,27 @@ def compact_batch(prepared: PreparedBatch, region_dim: int,
         "flags": prepared.arrays["flags"],
         "touch": prepared.arrays["touch"],
     }
+
+
+def build_wire(prepared: PreparedBatch, region_dim: int, with_mean: bool,
+               with_tsdf: bool, with_touch: bool) -> np.ndarray:
+    """Packed single-transfer wire buffer for a prepared batch.
+
+    One C++ pass when the native library is available (native.compact_wire);
+    numpy fallback via compact_batch + pack_wire.  Layout contract lives in
+    ops.integrate._unpack_batch.
+    """
+    from ohm_tpu import native
+
+    width = 12 if with_tsdf else (10 if with_mean else 7)
+    if native.available():
+        return native.compact_wire(
+            prepared.arrays["ints"], prepared.arrays["floats"],
+            prepared.arrays["flags"].view(np.uint8), prepared.arrays["touch"],
+            region_dim, width, with_touch)
+    wire = compact_batch(prepared, region_dim, with_mean=with_mean, with_tsdf=with_tsdf)
+    wire["floats"] = np.ascontiguousarray(wire["floats"][:, :width])
+    return pack_wire(wire, with_touch=with_touch)
 
 
 def pack_wire(wire: dict, with_touch: bool = True) -> np.ndarray:

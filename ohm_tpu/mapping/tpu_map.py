@@ -28,7 +28,7 @@ from ohm_tpu.core.layout import (
 )
 from ohm_tpu.mapping.arena import VoxelArena
 from ohm_tpu.mapping.batch import (
-    prepare_ray_batch, fill_corner_slots, max_steps_for, compact_batch, pack_wire)
+    prepare_ray_batch, fill_corner_slots, max_steps_for, build_wire)
 from ohm_tpu.ops.integrate import (
     IntegrateConfig,
     integrate_occupancy_jit,
@@ -87,13 +87,32 @@ class TpuRayMapper:
         self.scatter_cap = int(scatter_cap)
         self._config(0)  # validate int32 addressing headroom at construction
         self._stats = {"rays": 0, "segments": 0, "batches": 0, "missed_updates": 0,
-                       "overflow": 0, "dropped_updates": 0}
+                       "overflow": 0, "dropped_updates": 0, "compaction_dropped": 0}
         self._pending_stats = []
         self._worker = None
         self._queue = None
         self._worker_error = None
 
-    def _config(self, ray_flags: int) -> IntegrateConfig:
+    def _group_cap(self, prepared) -> int:
+        """Static record cap per 64-segment group for expand-phase compaction.
+
+        The exact wall-crossing count of a segment is the L1 distance between
+        its endpoint voxel coords (host already has them), so the cap is
+        known to cover every group; quantised to 512s to bound the number of
+        compiled program variants.
+        """
+        from ohm_tpu.ops.ddawalk import walk_total_cap
+
+        G = 64
+        ints = prepared.arrays["ints"]
+        if len(ints) % G:
+            return 0
+        crossings = np.abs(ints[:, 3:6] - ints[:, 0:3]).sum(axis=1)
+        gmax = int(crossings.reshape(-1, G).sum(axis=1).max())
+        cap = max(512, -(-gmax // 512) * 512)
+        return cap if cap < G * walk_total_cap(self.max_steps) else 0
+
+    def _config(self, ray_flags: int, group_cap: int = 0) -> IntegrateConfig:
         m = self.map
         return IntegrateConfig(
             resolution=float(m.resolution),
@@ -115,6 +134,7 @@ class TpuRayMapper:
             scatter_pad=self.arena.scatter_pad,
             zero_unobserved=True,
             scatter_cap=self.scatter_cap,
+            group_cap=group_cap,
         )
 
     def integrate_rays(self, rays, intensities=None, timestamps=None, ray_update_flags: int = 0) -> int:
@@ -134,16 +154,18 @@ class TpuRayMapper:
 
         dims0 = int(self.map.region_voxel_dims[0])
         if dims0 <= 32 and self.arena.capacity < 32767:
-            wire = compact_batch(prepared, dims0, with_mean=self.with_mean,
-                                 with_tsdf=False)
             # One packed transfer instead of five (each host->device array
-            # costs a tunnel round trip; mapping.batch.pack_wire).
-            batch = {"wire": jnp.asarray(pack_wire(wire, with_touch=self.with_touch))}
+            # costs a tunnel round trip); single C++ packing pass when built.
+            batch = {"wire": jnp.asarray(build_wire(
+                prepared, dims0, with_mean=self.with_mean, with_tsdf=False,
+                with_touch=self.with_touch))}
         else:
             batch = {k: jnp.asarray(v) for k, v in prepared.arrays.items()}
-        cfg = self._config(ray_update_flags)
+        stop = bool(ray_update_flags & RayFlag.STOP_ON_FIRST_OCCUPIED)
+        cfg = self._config(ray_update_flags,
+                           group_cap=0 if stop else self._group_cap(prepared))
         state = self.arena.device_state()
-        if ray_update_flags & RayFlag.STOP_ON_FIRST_OCCUPIED:
+        if stop:
             # State-dependent prefix masking needs the monolithic pipeline.
             new_state, stats = integrate_occupancy_jit(state, batch, cfg)
         elif delta_path_ok(cfg):
@@ -180,6 +202,8 @@ class TpuRayMapper:
             assert self._stats["overflow"] == 0, "DDA step cap exceeded — segmentation bug"
             assert self._stats["dropped_updates"] == 0, \
                 "scatter_cap exceeded — raise TpuRayMapper(scatter_cap=...)"
+            assert self._stats["compaction_dropped"] == 0, \
+                "group compaction dropped live records — host group_cap bug"
         return n_rays
 
     # ------------------------------------------------------------------ #
@@ -231,6 +255,8 @@ class TpuRayMapper:
             self._stats["overflow"] += int(stats["overflow"])
             if "dropped_updates" in stats:
                 self._stats["dropped_updates"] += int(stats["dropped_updates"])
+            if "compaction_dropped" in stats:
+                self._stats["compaction_dropped"] += int(stats["compaction_dropped"])
         self._pending_stats.clear()
 
     def sync_voxels(self):

@@ -65,6 +65,7 @@ def get_lib():
         return None
     lib = ctypes.CDLL(path)
     lib.count_segments.restype = ctypes.c_int64
+    lib.unique_regions.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -98,6 +99,41 @@ def fill_segments(starts, ends, accept, filter_flags, timestamps, time_base,
         _ptr(ints, ctypes.c_int32), _ptr(floats, ctypes.c_float),
         _ptr(flags, ctypes.c_uint8), _ptr(touch, ctypes.c_uint32),
         _ptr(corner_regions, ctypes.c_int32), _ptr(ray_index, ctypes.c_int32))
+
+
+def unique_regions(regions, cap: int = 65536):
+    """Deduplicate region triples (C++ hash set); one pass, order of first
+    appearance.  Replaces pack_region_key + np.unique on the prep hot path."""
+    lib = get_lib()
+    flat = np.ascontiguousarray(regions.reshape(-1, 3), dtype=np.int32)
+    out = np.empty((cap, 3), np.int32)
+    n = lib.unique_regions(_ptr(flat, ctypes.c_int32), ctypes.c_int64(len(flat)),
+                           _ptr(out, ctypes.c_int32), ctypes.c_int64(cap))
+    if n < 0:
+        raise ValueError(f"more than {cap} unique regions in one batch")
+    uniq = out[:n]
+    # np.unique order (sorted by packed key) — keeps parity with the numpy
+    # fallback and deterministic slot assignment; n is small (~regions).
+    key = (uniq[:, 0].astype(np.int64) & 0xFFFF
+           | (uniq[:, 1].astype(np.int64) & 0xFFFF) << 16
+           | (uniq[:, 2].astype(np.int64) & 0xFFFF) << 32)
+    return uniq[np.argsort(key)].copy()
+
+
+def compact_wire(ints, floats, flags, touch, region_dim: int, width: int,
+                 with_touch: bool):
+    """One-pass packed wire buffer (layout: mapping.batch.pack_wire)."""
+    lib = get_lib()
+    b = len(ints)
+    nbytes = 4 * width * b + 8 * b + (4 * b if with_touch else 0) + 22 * b + 4 * b
+    pad = (-nbytes) % 4
+    out = np.zeros(nbytes + pad, np.uint8)
+    lib.compact_wire(
+        _ptr(ints, ctypes.c_int32), _ptr(floats, ctypes.c_float),
+        _ptr(flags, ctypes.c_uint8), _ptr(touch, ctypes.c_uint32),
+        ctypes.c_int64(b), ctypes.c_int32(region_dim), ctypes.c_int32(width),
+        ctypes.c_int(1 if with_touch else 0), _ptr(out, ctypes.c_uint8))
+    return out
 
 
 def lookup_slots(regions, table):

@@ -205,4 +205,85 @@ void pack_regions(const int32_t* regions, int64_t n, int64_t* packed_out) {
   }
 }
 
+// Deduplicate region triples via an open-addressing hash set; one C pass
+// replaces pack_region_key + np.unique + unpack_region_key (~5 ms/batch of
+// the host prep budget at 8k rays on this host).  `out` must hold at least
+// `cap` triples; returns the unique count, or -1 if it would exceed cap.
+// table_size must be a power of two > expected uniques * 2.
+int64_t unique_regions(const int32_t* regions, int64_t n, int32_t* out,
+                       int64_t cap) {
+  int64_t table_size = 1024;
+  while (table_size < 4 * cap) table_size <<= 1;
+  // Flat probe table of packed keys; 0x7FFFFFFFFFFFFFFF = empty.
+  constexpr int64_t kEmpty = INT64_MAX;
+  int64_t* table = new int64_t[table_size];
+  for (int64_t i = 0; i < table_size; ++i) table[i] = kEmpty;
+  const int64_t mask = table_size - 1;
+  int64_t count = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t x = (uint16_t)regions[3 * i + 0];
+    const int64_t y = (uint16_t)regions[3 * i + 1];
+    const int64_t z = (uint16_t)regions[3 * i + 2];
+    const int64_t key = x | (y << 16) | (z << 32);
+    uint64_t h = (uint64_t)key * 0x9E3779B97F4A7C15ull;
+    int64_t idx = (int64_t)(h >> 32) & mask;
+    for (;;) {
+      if (table[idx] == key) break;
+      if (table[idx] == kEmpty) {
+        if (count >= cap) { delete[] table; return -1; }
+        table[idx] = key;
+        int32_t* o = out + 3 * count;
+        o[0] = regions[3 * i + 0];
+        o[1] = regions[3 * i + 1];
+        o[2] = regions[3 * i + 2];
+        ++count;
+        break;
+      }
+      idx = (idx + 1) & mask;
+    }
+  }
+  delete[] table;
+  return count;
+}
+
+// One-pass compact wire packing (layout contract: mapping.batch.pack_wire /
+// ops.integrate._unpack_batch).  Writes the single uint8 transfer buffer:
+//   [floats f32 B*W | offs u32 B*2 | touch u32 B (optional) |
+//    ints16 i16 B*11 | flags u8 B*4]  (caller pads to 4-byte multiple)
+// ints layout: start_abs xyz | end_abs xyz | rmin xyz | corner_slots[8].
+void compact_wire(const int32_t* ints, const float* floats, const uint8_t* flags,
+                  const uint32_t* touch, int64_t b, int32_t region_dim,
+                  int32_t width, int with_touch, uint8_t* out) {
+  float* fout = (float*)out;
+  for (int64_t i = 0; i < b; ++i) {
+    const float* F = floats + 12 * i;
+    float* O = fout + width * i;
+    for (int32_t w = 0; w < width; ++w) O[w] = F[w];
+  }
+  uint32_t* offs = (uint32_t*)(out + 4 * width * b);
+  for (int64_t i = 0; i < b; ++i) {
+    const int32_t* I = ints + 17 * i;
+    const uint32_t sx = (uint32_t)(I[0] - I[6] * region_dim);
+    const uint32_t sy = (uint32_t)(I[1] - I[7] * region_dim);
+    const uint32_t sz = (uint32_t)(I[2] - I[8] * region_dim);
+    const uint32_t ex = (uint32_t)(I[3] - I[6] * region_dim);
+    const uint32_t ey = (uint32_t)(I[4] - I[7] * region_dim);
+    const uint32_t ez = (uint32_t)(I[5] - I[8] * region_dim);
+    offs[2 * i + 0] = sx | (sy << 6) | (sz << 12);
+    offs[2 * i + 1] = ex | (ey << 6) | (ez << 12);
+  }
+  uint8_t* next = (uint8_t*)(offs + 2 * b);
+  if (with_touch) {
+    std::memcpy(next, touch, 4 * b);
+    next += 4 * b;
+  }
+  int16_t* i16 = (int16_t*)next;
+  for (int64_t i = 0; i < b; ++i) {
+    const int32_t* I = ints + 17 * i;
+    int16_t* O = i16 + 11 * i;
+    for (int k = 0; k < 11; ++k) O[k] = (int16_t)I[6 + k];
+  }
+  std::memcpy((uint8_t*)(i16 + 11 * b), flags, 4 * b);
+}
+
 }  // extern "C"

@@ -64,6 +64,13 @@ def _init_walk(start_frac, direction, length, start_abs, end_abs, resolution):
     return sign, initial_exit, step_delta, crossings
 
 
+def walk_total_cap(max_steps: int) -> int:
+    """Width of the walk's truncated record axis (see walk_rays): a segment
+    of <= max_steps per-axis crossings crosses at most ~sqrt(3)*steps walls
+    in total."""
+    return min(3 * max_steps, int(np.ceil(np.sqrt(3.0) * (max_steps - 3))) + 4)
+
+
 def walk_rays(start_abs, end_abs, start_frac, direction, length, resolution, max_steps: int):
     """Expand rays to visit records via time-sorted wall-crossing events.
 
@@ -105,7 +112,7 @@ def walk_rays(start_abs, end_abs, start_frac, direction, length, resolution, max
     # most ~sqrt(3) * L/res walls in TOTAL (vs L/res per axis), so the sorted
     # stream can be truncated well below 3*S — shrinking every downstream
     # record-level op (notably the global arena sort) by ~40%.
-    total_cap = min(3 * S, int(np.ceil(np.sqrt(3.0) * (S - 3))) + 4)
+    total_cap = walk_total_cap(S)
     t_sorted = t_sorted[:, :total_cap]
     a_sorted = a_sorted[:, :total_cap]
 

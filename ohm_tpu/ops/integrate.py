@@ -88,6 +88,16 @@ class IntegrateConfig:
     #: for non-segment-last records (see _segment_apply).
     scatter_pad: int = 1 << 22
 
+    #: Group compaction of the walk-record stream (expand_records_jit): rows
+    #: of `group_size` segments are key-sorted (sentinel padding to the back)
+    #: and truncated to `group_cap` records.  The host picks group_cap from
+    #: the exact per-group crossing counts (mapping.batch knows them), so
+    #: truncation only ever drops sentinel padding; stats['compaction_dropped']
+    #: counts violations.  0 disables.  Shrinks the downstream global sort by
+    #: the walk stream's ~50% padding fraction for a narrow row-sort.
+    group_cap: int = 0
+    group_size: int = 64
+
     def __post_init__(self):
         # Flat arena addresses and split-phase sort keys are int32; the key
         # packs (flat << 1 | hit_bit), so the sentinel itself needs headroom:
@@ -637,19 +647,44 @@ def expand_records_jit(batch, cfg: IntegrateConfig):
         end_is_miss = jnp.zeros_like(end_is_miss)
     end_active = end_is_hit | end_is_miss
 
+    walk_keys = walk_flat.reshape(-1) << 1
+    walk_trav = None
+    if cfg.with_traversal:
+        walk_trav = jnp.where(rec_valid, walk["exits"] - walk["enters"], 0.0).reshape(-1)
+    compaction_dropped = jnp.int32(0)
+
+    G = cfg.group_size
+    if cfg.group_cap and B % G == 0 and cfg.group_cap < G * S:
+        # Group compaction: sentinel keys sort to the back of each row, so
+        # truncating at group_cap removes only padding (host guarantees the
+        # cap covers the exact per-group crossing count).
+        rows = walk_keys.reshape(B // G, G * S)
+        n_valid = jnp.sum(jnp.where(rows < (cfg.sentinel << 1), 1, 0))
+        if cfg.with_traversal:
+            tr = walk_trav.reshape(B // G, G * S)
+            rows, tr = jax.lax.sort((rows, tr), num_keys=1, dimension=1)
+            tr = tr[:, :cfg.group_cap]
+            walk_trav = tr.reshape(-1)
+        else:
+            rows = jax.lax.sort((rows,), num_keys=1, dimension=1)[0]
+        rows = rows[:, :cfg.group_cap]
+        n_kept = jnp.sum(jnp.where(rows < (cfg.sentinel << 1), 1, 0))
+        compaction_dropped = (n_valid - n_kept).astype(jnp.int32)
+        walk_keys = rows.reshape(-1)
+
     key = jnp.concatenate([
-        walk_flat.reshape(-1) << 1,
+        walk_keys,
         (jnp.where(end_active, end_flat, cfg.sentinel) << 1) | end_is_hit.astype(jnp.int32),
     ])
     out = {"key": key, "end_flat": end_flat, "end_is_hit": end_is_hit}
     if cfg.with_traversal:
-        walk_trav = jnp.where(rec_valid, walk["exits"] - walk["enters"], 0.0)
         end_trav = jnp.where(end_active, b["length"] - walk["end_enter"], 0.0)
-        out["trav"] = jnp.concatenate([walk_trav.reshape(-1), end_trav]).astype(jnp.float32)
+        out["trav"] = jnp.concatenate([walk_trav, end_trav]).astype(jnp.float32)
     stats = {
         "missed_updates": (jnp.sum(jnp.where(rec_valid & walk_missed, 1, 0))
                            + jnp.sum(jnp.where(end_active & end_missed, 1, 0))).astype(jnp.int32),
         "overflow": jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0)).astype(jnp.int32),
+        "compaction_dropped": compaction_dropped,
     }
     return out, stats
 

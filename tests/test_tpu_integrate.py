@@ -305,3 +305,36 @@ def test_stop_on_first_occupied_across_segments():
     tpu.sync_voxels()
     compare_occupancy(cpu_map, dev_map, tolerance=1e-5)
     assert dev_map.voxel_value(point=[5.5, 1.0, 0]) < 0
+
+
+def test_group_compaction_exact():
+    # Expand-phase group compaction (IntegrateConfig.group_cap) drops only
+    # sentinel padding: the live arena (slots < capacity) must be bit-equal
+    # with compaction on and off, and the device-counted
+    # stats['compaction_dropped'] must stay zero (validate asserts it).
+    rng = np.random.default_rng(7)
+    n = 256
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    t = np.min(np.where(dirs != 0, np.array([4.0, 4.0, 2.0]) / np.abs(dirs), np.inf), axis=1)
+    rays = np.zeros((2 * n, 3))
+    rays[1::2] = dirs * t[:, None]
+
+    outs = []
+    for force_off in (False, True):
+        m = OccupancyMap(resolution=0.1, flags=MapFlag.TRAVERSAL)
+        mp = TpuRayMapper(m, capacity=128, validate=True)
+        if force_off:
+            mp._group_cap = lambda prepared: 0
+        mp.integrate_rays(rays)
+        mp.integrate_rays(rays)
+        mp.sync_voxels()
+        outs.append(mp)
+    V = outs[0]._config(0).sentinel
+    a = np.asarray(outs[0].arena.arrays["occupancy"])[:V]
+    b = np.asarray(outs[1].arena.arrays["occupancy"])[:V]
+    np.testing.assert_array_equal(a, b)
+    ta = np.asarray(outs[0].arena.arrays["traversal"])[:V]
+    tb = np.asarray(outs[1].arena.arrays["traversal"])[:V]
+    np.testing.assert_allclose(ta, tb, atol=1e-4)
+    assert outs[0].stats["compaction_dropped"] == 0
