@@ -30,6 +30,51 @@ def box_scene_rays(n, rng, half=(10.0, 10.0, 5.0), sensor=(0.0, 0.0, 0.0)):
     return rays
 
 
+def hardware_check(rng, tolerance=1e-4, allowed_ratio=0.01):
+    """On-hardware differential: integrate a small box scan on the real chip
+    and compare voxel-by-voxel against the f64 CPU oracle (reference pattern:
+    tests/ohmtestgpu/GpuMapTest.cpp:207-314 compareCpuGpuMaps).  The CI test
+    suite runs entirely on CPU (tests/conftest.py), so this is the one check
+    that exercises the actual TPU backend's numerics.  Raises on failure."""
+    from ohm_tpu.core.map import OccupancyMap, MapFlag
+    from ohm_tpu.core.layout import OCCUPANCY_LAYER
+    from ohm_tpu.mapping.tpu_map import TpuRayMapper
+    from ohm_tpu.oracle.occupancy import RayMapperOccupancy
+
+    rays = box_scene_rays(1024, rng)
+    dev_map = OccupancyMap(resolution=0.1, flags=MapFlag.NONE)
+    cpu_map = OccupancyMap(resolution=0.1, flags=MapFlag.NONE)
+    mapper = TpuRayMapper(dev_map, capacity=512, validate=True)
+    mapper.integrate_rays(rays)
+    mapper.sync_voxels()
+    RayMapperOccupancy(cpu_map).integrate_rays(rays)
+
+    worst, failures, compared = 0.0, 0, 0
+    full = np.full(int(np.prod(cpu_map.region_voxel_dims)), np.inf, np.float32)
+    for key in set(cpu_map.chunks) | set(dev_map.chunks):
+        occ = []
+        for mp in (cpu_map, dev_map):
+            r = mp.region(key)
+            occ.append(r.layers[mp.layer_index(OCCUPANCY_LAYER)][OCCUPANCY_LAYER]
+                       if r else full)
+        inf_a, inf_b = np.isinf(occ[0]), np.isinf(occ[1])
+        compared += int((~inf_a | ~inf_b).sum())
+        failures += int((inf_a != inf_b).sum())
+        both = ~inf_a & ~inf_b
+        if both.any():
+            diff = np.abs(occ[0][both] - occ[1][both])
+            worst = max(worst, float(diff.max()))
+            failures += int((diff > tolerance).sum())
+    ok = compared > 0 and failures <= allowed_ratio * compared
+    print(json.dumps({"metric": "hardware_differential", "compared_voxels": compared,
+                      "mismatches": failures, "worst_abs_diff": round(worst, 6),
+                      "ok": bool(ok)}))
+    if not ok:
+        raise AssertionError(
+            f"TPU-vs-oracle differential failed: {failures}/{compared} voxels "
+            f"outside tol {tolerance} (worst {worst})")
+
+
 def main():
     import jax
     from ohm_tpu.utils.cache import enable_persistent_cache
@@ -43,6 +88,9 @@ def main():
     rays_per_batch = 8192
     n_batches = 40
     warmup = 4
+
+    if os.environ.get("OHM_BENCH_CHECK", "1") != "0":
+        hardware_check(rng)
 
     m = OccupancyMap(resolution=resolution, flags=MapFlag.NONE)
     # The box scene spans ~320 regions total; 512 slots hold the whole map

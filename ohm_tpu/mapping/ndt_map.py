@@ -54,10 +54,10 @@ class TpuNdtMap(TpuRayMapper):
         self.arena = VoxelArena(self.arena.capacity, self.region_shift, layer_names,
                                 scatter_pad=self.arena.scatter_pad)
 
-    def _ndt_config(self, ray_flags: int) -> NdtConfig:
+    def _ndt_config(self, ray_flags: int, group_cap: int = 0) -> NdtConfig:
         p = self.params
         return NdtConfig(
-            base=self._config(ray_flags),
+            base=self._config(ray_flags, group_cap=group_cap),
             sensor_noise=float(p.sensor_noise),
             sample_threshold=int(p.sample_threshold),
             adaptation_rate=float(p.adaptation_rate),
@@ -82,11 +82,18 @@ class TpuNdtMap(TpuRayMapper):
         self.arena.ensure_regions(prepared.region_keys, host_map=m)
         fill_corner_slots(prepared, self.arena.table)
 
-        batch = {k: jnp.asarray(v) for k, v in prepared.arrays.items()}
+        dims0 = int(self.map.region_voxel_dims[0])
+        if dims0 <= 32 and self.arena.capacity < 32767:
+            from ohm_tpu.mapping.batch import build_wire
+            batch = {"wire": jnp.asarray(build_wire(
+                prepared, dims0, with_mean=True, with_tsdf=False,
+                with_touch=self.with_touch))}
+        else:
+            batch = {k: jnp.asarray(v) for k, v in prepared.arrays.items()}
         batch["intensity"] = jnp.asarray(
             prepared.intensities if prepared.intensities is not None
             else np.zeros(prepared.size, dtype=np.float32))
-        cfg = self._ndt_config(ray_update_flags)
+        cfg = self._ndt_config(ray_update_flags, group_cap=self._group_cap(prepared))
         state = self.arena.device_state()
         new_state, stats = integrate_ndt_jit(state, batch, cfg)
         self.arena.update_state(new_state)
@@ -94,9 +101,12 @@ class TpuNdtMap(TpuRayMapper):
         self._stats["rays"] += n_rays
         self._stats["segments"] += prepared.n_segments
         self._stats["batches"] += 1
-        self._pending_stats.append({k: v for k, v in stats.items() if k in ("missed_updates", "overflow")})
+        self._pending_stats.append({k: v for k, v in stats.items()
+                                    if k in ("missed_updates", "overflow", "compaction_dropped")})
         if self.validate:
             self._drain_stats()
             assert self._stats["missed_updates"] == 0, "device slot resolution missed"
             assert self._stats["overflow"] == 0, "DDA step cap exceeded"
+            assert self._stats["compaction_dropped"] == 0, \
+                "group compaction dropped live records — host group_cap bug"
         return n_rays

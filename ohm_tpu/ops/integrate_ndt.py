@@ -101,29 +101,62 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
 
     N = B * S
     flat_ids = walk_flat.reshape(-1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
+    walk_trav_flat = None
+    if base.with_traversal:
+        walk_trav_flat = jnp.where(rec_valid, walk["exits"] - walk["enters"], 0.0).reshape(-1)
+
+    # Group compaction (see integrate.expand_records_jit): shrink the walk
+    # stream before the per-record classification gather and the global sort.
+    # The original record position rides as a payload so the NDT miss phase
+    # can still recover each record's ray geometry (ray id = pos // S).
+    compaction_dropped = jnp.int32(0)
+    G = base.group_size
+    if base.group_cap and B % G == 0 and base.group_cap < G * S:
+        R = (B // G, G * S)
+        ops = [flat_ids.reshape(R), pos.reshape(R)]
+        if base.with_traversal:
+            ops.append(walk_trav_flat.reshape(R))
+        n_valid = jnp.sum(jnp.where(ops[0] < base.sentinel, 1, 0))
+        ops = jax.lax.sort(tuple(ops), num_keys=1, dimension=1)
+        ops = [o[:, :base.group_cap] for o in ops]
+        n_kept = jnp.sum(jnp.where(ops[0] < base.sentinel, 1, 0))
+        compaction_dropped = (n_valid - n_kept).astype(jnp.int32)
+        ids_c = ops[0].reshape(-1)
+        pos_c = ops[1].reshape(-1)
+        if base.with_traversal:
+            walk_trav_flat = ops[2].reshape(-1)
+    else:
+        ids_c, pos_c = flat_ids, pos
+    M = ids_c.shape[0]
 
     # ---------------------------------------------------------------- #
     # Miss phase: classify records by whether the voxel holds a Gaussian.
-    counts_at = arena["mean_count"][flat_ids]  # batch-start counts
-    occ_at = arena["occupancy"][flat_ids]
     # NDT math applies for observed voxels with count >= threshold
     # (calculateMissNdt branch structure, ohm/CovarianceVoxelCompute.h:557-580).
-    is_ndt = rec_valid.reshape(-1) & ~_unobserved(occ_at) & (counts_at >= cfg.sample_threshold)
+    # One dense elementwise plane + ONE gather per record (instead of separate
+    # occupancy and count gathers — record gathers are latency-bound at
+    # ~25 ns/element, the dense plane is HBM-streaming).
+    gauss_plane = (~_unobserved(arena["occupancy"])
+                   & (arena["mean_count"] >= cfg.sample_threshold))
+    is_ndt = gauss_plane[ids_c] & (ids_c != base.sentinel)
 
     # Compact: flagged records first, original order preserved within groups.
-    pos = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
-    sort_key = jnp.where(is_ndt, pos, pos + N)  # flagged sort below unflagged
-    order = jax.lax.sort((sort_key, pos), num_keys=1)[1]
-    K = min(cfg.miss_k, N)
-    pos_k = order[:K]
-    active_k = is_ndt[pos_k]
+    mpos = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0).squeeze(-1)
+    sort_key = jnp.where(is_ndt, mpos, mpos + M)  # flagged sort below unflagged
+    order = jax.lax.sort((sort_key, mpos), num_keys=1)[1]
+    K = min(cfg.miss_k, M)
+    sel_k = order[:K]
+    active_k = is_ndt[sel_k]
     # Graceful overflow: flagged records beyond K revert to standard misses.
-    ndt_rank = jnp.cumsum(is_ndt.astype(jnp.int32)) - is_ndt.astype(jnp.int32)
+    from ohm_tpu.ops import blocked
+    ndt_rank = blocked.cumsum(is_ndt.astype(jnp.int32)) - is_ndt.astype(jnp.int32)
     ndt_applied = is_ndt & (ndt_rank < K)
     overflow_ndt = jnp.sum((is_ndt & ~ndt_applied).astype(jnp.int32))
 
-    ids_k = flat_ids[pos_k]
+    ids_k = ids_c[sel_k]
     ids_k = jnp.where(active_k, ids_k, base.sentinel)
+    pos_k = pos_c[sel_k]  # original record position in the [B, S] walk
     vox_k = walk["voxels"].reshape(N, 3)[pos_k]
     ray_k = pos_k // S
 
@@ -157,16 +190,15 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
 
     # ---------------------------------------------------------------- #
     # Standard (non-Gaussian) miss + hit counts via the occupancy machinery.
-    std_miss = rec_valid.reshape(-1) & ~ndt_applied
+    std_miss = (ids_c != base.sentinel) & ~ndt_applied
     key = jnp.concatenate([
-        (jnp.where(std_miss, flat_ids, base.sentinel) << 1),
+        (jnp.where(std_miss, ids_c, base.sentinel) << 1),
         (jnp.where(end_is_hit | end_is_miss, end_flat, base.sentinel) << 1) | end_is_hit.astype(jnp.int32),
     ])
     trav_payloads = []
     if base.with_traversal:
-        walk_trav = jnp.where(rec_valid, walk["exits"] - walk["enters"], 0.0)
         end_trav = jnp.where(end_is_hit | end_is_miss, b["length"] - walk["end_enter"], 0.0)
-        trav_payloads.append(jnp.concatenate([walk_trav.reshape(-1), end_trav]).astype(jnp.float32))
+        trav_payloads.append(jnp.concatenate([walk_trav_flat, end_trav]).astype(jnp.float32))
 
     sorted_all = jax.lax.sort((key,) + tuple(trav_payloads), num_keys=1)
     key_s = sorted_all[0]
@@ -300,12 +332,16 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
         int_sq = s_red[ri + 3]
         ri += 4
         # Intensity merge.  The reference per-sample recursion
-        # (calculateIntensityUpdateOnHit) increments the covariance by
-        # delta^2/(n+1) — NOT the Welford n*delta^2/(n+1) — so n*cov_n equals
-        # C0 + sum_j delta_j^2/j, which has no exact batch-moment form.  We
-        # approximate the sum with the batch scatter scaled by the midpoint
-        # count; exact for k == 1 and k == 2, and within a few percent for
-        # larger per-voxel batches (tests compare with matching tolerance).
+        # (calculateIntensityUpdateOnHit) increments Q = n*cov by
+        # delta_j^2/(n0+j) — NOT the Welford increment W_j =
+        # delta_j^2*(n0+j-1)/(n0+j) — so term_j = W_j/(n0+j-1).  Sum of W_j
+        # over the batch is exactly the Chan merge increment (m2_b + cross),
+        # and the 1/(n0+j-1) factors are approximated by their midpoint:
+        #   Q += (m2_b + cross) / (n_eff + (k_eff-1)/2)
+        # where a count-0 voxel seeds its first sample (reset semantics), so
+        # n_eff = max(n0, 1), k_eff = k - (n0 == 0).  EXACT for k == 1 on an
+        # established voxel and for k <= 2 on a fresh one; within a few
+        # percent for larger per-voxel batches (tests pin both regimes).
         im_old = arena["intensity"][s_sorted, 0]
         ic_old = arena["intensity"][s_sorted, 1]
         n0 = jnp.where(reset, 0.0, count_old.astype(jnp.float32))
@@ -317,8 +353,11 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
         d = mu_b - im0
         cross = (n0 * kf / jnp.maximum(n_new, 1.0)) * d * d
         q_base = jnp.where(n0 > 0, n0 * ic_old, jnp.float32(cfg.initial_intensity_covariance))
-        n_mid = n0 + jnp.float32(0.5) * (kf + 1.0)
-        q = q_base + (m2_b + cross) / jnp.maximum(n_mid, 1.0) * jnp.minimum(kf, n_mid)
+        n_eff = jnp.maximum(n0, 1.0)
+        k_eff = jnp.where(n0 > 0, kf, kf - 1.0)
+        denom = n_eff + jnp.float32(0.5) * jnp.maximum(k_eff - 1.0, 0.0)
+        q_inc = jnp.where(k_eff > 0, (m2_b + cross) / denom, 0.0)
+        q = q_base + q_inc
         im_new = (n0 * im0 + int_sum) / n_new
         ic_new = q / n_new
         int_new = jnp.stack([jnp.where(active, im_new, im_old), jnp.where(active, ic_new, ic_old)], axis=-1)
@@ -375,6 +414,7 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
         "overflow": jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0)).astype(jnp.int32),
         "touched": jnp.sum((last & (ids_s != base.sentinel)).astype(jnp.int32)),
         "ndt_overflow": overflow_ndt,
+        "compaction_dropped": compaction_dropped,
     }
     return arena, stats
 

@@ -273,3 +273,48 @@ def test_ndt_miss_geometry(geometry):
     # NDT-weighted erosion must be much milder (reference asserts the
     # surface voxel survives).
     assert v_after > v_before + 0.5 * k * np.float32(m.miss_value)
+
+
+@pytest.mark.parametrize("k_per_batch,cov_rtol", [(1, 1e-4), (2, 0.1), (8, 0.25)])
+def test_ndt_tm_intensity_recursion_differential(k_per_batch, cov_rtol):
+    """Tolerance-bounded differential of the TM intensity batch approximation
+    vs the reference per-sample recursion (oracle.ndt calculateIntensity-
+    UpdateOnHit).  The device batch form (ops.integrate_ndt) is EXACT for
+    one sample per established voxel per batch (and up to two on a fresh
+    voxel) and approximates the non-Welford covariance increment with a
+    midpoint-count scaling for larger per-voxel batches; this pins the exact
+    regime at f32 tolerance and bounds the approximation."""
+    rng = np.random.default_rng(12345 + k_per_batch)
+    cpu_map, dev_map = make_maps()
+    oracle = RayMapperNdt(cpu_map, NdtParams(ndt_tm=True))
+    tpu = TpuNdtMap(dev_map, NdtParams(ndt_tm=True), capacity=64, validate=True)
+
+    # All samples land inside ONE voxel so per-batch multiplicity is exactly
+    # k_per_batch; intensities vary widely to stress the covariance.
+    target = np.array([0.1, 0.1, 0.1])
+    sensor = np.array([0.0, 0.0, 2.0])
+    for _ in range(5):
+        samples = target + rng.normal(0, 0.02, (k_per_batch, 3))
+        rays = np.empty((2 * k_per_batch, 3))
+        rays[0::2] = sensor
+        rays[1::2] = samples
+        intens = rng.uniform(5.0, 50.0, k_per_batch).astype(np.float32)
+        oracle.integrate_rays(rays, intensities=intens)
+        tpu.integrate_rays(rays, intensities=intens)
+    tpu.sync_voxels()
+
+    from ohm_tpu.core.layout import INTENSITY_LAYER
+
+    idx = cpu_map.layer_index(INTENSITY_LAYER)
+    checked = 0
+    for key, a in cpu_map.chunks.items():
+        b = dev_map.region(key)
+        mask = a.layers[idx]["mean"] != 0
+        if not mask.any() or b is None:
+            continue
+        np.testing.assert_allclose(a.layers[idx]["mean"][mask],
+                                   b.layers[idx]["mean"][mask], rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(a.layers[idx]["cov"][mask],
+                                   b.layers[idx]["cov"][mask], rtol=cov_rtol, atol=1e-3)
+        checked += int(mask.sum())
+    assert checked >= 1
