@@ -77,6 +77,7 @@ def hardware_check(rng, tolerance=1e-4, allowed_ratio=0.01):
 
 def main():
     import jax
+    import jax.numpy as jnp
     from ohm_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -85,8 +86,8 @@ def main():
 
     rng = np.random.default_rng(2024)
     resolution = 0.1
-    rays_per_batch = 8192
-    n_batches = 40
+    rays_per_batch = int(os.environ.get("OHM_BENCH_RAYS", 8192))
+    n_batches = max(4, (40 * 8192) // rays_per_batch)
     warmup = 4
 
     if os.environ.get("OHM_BENCH_CHECK", "1") != "0":
@@ -101,10 +102,13 @@ def main():
 
     batches = [box_scene_rays(rays_per_batch, rng) for _ in range(n_batches)]
 
-    # Warm up: compile + populate the region set.
+    # Warm up: compile + populate the region set.  The fence must be a
+    # device->host readback: on the axon runtime block_until_ready returns
+    # early while a program is still being compiled remotely, which would
+    # bleed compile time into the timed region.
     for i in range(warmup):
         mapper.integrate_rays(batches[i % n_batches])
-    jax.block_until_ready(mapper.arena.arrays["occupancy"])
+    float(jnp.ravel(mapper.arena.arrays["occupancy"])[0])
 
     # Pipelined submission: host prep of batch i+1 overlaps device batch i
     # (TpuRayMapper.integrate_rays_async worker thread).
@@ -112,7 +116,7 @@ def main():
     for b in batches:
         mapper.integrate_rays_async(b)
     mapper.flush()
-    jax.block_until_ready(mapper.arena.arrays["occupancy"])
+    float(jnp.ravel(mapper.arena.arrays["occupancy"])[0])  # true completion fence
     elapsed = time.perf_counter() - t0
 
     assert mapper.stats["dropped_updates"] == 0, "scatter_cap too small for scene"

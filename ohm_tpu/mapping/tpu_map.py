@@ -108,8 +108,19 @@ class TpuRayMapper:
         if len(ints) % G:
             return 0
         crossings = np.abs(ints[:, 3:6] - ints[:, 0:3]).sum(axis=1)
-        gmax = int(crossings.reshape(-1, G).sum(axis=1).max())
-        cap = max(512, -(-gmax // 512) * 512)
+        # Strided grouping (ops.integrate.group_rows): row r holds segments
+        # {r, r+R, ...}, i.e. crossings.reshape(G, R) column sums.
+        gmax = int(crossings.reshape(G, -1).sum(axis=0).max())
+        cap = max(256, -(-(gmax + 128) // 256) * 256)
+        # Monotone per-mapper cache: a new cap means a new compiled program
+        # variant, so grow sticky (with margin) instead of tracking each
+        # batch exactly — otherwise cap jitter between batches recompiles
+        # mid-run (observed: a bench timed region silently eating a compile).
+        prev = getattr(self, "_cap_cache", 0)
+        if cap <= prev:
+            cap = prev
+        else:
+            self._cap_cache = cap
         return cap if cap < G * walk_total_cap(self.max_steps) else 0
 
     def _config(self, ray_flags: int, group_cap: int = 0) -> IntegrateConfig:

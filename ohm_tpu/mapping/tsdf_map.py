@@ -29,10 +29,12 @@ class TpuTsdfMap(TpuRayMapper):
         self.arena = VoxelArena(self.arena.capacity, self.region_shift, layer_names,
                                 scatter_pad=self.arena.scatter_pad)
 
-    def _tsdf_config(self) -> TsdfConfig:
+    def _tsdf_config(self, group_cap: int = 0) -> TsdfConfig:
+        import dataclasses
         o = self.options
         return TsdfConfig(
-            base=self._config(0),
+            base=dataclasses.replace(self._config(0, group_cap=group_cap),
+                                     wire_tsdf=True),
             max_weight=float(o.max_weight),
             default_truncation_distance=float(o.default_truncation_distance),
             dropoff_epsilon=float(o.dropoff_epsilon),
@@ -49,8 +51,16 @@ class TpuTsdfMap(TpuRayMapper):
             return n_rays
         self.arena.ensure_regions(prepared.region_keys, host_map=m)
         fill_corner_slots(prepared, self.arena.table)
-        batch = {k: jnp.asarray(v) for k, v in prepared.arrays.items()}
-        new_state, stats = integrate_tsdf_jit(self.arena.device_state(), batch, self._tsdf_config())
+        dims0 = int(self.map.region_voxel_dims[0])
+        if dims0 <= 32 and self.arena.capacity < 32767:
+            from ohm_tpu.mapping.batch import build_wire
+            batch = {"wire": jnp.asarray(build_wire(
+                prepared, dims0, with_mean=False, with_tsdf=True,
+                with_touch=self.with_touch))}
+        else:
+            batch = {k: jnp.asarray(v) for k, v in prepared.arrays.items()}
+        cfg = self._tsdf_config(group_cap=self._group_cap(prepared))
+        new_state, stats = integrate_tsdf_jit(self.arena.device_state(), batch, cfg)
         self.arena.update_state(new_state)
         self._stats["rays"] += n_rays
         self._stats["segments"] += prepared.n_segments
@@ -60,4 +70,5 @@ class TpuTsdfMap(TpuRayMapper):
             self._drain_stats()
             assert self._stats["missed_updates"] == 0
             assert self._stats["overflow"] == 0
+            assert self._stats["compaction_dropped"] == 0
         return n_rays

@@ -94,19 +94,21 @@ def walk_rays(start_abs, end_abs, start_frac, direction, length, resolution, max
     step_dir = jnp.where(sign, -1, 1).astype(jnp.int32)  # [B,3]
 
     # Event times per axis: t[a, k] = initial_exit[a] + k * step_delta[a],
-    # masked BIG beyond that axis's crossing count.
+    # masked BIG beyond that axis's crossing count.  The axis planes are laid
+    # out z, y, x: lax.sort is STABLE, so equal times keep plane order, which
+    # realises the reference's DESCENDING-axis tie-break (walkSelectNextAxis,
+    # ohm/LineWalkCompute.h:282-289) without a second sort key — one fewer
+    # operand in the widest sort of the expand phase.
     k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
     times = initial_exit[:, :, None] + step_delta[:, :, None] * k.astype(jnp.float32)
     mask = k < jnp.minimum(crossings, S)[:, :, None]
     times = jnp.where(mask, times, _BIG)
-    axis_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 3, 1), 1)
 
-    flat_times = times.reshape(B, 3 * S)
-    # Tie-break: equal times order by DESCENDING axis (2 - axis ascending).
-    flat_tie = jnp.broadcast_to(2 - axis_ids, times.shape).reshape(B, 3 * S)
-    flat_axis = jnp.broadcast_to(axis_ids, times.shape).reshape(B, 3 * S)
-    t_sorted, _, a_sorted = jax.lax.sort(
-        (flat_times, flat_tie, flat_axis), num_keys=2, dimension=1)
+    flat_times = times[:, ::-1, :].reshape(B, 3 * S)  # planes z, y, x
+    axis_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 3, 1), 1)
+    flat_axis = jnp.broadcast_to(2 - axis_ids, times.shape).reshape(B, 3 * S)
+    t_sorted, a_sorted = jax.lax.sort(
+        (flat_times, flat_axis), num_keys=1, dimension=1)
 
     # Valid events sort to the front, and a segment of length L crosses at
     # most ~sqrt(3) * L/res walls in TOTAL (vs L/res per axis), so the sorted

@@ -98,6 +98,10 @@ class IntegrateConfig:
     group_cap: int = 0
     group_size: int = 64
 
+    #: Packed-wire float width selector: TSDF configs carry t0/full_length
+    #: (width 12) in the single-transfer wire (see _wire_float_width).
+    wire_tsdf: bool = False
+
     def __post_init__(self):
         # Flat arena addresses and split-phase sort keys are int32; the key
         # packs (flat << 1 | hit_bit), so the sentinel itself needs headroom:
@@ -151,6 +155,17 @@ def _wire_float_width(cfg) -> int:
     if getattr(cfg, "wire_tsdf", False):
         return 12
     return 10 if (cfg is not None and cfg.with_mean) else 7
+
+
+def group_rows(flat, B, S, G):
+    """[B*S] record stream -> [B//G, G*S] compaction rows with STRIDED
+    segment assignment (row r <- segments r, r+R, r+2R, ...).  Consecutive
+    segments belong to the same ray and correlate strongly in crossing count
+    (a long diagonal ray emits a run of ~55-crossing segments), so contiguous
+    grouping forces a loose per-row cap; striding decorrelates them and lets
+    the host pick a cap close to the mean group load."""
+    R = B // G
+    return flat.reshape(G, R, S).transpose(1, 0, 2).reshape(R, G * S)
 
 
 def _unpack_batch(batch, cfg=None):
@@ -658,10 +673,10 @@ def expand_records_jit(batch, cfg: IntegrateConfig):
         # Group compaction: sentinel keys sort to the back of each row, so
         # truncating at group_cap removes only padding (host guarantees the
         # cap covers the exact per-group crossing count).
-        rows = walk_keys.reshape(B // G, G * S)
+        rows = group_rows(walk_keys, B, S, G)
         n_valid = jnp.sum(jnp.where(rows < (cfg.sentinel << 1), 1, 0))
         if cfg.with_traversal:
-            tr = walk_trav.reshape(B // G, G * S)
+            tr = group_rows(walk_trav, B, S, G)
             rows, tr = jax.lax.sort((rows, tr), num_keys=1, dimension=1)
             tr = tr[:, :cfg.group_cap]
             walk_trav = tr.reshape(-1)

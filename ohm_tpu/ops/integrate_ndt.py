@@ -113,10 +113,10 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
     compaction_dropped = jnp.int32(0)
     G = base.group_size
     if base.group_cap and B % G == 0 and base.group_cap < G * S:
-        R = (B // G, G * S)
-        ops = [flat_ids.reshape(R), pos.reshape(R)]
+        from ohm_tpu.ops.integrate import group_rows
+        ops = [group_rows(flat_ids, B, S, G), group_rows(pos, B, S, G)]
         if base.with_traversal:
-            ops.append(walk_trav_flat.reshape(R))
+            ops.append(group_rows(walk_trav_flat, B, S, G))
         n_valid = jnp.sum(jnp.where(ops[0] < base.sentinel, 1, 0))
         ops = jax.lax.sort(tuple(ops), num_keys=1, dimension=1)
         ops = [o[:, :base.group_cap] for o in ops]

@@ -91,9 +91,31 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
     w_w = jnp.where(rec_valid, weight_of(sdf_w), 0.0)
     w_e = jnp.where(end_active, weight_of(sdf_e), 0.0)
 
-    ids = jnp.concatenate([walk_flat.reshape(-1), end_flat_masked])
-    w_all = jnp.concatenate([w_w.reshape(-1), w_e])
-    wsdf_all = jnp.concatenate([(w_w * sdf_w).reshape(-1), w_e * sdf_e])
+    walk_ids = walk_flat.reshape(-1)
+    walk_w = w_w.reshape(-1)
+    walk_wsdf = (w_w * sdf_w).reshape(-1)
+    compaction_dropped = jnp.int32(0)
+    G = base.group_size
+    if base.group_cap and B % G == 0 and base.group_cap < G * S:
+        # Group compaction (see integrate.expand_records_jit): sentinel-keyed
+        # padding sorts to the back of each 64-segment row and is truncated
+        # at the host-computed exact cap; the w / w*sdf payloads ride along.
+        from ohm_tpu.ops.integrate import group_rows
+        rows, rw, rwsdf = jax.lax.sort(
+            (group_rows(walk_ids, B, S, G), group_rows(walk_w, B, S, G),
+             group_rows(walk_wsdf, B, S, G)),
+            num_keys=1, dimension=1)
+        n_valid = jnp.sum(jnp.where(walk_ids < base.sentinel, 1, 0))
+        rows = rows[:, :base.group_cap]
+        n_kept = jnp.sum(jnp.where(rows < base.sentinel, 1, 0))
+        compaction_dropped = (n_valid - n_kept).astype(jnp.int32)
+        walk_ids = rows.reshape(-1)
+        walk_w = rw[:, :base.group_cap].reshape(-1)
+        walk_wsdf = rwsdf[:, :base.group_cap].reshape(-1)
+
+    ids = jnp.concatenate([walk_ids, end_flat_masked])
+    w_all = jnp.concatenate([walk_w, w_e])
+    wsdf_all = jnp.concatenate([walk_wsdf, w_e * sdf_e])
 
     sorted_all = jax.lax.sort((ids, w_all, wsdf_all), num_keys=1)
     ids_s, w_s, wsdf_s = sorted_all
@@ -121,6 +143,7 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
                            + jnp.sum(jnp.where(end_active & end_missed, 1, 0))).astype(jnp.int32),
         "overflow": jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0)).astype(jnp.int32),
         "touched": jnp.sum((last & (ids_s != base.sentinel)).astype(jnp.int32)),
+        "compaction_dropped": compaction_dropped,
     }
     return arena, stats
 

@@ -66,14 +66,27 @@ def outdoor_rays(n, rng, extent=40.0, sensor_height=1.5):
     return rays
 
 
+def _fence(mapper):
+    # True completion fence: block_until_ready returns early on the axon
+    # runtime while a program is still compiling remotely; only a readback
+    # waits out the full pipeline.
+    import jax.numpy as jnp
+    float(jnp.ravel(mapper.arena.arrays["occupancy"])[0])
+
+
 def timed_integration(mapper, batches, warmup=2):
     for b in batches[:warmup]:
         mapper.integrate_rays(b)
-    jax.block_until_ready(mapper.arena.arrays["occupancy"])
+    _fence(mapper)
     t0 = time.perf_counter()
     for b in batches:
-        mapper.integrate_rays(b)
-    jax.block_until_ready(mapper.arena.arrays["occupancy"])
+        if hasattr(mapper, "integrate_rays_async"):
+            mapper.integrate_rays_async(b)
+        else:
+            mapper.integrate_rays(b)
+    if hasattr(mapper, "flush"):
+        mapper.flush()
+    _fence(mapper)
     dt = time.perf_counter() - t0
     n_rays = sum(np.asarray(b).reshape(-1, 3).shape[0] // 2 for b in batches)
     return n_rays / dt
