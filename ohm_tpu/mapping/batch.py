@@ -352,3 +352,142 @@ def pack_wire(wire: dict, with_touch: bool = True) -> np.ndarray:
     if buf.size % 4:
         buf = np.concatenate([buf, np.zeros(4 - buf.size % 4, np.uint8)])
     return buf
+
+
+@dataclasses.dataclass
+class PreparedRayflow:
+    """Full-ray wire batch: per-RAY records, device-side segmentation.
+
+    The host quantises only the ray endpoints (f64 two-step — the crossing
+    counts |end_abs - start_abs| keep exact reference semantics) and
+    enumerates crossed regions for allocation plus each ray's candidate
+    region table; the per-visit walk, slot resolution (vector equality
+    select against the K-candidate table — the full-ray analogue of the
+    segmented path's 8 corner slots) and per-segment derivations all happen
+    on device (ops.integrate rayflow branch).
+    """
+
+    rpad: int                 # padded ray bucket
+    n_rays: int               # accepted rays
+    bufs: dict                # floats f32[R,7], abs16 u16[R,6], meta u32[R], touch u32[R], intens f32[R]
+    region_keys: np.ndarray   # i32 [R,3] unique crossed regions (allocation set)
+    bbox: np.ndarray          # i32[6] region bbox (min xyz, max xyz)
+    crossings: np.ndarray     # i32[rpad] total wall crossings per ray (0 pad)
+    max_axis_steps: int       # max per-axis crossing count over the batch
+    table_k: int              # candidate-table width (static bucket)
+    ray_table: np.ndarray     # i32 [rpad, K, 3] candidate regions (abs coords)
+    treg: np.ndarray          # i32 [rpad, K] packed bbox-relative candidates
+
+
+def prepare_rayflow(map_obj, rays, timestamps=None, intensities=None,
+                    ray_update_flags: int = 0, min_bucket: int = 256,
+                    min_table_k: int = 8) -> PreparedRayflow | None:
+    """Build the full-ray wire; returns None when unavailable (no native lib,
+    >65535 rays, >255-region bbox extent, >32 regions on one ray) — the
+    caller falls back to the segmented path."""
+    from ohm_tpu import native
+    from ohm_tpu.core.rayflags import RayFlag
+
+    if not native.available():
+        return None
+    rays = np.asarray(rays, dtype=np.float64).reshape(-1, 3)
+    starts = np.ascontiguousarray(rays[0::2])
+    ends = np.ascontiguousarray(rays[1::2])
+    n_rays = starts.shape[0]
+    if n_rays == 0 or n_rays > 65535:
+        return None
+
+    if timestamps is not None:
+        timestamps = np.asarray(timestamps, dtype=np.float64).reshape(-1)
+        if timestamps.size:
+            map_obj.update_first_ray_time(float(timestamps[0]))
+
+    if map_obj.ray_filter is not None:
+        starts, ends, filter_flags, accept = map_obj.ray_filter(starts, ends)
+        starts = np.ascontiguousarray(starts[accept])
+        ends = np.ascontiguousarray(ends[accept])
+        filter_flags = filter_flags[accept]
+        if timestamps is not None and timestamps.size == n_rays:
+            timestamps = timestamps[accept]
+        else:
+            timestamps = None
+        if intensities is not None:
+            intensities = np.asarray(intensities, np.float32).reshape(-1)
+            intensities = intensities[accept] if intensities.size == n_rays else None
+        n_rays = starts.shape[0]
+        if n_rays == 0:
+            return None
+    else:
+        filter_flags = np.zeros(n_rays, dtype=np.uint32)
+
+    params = native.MapParamsStruct()
+    for a in range(3):
+        params.origin[a] = float(map_obj.origin[a])
+        params.region_spatial[a] = float(map_obj.region_spatial_dims[a])
+    params.resolution = float(map_obj.resolution)
+    params.region_dim = int(map_obj.region_voxel_dims[0])
+
+    accept_all = np.ones(n_rays, np.uint8)
+    region_keys, bbox, ray_table, ray_count = native.ray_regions(
+        starts, ends, accept_all, params)
+    if ray_count.size and (ray_count.min() < 0 or ray_count.max() > 32):
+        return None
+    if np.any(bbox[3:6] - bbox[0:3] > 255):
+        return None  # packed rel-region uses 8 bits per axis
+    table_k = max(8, int(min_table_k))
+    kmax = int(ray_count.max()) if ray_count.size else 1
+    while table_k < kmax:
+        table_k += 8
+    bbox_min_vox = bbox[:3] * params.region_dim
+
+    rpad = _next_bucket(n_rays, min_bucket)
+    time_base = map_obj.first_ray_time if timestamps is not None else -1.0
+    bufs = native.fill_rayflow(
+        starts, ends, accept_all, filter_flags, timestamps, time_base,
+        intensities, bool(ray_update_flags & RayFlag.END_POINT_AS_FREE),
+        params, bbox_min_vox, rpad)
+
+    a16 = bufs["abs16"].astype(np.int32)
+    d = np.abs(a16[:, 3:6] - a16[:, 0:3])
+    crossings = d.sum(axis=1).astype(np.int32)
+    max_axis = int(d.max()) if n_rays else 0
+
+    # Packed bbox-relative candidate regions; sentinel entries never match a
+    # record (records pack to 24 bits; pad rays' rows stay all-sentinel).
+    tbl = np.full((rpad, table_k, 3), np.int32(-2**31), np.int32)
+    tbl[:n_rays] = ray_table[:, :table_k]
+    rel = tbl - bbox[0:3]
+    treg = np.where(
+        tbl[..., 0] == np.int32(-2**31), np.int32(0x7FFFFFFF),
+        rel[..., 0] | (rel[..., 1] << 8) | (rel[..., 2] << 16)).astype(np.int32)
+    return PreparedRayflow(rpad=rpad, n_rays=n_rays, bufs=bufs,
+                           region_keys=region_keys, bbox=bbox,
+                           crossings=crossings, max_axis_steps=max_axis,
+                           table_k=table_k, ray_table=tbl, treg=treg)
+
+
+def rayflow_wire(prepared: PreparedRayflow, table_lookup) -> np.ndarray:
+    """Assemble the single rayflow transfer buffer (after region allocation):
+    [gmeta i32[8] | floats f32[R,7] | abs16 u16[R,6] | meta u32[R] |
+     touch u32[R] | intens f32[R] | treg i32[R,K] | tslot i16[R,K] | pad].
+    ``table_lookup`` maps region triples -> arena slots (i32, -1 missing)."""
+    R, K = prepared.treg.shape
+    slots = table_lookup(prepared.ray_table.reshape(-1, 3)).astype(np.int16)
+    tslot = slots.reshape(R, K)
+    gmeta = np.zeros(8, np.int32)
+    gmeta[0:3] = prepared.bbox[0:3]
+    b = prepared.bufs
+    parts = [
+        gmeta.view(np.uint8).reshape(-1),
+        b["floats"].view(np.uint8).reshape(-1),
+        b["abs16"].view(np.uint8).reshape(-1),
+        b["meta"].view(np.uint8).reshape(-1),
+        b["touch"].view(np.uint8).reshape(-1),
+        b["intens"].view(np.uint8).reshape(-1),
+        prepared.treg.view(np.uint8).reshape(-1),
+        np.ascontiguousarray(tslot).view(np.uint8).reshape(-1),
+    ]
+    buf = np.concatenate(parts)
+    if buf.size % 4:
+        buf = np.concatenate([buf, np.zeros(4 - buf.size % 4, np.uint8)])
+    return buf

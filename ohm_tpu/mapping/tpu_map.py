@@ -52,6 +52,8 @@ class TpuRayMapper:
         validate: bool = False,
         scatter_pad: int = 1 << 22,
         scatter_cap: int = 0,
+        rayflow: bool | None = None,
+        grid_cap: int = 8192,
     ):
         self.map = map_obj
         dims = map_obj.region_voxel_dims
@@ -85,6 +87,18 @@ class TpuRayMapper:
         #: Optional per-batch touched-voxel scatter budget for the delta
         #: path; overflow is counted in stats['dropped_updates'].
         self.scatter_cap = int(scatter_cap)
+        #: Full-ray wire path (mapping.batch.prepare_rayflow): per-RAY
+        #: records + device-side segmentation + per-ray candidate-region
+        #: tables.  Falls back to the segmented wire when the native lib is
+        #: missing or a batch exceeds the rayflow envelope (>32 regions on a
+        #: ray, >255-region bbox extent, >65535 rays).  Default from
+        #: OHM_RAYFLOW (the test suite pins the segmented path to bound CPU
+        #: compile time; dedicated differentials cover rayflow).
+        if rayflow is None:
+            import os
+            rayflow = os.environ.get("OHM_RAYFLOW", "1") != "0"
+        self.rayflow = bool(rayflow)
+        self.grid_cap = int(grid_cap)
         self._config(0)  # validate int32 addressing headroom at construction
         self._stats = {"rays": 0, "segments": 0, "batches": 0, "missed_updates": 0,
                        "overflow": 0, "dropped_updates": 0, "compaction_dropped": 0}
@@ -123,13 +137,47 @@ class TpuRayMapper:
             self._cap_cache = cap
         return cap if cap < G * walk_total_cap(self.max_steps) else 0
 
-    def _config(self, ray_flags: int, group_cap: int = 0) -> IntegrateConfig:
+    def _rayflow_setup(self, rays, timestamps, intensities, ray_update_flags):
+        """Try the full-ray wire path; returns (batch dict, cfg, n_rays) or
+        None to fall back to the segmented path.  See
+        mapping.batch.prepare_rayflow / ops.integrate rayflow branch."""
+        from ohm_tpu import native
+        from ohm_tpu.mapping.batch import prepare_rayflow, rayflow_wire
+
+        rf = prepare_rayflow(self.map, rays, timestamps=timestamps,
+                             intensities=intensities,
+                             ray_update_flags=ray_update_flags,
+                             min_table_k=getattr(self, "_k_cache_rf", 8))
+        if rf is None:
+            return None
+        self._k_cache_rf = max(getattr(self, "_k_cache_rf", 8), rf.table_k)
+        self.arena.ensure_regions(rf.region_keys, host_map=self.map)
+        wire = rayflow_wire(rf, lambda rk: native.lookup_slots(rk, self.arena.table))
+        # Per-axis step bucket and candidate-table width K (monotone-cached;
+        # each combination is a compiled program variant) and strided 8-ray
+        # group cap, all exact from the host-quantised endpoint coords.
+        steps = -(-(rf.max_axis_steps + 1) // 32) * 32
+        self._steps_cache_rf = max(getattr(self, "_steps_cache_rf", 0), steps)
+        G = 8
+        cr = rf.crossings
+        gmax = int(cr.reshape(G, -1).sum(axis=0).max()) if rf.rpad % G == 0 else 0
+        cap = max(256, -(-(gmax + 128) // 256) * 256) if gmax else 0
+        self._cap_cache_rf = max(getattr(self, "_cap_cache_rf", 0), cap)
+        cfg = self._config(ray_update_flags, group_cap=self._cap_cache_rf,
+                           max_steps=self._steps_cache_rf, group_size=G,
+                           table_k=rf.table_k)
+        batch = {"rayw": jnp.asarray(wire)}
+        return batch, cfg, rf.n_rays
+
+    def _config(self, ray_flags: int, group_cap: int = 0,
+                max_steps: int | None = None, group_size: int = 64,
+                table_k: int = 0) -> IntegrateConfig:
         m = self.map
         return IntegrateConfig(
             resolution=float(m.resolution),
             region_shift=self.region_shift,
             capacity=self.arena.capacity,
-            max_steps=self.max_steps,
+            max_steps=self.max_steps if max_steps is None else max_steps,
             ray_flags=int(ray_flags),
             with_mean=self.with_mean,
             with_traversal=self.with_traversal,
@@ -146,12 +194,19 @@ class TpuRayMapper:
             zero_unobserved=True,
             scatter_cap=self.scatter_cap,
             group_cap=group_cap,
+            group_size=group_size,
+            table_k=table_k,
         )
 
     def integrate_rays(self, rays, intensities=None, timestamps=None, ray_update_flags: int = 0) -> int:
         """Integrate interleaved origin/sample rays (2N, 3). Returns N."""
         m = self.map
         m.touch()
+        if self.rayflow and not (ray_update_flags & RayFlag.STOP_ON_FIRST_OCCUPIED):
+            setup = self._rayflow_setup(rays, timestamps, intensities, ray_update_flags)
+            if setup is not None:
+                batch, cfg, n_rays = setup
+                return self._dispatch(batch, cfg, n_rays, n_rays, ray_update_flags)
         prepared = prepare_ray_batch(
             m, rays, timestamps=timestamps, intensities=intensities,
             ray_update_flags=ray_update_flags, segment_length=self.segment_length,
@@ -175,6 +230,12 @@ class TpuRayMapper:
         stop = bool(ray_update_flags & RayFlag.STOP_ON_FIRST_OCCUPIED)
         cfg = self._config(ray_update_flags,
                            group_cap=0 if stop else self._group_cap(prepared))
+        return self._dispatch(batch, cfg, n_rays, prepared.n_segments, ray_update_flags)
+
+    def _dispatch(self, batch, cfg, n_rays, n_segments, ray_update_flags) -> int:
+        """Run the jitted integrate on a prepared device batch (segmented wire
+        or rayflow) and adopt the new arena state."""
+        stop = bool(ray_update_flags & RayFlag.STOP_ON_FIRST_OCCUPIED)
         state = self.arena.device_state()
         if stop:
             # State-dependent prefix masking needs the monolithic pipeline.
@@ -204,7 +265,7 @@ class TpuRayMapper:
         self.arena.update_state(new_state)
 
         self._stats["rays"] += n_rays
-        self._stats["segments"] += prepared.n_segments
+        self._stats["segments"] += n_segments
         self._stats["batches"] += 1
         self._pending_stats.append(stats)
         if self.validate:

@@ -66,6 +66,7 @@ def get_lib():
     lib = ctypes.CDLL(path)
     lib.count_segments.restype = ctypes.c_int64
     lib.unique_regions.restype = ctypes.c_int64
+    lib.ray_regions.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -134,6 +135,60 @@ def compact_wire(ints, floats, flags, touch, region_dim: int, width: int,
         ctypes.c_int64(b), ctypes.c_int32(region_dim), ctypes.c_int32(width),
         ctypes.c_int(1 if with_touch else 0), _ptr(out, ctypes.c_uint8))
     return out
+
+
+def ray_regions(starts, ends, accept, params: MapParamsStruct, cap: int = 65536,
+                ray_k: int = 32):
+    """Regions crossed by each accepted ray (region-level supercover DDA in
+    C++) deduplicated, plus the region bounding box and each ray's candidate
+    region table.  Returns (regions i32[n,3], bbox i32[6], ray_table
+    i32[n_rays, ray_k, 3] INT32_MIN-padded, ray_count i32[n_rays] with -1
+    marking per-ray table overflow)."""
+    lib = get_lib()
+    n_rays = len(starts)
+    out = np.empty((cap, 3), np.int32)
+    bbox = np.zeros(6, np.int32)
+    ray_table = np.full((n_rays, ray_k, 3), np.int32(-2**31), np.int32)
+    ray_count = np.zeros(n_rays, np.int32)
+    n = lib.ray_regions(
+        _ptr(starts, ctypes.c_double), _ptr(ends, ctypes.c_double),
+        _ptr(accept, ctypes.c_uint8), ctypes.c_int64(n_rays),
+        ctypes.byref(params), _ptr(out, ctypes.c_int32), ctypes.c_int64(cap),
+        _ptr(bbox, ctypes.c_int32), _ptr(ray_table, ctypes.c_int32),
+        ctypes.c_int32(ray_k), _ptr(ray_count, ctypes.c_int32))
+    if n < 0:
+        raise ValueError(f"more than {cap} unique regions in one ray batch")
+    return out[:n].copy(), bbox, ray_table, ray_count
+
+
+def fill_rayflow(starts, ends, accept, filter_flags, timestamps, time_base,
+                 intensities, sample_in_ray, params: MapParamsStruct,
+                 bbox_min_vox, rpad: int):
+    """Fill the rayflow per-ray wire blocks (floats/abs16/meta/touch/intens),
+    padded to ``rpad`` rays; rejected rays keep valid=0."""
+    lib = get_lib()
+    n = len(starts)
+    floats = np.zeros((rpad, 7), np.float32)
+    abs16 = np.zeros((rpad, 6), np.uint16)
+    meta = np.zeros(rpad, np.uint32)
+    touch = np.zeros(rpad, np.uint32)
+    intens = np.zeros(rpad, np.float32)
+    bmin = np.ascontiguousarray(bbox_min_vox, np.int32)
+    ts = np.ascontiguousarray(timestamps, np.float64) if timestamps is not None else None
+    iv = np.ascontiguousarray(intensities, np.float32) if intensities is not None else None
+    lib.fill_rayflow(
+        _ptr(starts, ctypes.c_double), _ptr(ends, ctypes.c_double),
+        _ptr(accept, ctypes.c_uint8),
+        _ptr(np.ascontiguousarray(filter_flags, np.uint32), ctypes.c_uint32),
+        _ptr(ts, ctypes.c_double) if ts is not None else None,
+        ctypes.c_double(time_base), _ptr(iv, ctypes.c_float) if iv is not None else None,
+        ctypes.c_int64(n), ctypes.c_int(1 if sample_in_ray else 0),
+        ctypes.byref(params), _ptr(bmin, ctypes.c_int32),
+        _ptr(floats, ctypes.c_float), _ptr(abs16, ctypes.c_uint16),
+        _ptr(meta, ctypes.c_uint32), _ptr(touch, ctypes.c_uint32),
+        _ptr(intens, ctypes.c_float))
+    return {"floats": floats, "abs16": abs16, "meta": meta,
+            "touch": touch, "intens": intens}
 
 
 def lookup_slots(regions, table):

@@ -286,4 +286,223 @@ void compact_wire(const int32_t* ints, const float* floats, const uint8_t* flags
   std::memcpy((uint8_t*)(i16 + 11 * b), flags, 4 * b);
 }
 
+// ------------------------------------------------------------------------- //
+// Full-ray wire ("rayflow"): per-RAY records with device-side segmentation.
+// The host quantises only the two ray endpoints (f64 two-step, exact
+// reference semantics for the crossing counts) and enumerates the regions a
+// ray passes through (region-level DDA) for arena allocation + the dense
+// slot grid; everything per-visit happens on device (ops/integrate.py
+// consumes the rayw wire).  Layout per accepted ray, SoA blocks over Rpad:
+//   floats f32[Rpad, 7]: start_frac xyz | dir xyz | length
+//   abs16  u16[Rpad, 6]: start/end voxel coords relative to bbox_min_vox
+//   meta   u32[Rpad]:    flags (bit0 valid, bit1 sample_in_ray/end_as_miss)
+//   touch  u32[Rpad], intens f32[Rpad] (always present; zero when unused)
+// plus the region bounding box of the batch (i32[6]: min xyz / max xyz,
+// region coords) returned via bbox_out.
+
+// Enumerate regions crossed by each accepted ray into a hash set and emit
+// unique region triples + the region bbox.  Returns unique count or -1 on
+// cap overflow.  Region-level 3D DDA in f64.
+//
+// Additionally fills each ray's CANDIDATE REGION list (its crossed regions
+// plus grazing margins, deduplicated): ray_table i32[n, ray_k, 3] padded
+// with INT32_MIN triples, ray_count i32[n] (the count, or -1 when a ray
+// needs more than ray_k entries — caller falls back).  The device resolves
+// record slots by comparing each record's region against its ray's K
+// candidates (vector equality select — no gathers; the full-ray analogue of
+// the segmented path's 8 corner slots).
+int64_t ray_regions(const double* starts, const double* ends, const uint8_t* accept,
+                    int64_t n, const MapParams* params, int32_t* out, int64_t cap,
+                    int32_t* bbox_out, int32_t* ray_table, int32_t ray_k,
+                    int32_t* ray_count) {
+  const MapParams p = *params;
+  int64_t table_size = 1024;
+  while (table_size < 4 * cap) table_size <<= 1;
+  constexpr int64_t kEmpty = INT64_MAX;
+  int64_t* table = new int64_t[table_size];
+  for (int64_t i = 0; i < table_size; ++i) table[i] = kEmpty;
+  const int64_t mask = table_size - 1;
+  int64_t count = 0;
+  int32_t bmin[3] = {INT32_MAX, INT32_MAX, INT32_MAX};
+  int32_t bmax[3] = {INT32_MIN, INT32_MIN, INT32_MIN};
+
+  int32_t* cur_table = nullptr;
+  int32_t cur_count = 0;
+  auto ray_emit = [&](const int32_t r[3]) {
+    if (cur_count < 0) return;
+    for (int32_t j = 0; j < cur_count; ++j) {
+      const int32_t* t = cur_table + 3 * j;
+      if (t[0] == r[0] && t[1] == r[1] && t[2] == r[2]) return;
+    }
+    if (cur_count >= ray_k) { cur_count = -1; return; }
+    int32_t* t = cur_table + 3 * cur_count;
+    t[0] = r[0]; t[1] = r[1]; t[2] = r[2];
+    ++cur_count;
+  };
+  auto emit = [&](const int32_t r[3]) -> bool {
+    ray_emit(r);
+    const int64_t key = (int64_t)(uint16_t)r[0] | ((int64_t)(uint16_t)r[1] << 16)
+                        | ((int64_t)(uint16_t)r[2] << 32);
+    uint64_t h = (uint64_t)key * 0x9E3779B97F4A7C15ull;
+    int64_t idx = (int64_t)(h >> 32) & mask;
+    for (;;) {
+      if (table[idx] == key) return true;
+      if (table[idx] == kEmpty) {
+        if (count >= cap) return false;
+        table[idx] = key;
+        int32_t* o = out + 3 * count;
+        o[0] = r[0]; o[1] = r[1]; o[2] = r[2];
+        for (int a = 0; a < 3; ++a) {
+          if (r[a] < bmin[a]) bmin[a] = r[a];
+          if (r[a] > bmax[a]) bmax[a] = r[a];
+        }
+        ++count;
+        return true;
+      }
+      idx = (idx + 1) & mask;
+    }
+  };
+
+  for (int64_t i = 0; i < n; ++i) {
+    cur_table = ray_table + (int64_t)3 * ray_k * i;
+    cur_count = 0;
+    if (!accept[i]) { ray_count[i] = 0; continue; }
+    const double* s = starts + 3 * i;
+    const double* e = ends + 3 * i;
+    // Region-space DDA from start to end region (conservative: the voxel
+    // walk stays within the regions its VOXELS touch; voxel quantisation
+    // matches quantise(), so walk voxels' regions are covered by walking
+    // region boundaries of the segment between the two quantised points,
+    // padded by one region when the ray grazes a boundary).
+    int32_t abs0[3], abs1[3];
+    double c0[3], c1[3];
+    quantise(p, s, abs0, c0);
+    quantise(p, e, abs1, c1);
+    const int32_t dim = p.region_dim;
+    int32_t r0[3], r1[3];
+    for (int a = 0; a < 3; ++a) {
+      r0[a] = abs0[a] >= 0 ? abs0[a] / dim : -(((-abs0[a]) + dim - 1) / dim);
+      r1[a] = abs1[a] >= 0 ? abs1[a] / dim : -(((-abs1[a]) + dim - 1) / dim);
+    }
+    // Walk the voxel-space line at region granularity: supercover DDA over
+    // region cells (includes diagonal neighbours at crossings, so every
+    // voxel the f32 device walk can visit lies in an emitted region).
+    double d[3] = {(double)(abs1[0] - abs0[0]), (double)(abs1[1] - abs0[1]),
+                   (double)(abs1[2] - abs0[2])};
+    int32_t cur[3] = {r0[0], r0[1], r0[2]};
+    if (!emit(cur)) { delete[] table; return -1; }
+    const double len2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2];
+    if (len2 > 0) {
+      int32_t steps_total = 0;
+      for (int a = 0; a < 3; ++a) steps_total += std::abs(r1[a] - r0[a]);
+      // t in units of the voxel-coordinate line parameter [0, 1].
+      double tnext[3], dt[3];
+      int32_t stp[3];
+      for (int a = 0; a < 3; ++a) {
+        stp[a] = d[a] > 0 ? 1 : (d[a] < 0 ? -1 : 0);
+        if (d[a] == 0) { tnext[a] = 2.0; dt[a] = 2.0; continue; }
+        // voxel coordinate of next region wall in direction of travel
+        const double wall = (double)(d[a] > 0 ? (cur[a] + 1) * dim : cur[a] * dim)
+                            - 0.5;  // walls between voxel dim-1 and dim
+        tnext[a] = (wall - (double)abs0[a]) / d[a];
+        dt[a] = (double)dim / std::abs(d[a]);
+      }
+      for (int32_t k = 0; k < steps_total; ++k) {
+        int ax = 0;
+        if (tnext[1] < tnext[ax]) ax = 1;
+        if (tnext[2] < tnext[ax]) ax = 2;
+        const double t = tnext[ax];
+        cur[ax] += stp[ax];
+        tnext[ax] += dt[ax];
+        if (!emit(cur)) { delete[] table; return -1; }
+        // Supercover margin: the device's f32 walk follows the continuous
+        // ray, which deviates from this lattice chord by <= ~1 voxel (the
+        // endpoint quantisation error interpolates linearly).  When the
+        // crossing point is within 2 voxels of a wall on ANOTHER axis, the
+        // deviated path may cross the two walls in the other order; emit
+        // both the diagonal region AND the transposed-order intermediate
+        // (this cell with the just-stepped axis un-stepped).
+        for (int b = 0; b < 3; ++b) {
+          if (b == ax || d[b] == 0) continue;
+          const double vb = (double)abs0[b] + t * d[b];     // voxel coord
+          const double fr = vb - (double)(cur[b] * dim);    // within region
+          const int32_t db = fr < 2.0 ? -1 : (fr > (double)dim - 2.0 ? 1 : 0);
+          if (db == 0) continue;
+          int32_t nb[3] = {cur[0], cur[1], cur[2]};
+          nb[b] += db;
+          if (!emit(nb)) { delete[] table; return -1; }
+          nb[ax] -= stp[ax];
+          if (!emit(nb)) { delete[] table; return -1; }
+        }
+      }
+    }
+    // Endpoint proximity margin: wall distance per axis is affine along the
+    // ray, so its extremes are at the endpoints or at crossings (all checked
+    // in the loop above).  Emit wall neighbours of the endpoint regions when
+    // the endpoint voxel sits within 2 voxels of a region wall.
+    const int32_t* epts[2] = {abs0, abs1};
+    const int32_t* regs[2] = {r0, r1};
+    for (int epi = 0; epi < 2; ++epi) {
+      for (int b = 0; b < 3; ++b) {
+        const double fr = (double)epts[epi][b] - (double)(regs[epi][b] * dim);
+        int32_t nb[3] = {regs[epi][0], regs[epi][1], regs[epi][2]};
+        if (fr < 2.0) {
+          nb[b] -= 1;
+          if (!emit(nb)) { delete[] table; return -1; }
+        } else if (fr > (double)dim - 2.0) {
+          nb[b] += 1;
+          if (!emit(nb)) { delete[] table; return -1; }
+        }
+      }
+    }
+    ray_count[i] = cur_count;
+  }
+  delete[] table;
+  for (int a = 0; a < 3; ++a) {
+    bbox_out[a] = count ? bmin[a] : 0;
+    bbox_out[3 + a] = count ? bmax[a] : 0;
+  }
+  return count;
+}
+
+// Fill the rayflow wire buffers.  Rpad is the padded ray bucket; rays are
+// written at their original index i (< Rpad).  bbox_min_vox = bbox_min
+// region * region_dim (voxel coords of the grid origin).
+void fill_rayflow(const double* starts, const double* ends, const uint8_t* accept,
+                  const uint32_t* filter_flags, const double* timestamps,
+                  double time_base, const float* intensities, int64_t n_rays,
+                  int sample_in_ray_flag, const MapParams* params,
+                  const int32_t* bbox_min_vox,
+                  float* floats, uint16_t* abs16, uint32_t* meta,
+                  uint32_t* touch, float* intens) {
+  const MapParams p = *params;
+  for (int64_t i = 0; i < n_rays; ++i) {
+    if (!accept[i]) continue;  // buffers are pre-zeroed; valid bit stays 0
+    const double* s = starts + 3 * i;
+    const double* e = ends + 3 * i;
+    double delta[3] = {e[0] - s[0], e[1] - s[1], e[2] - s[2]};
+    const double len = std::sqrt(delta[0] * delta[0] + delta[1] * delta[1]
+                                 + delta[2] * delta[2]);
+    int32_t abs0[3], abs1[3];
+    double c0[3], c1[3];
+    quantise(p, s, abs0, c0);
+    quantise(p, e, abs1, c1);
+    float* F = floats + 7 * i;
+    uint16_t* A = abs16 + 6 * i;
+    for (int a = 0; a < 3; ++a) {
+      F[a] = (float)(s[a] - c0[a]);
+      F[3 + a] = (float)(len > 0 ? delta[a] / len : 0.0);
+      A[a] = (uint16_t)(abs0[a] - bbox_min_vox[a]);
+      A[3 + a] = (uint16_t)(abs1[a] - bbox_min_vox[a]);
+    }
+    F[6] = (float)len;
+    const bool clipped_end = (filter_flags && (filter_flags[i] & 4u)) != 0;
+    const bool fold_sample = clipped_end || sample_in_ray_flag;
+    meta[i] = 1u | (fold_sample ? 2u : 0u);
+    touch[i] = (timestamps && time_base >= 0)
+        ? (uint32_t)((timestamps[i] - time_base) / 0.001) : 0u;
+    intens[i] = intensities ? intensities[i] : 0.0f;
+  }
+}
+
 }  // extern "C"

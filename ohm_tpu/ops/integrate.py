@@ -102,6 +102,11 @@ class IntegrateConfig:
     #: (width 12) in the single-transfer wire (see _wire_float_width).
     wire_tsdf: bool = False
 
+    #: Rayflow candidate-table width (mapping.batch.prepare_rayflow): the
+    #: static K of the per-ray region/slot table in the rayw wire.  0 when
+    #: the batch uses the segmented wire.
+    table_k: int = 0
+
     def __post_init__(self):
         # Flat arena addresses and split-phase sort keys are int32; the key
         # packs (flat << 1 | hit_bit), so the sentinel itself needs headroom:
@@ -169,6 +174,69 @@ def group_rows(flat, B, S, G):
 
 
 def _unpack_batch(batch, cfg=None):
+    if "rayw" in batch:
+        # Full-ray wire (mapping.batch.prepare_rayflow / rayflow_wire):
+        # per-RAY records, 52 + 6K B/ray — gmeta i32[8] | floats f32[R,7]
+        # (start_frac, dir, length) | abs16 u16[R,6] (endpoint voxels,
+        # bbox-relative) | meta u32 | touch u32 | intens f32 | treg i32[R,K]
+        # (packed bbox-relative candidate regions) | tslot i16[R,K].
+        # Endpoints were quantised on the host in f64, so the exact reference
+        # crossing counts are preserved; every per-segment quantity of the
+        # segmented wire is derived here instead.
+        buf = batch["rayw"]
+        K = cfg.table_k
+        R = (buf.shape[0] - 32) // (52 + 6 * K)
+        off = 0
+
+        def take(nbytes):
+            nonlocal off
+            part = buf[off:off + nbytes]
+            off += nbytes
+            return part
+
+        gmeta = jax.lax.bitcast_convert_type(take(32).reshape(8, 4), jnp.int32)
+        floats = jax.lax.bitcast_convert_type(
+            take(28 * R).reshape(R, 7, 4), jnp.float32)
+        a16 = jax.lax.bitcast_convert_type(
+            take(12 * R).reshape(R, 6, 2), jnp.uint16).astype(jnp.int32)
+        meta = jax.lax.bitcast_convert_type(take(4 * R).reshape(R, 4), jnp.uint32)
+        touch = jax.lax.bitcast_convert_type(take(4 * R).reshape(R, 4), jnp.uint32)
+        intens = jax.lax.bitcast_convert_type(take(4 * R).reshape(R, 4), jnp.float32)
+        treg = jax.lax.bitcast_convert_type(take(4 * K * R).reshape(R, K, 4), jnp.int32)
+        tslot = jax.lax.bitcast_convert_type(
+            take(2 * K * R).reshape(R, K, 2), jnp.int16).astype(jnp.int32)
+
+        dim = jnp.int32(1 << (cfg.region_shift if cfg is not None else 5))
+        bbox_min_vox = gmeta[0:3] * dim
+        start_abs = a16[:, 0:3] + bbox_min_vox[None, :]
+        end_abs = a16[:, 3:6] + bbox_min_vox[None, :]
+        valid = (meta & 1) != 0
+        fold = (meta & 2) != 0
+        direction = floats[:, 3:6]
+        length = floats[:, 6]
+        start_frac = floats[:, 0:3]
+        res = jnp.float32(cfg.resolution if cfg is not None else 0.1)
+        end_frac = (start_frac + (start_abs - end_abs).astype(jnp.float32) * res
+                    + length[:, None] * direction)
+        return {
+            "start_abs": start_abs,
+            "end_abs": end_abs,
+            "start_frac": start_frac,
+            "direction": direction,
+            "length": length,
+            "end_frac": end_frac,
+            "is_sample": valid & ~fold,
+            "end_as_miss": valid & fold,
+            "exclude_start": valid,  # every ray record contains its origin
+            "valid": valid,
+            "touch_enc": touch,
+            "intensity": intens,
+            "t0": jnp.zeros_like(length),
+            "full_length": length,
+            "treg": treg,
+            "tslot": tslot,
+            "gmeta": gmeta,
+        }
     if "wire" in batch:
         # Single-buffer packed layout (mapping.batch.pack_wire): one
         # host->device transfer instead of five.  Layout is static given the
@@ -258,18 +326,43 @@ def _unpack_batch(batch, cfg=None):
     return out
 
 
-def _resolve_slots(voxels, rmin, corner_slots, cfg: IntegrateConfig):
-    """Voxel abs coords -> flat arena addresses via per-ray corner slots.
+def _resolve_slots(voxels, rmin, corner_slots, cfg: IntegrateConfig,
+                   treg=None, tslot=None, gmeta=None):
+    """Voxel abs coords -> flat arena addresses.
 
-    voxels: i32[..., 3] with leading dims [B] or [B, S]; rmin i32[B,3];
-    corner_slots i32[B,8].  Returns (flat ids, missed mask).
-    local index ordering x + y*dim + z*dim^2 preserves the reference
-    linearisation (ohm/MapChunk.h:33-38).
+    Segmented path: per-segment corner slots (rmin i32[B,3], corner_slots
+    i32[B,8]) — each segment spans <= 2 regions per axis.  Rayflow path
+    (treg/tslot given): each record's packed bbox-relative region is compared
+    against its RAY's K candidate regions (treg i32[B,K], slots tslot
+    i32[B,K]) — a pure vector equality select, no gathers; the full-ray
+    analogue of the corner-slot trick (a ray crosses many regions, so the
+    candidate set is K-wide instead of 8).
+    Returns (flat ids, missed mask).  local index ordering x + y*dim +
+    z*dim^2 preserves the reference linearisation (ohm/MapChunk.h:33-38).
     """
     shift = cfg.region_shift
     dim_mask = (1 << shift) - 1
     region = voxels >> shift
     local = voxels & dim_mask
+
+    if treg is not None:
+        rel = region - gmeta[0:3]
+        packed = rel[..., 0] | (rel[..., 1] << 8) | (rel[..., 2] << 16)
+        in_box = jnp.all((rel >= 0) & (rel < 256), axis=-1)
+        packed = jnp.where(in_box, packed, jnp.int32(-1))  # never matches
+        # Broadcast the per-ray candidates over the record axis: voxels is
+        # [B, S, 3] (walk records) or [B, 3] (end voxels).
+        expand = (slice(None),) + (None,) * (voxels.ndim - 2)
+        slot = jnp.full(voxels.shape[:-1], jnp.int32(-1))
+        K = treg.shape[1]
+        for k in range(K):
+            cand = treg[:, k][expand]
+            cand_slot = tslot[:, k][expand]
+            slot = jnp.where(packed == cand, cand_slot, slot)
+        missed = slot < 0
+        local_idx = local[..., 0] + (local[..., 1] << shift) + (local[..., 2] << (2 * shift))
+        flat = slot * cfg.voxels_per_region + local_idx
+        return jnp.where(missed, cfg.sentinel, flat), missed
 
     # Broadcast per-ray values across the step axis when present.
     expand = (slice(None),) + (None,) * (voxels.ndim - 2)
@@ -435,7 +528,7 @@ def integrate_occupancy(arena: dict, batch: dict, cfg: IntegrateConfig):
     if flags & RayFlag.EXCLUDE_RAY:
         rec_valid = jnp.zeros_like(rec_valid)
 
-    walk_flat, walk_missed = _resolve_slots(walk["voxels"], b["rmin"], b["corner_slots"], cfg)
+    walk_flat, walk_missed = _resolve_slots(walk["voxels"], b.get("rmin"), b.get("corner_slots"), cfg, treg=b.get("treg"), tslot=b.get("tslot"), gmeta=b.get("gmeta"))
     walk_flat = jnp.where(rec_valid, walk_flat, cfg.sentinel)
 
     # kRfStopOnFirstOccupied: suppress occupancy adjustments after the first
@@ -471,7 +564,7 @@ def integrate_occupancy(arena: dict, batch: dict, cfg: IntegrateConfig):
     # sample (hit) update or, for clipped/as-free rays, a miss update
     # (ohm/RayMapperOccupancy.cpp:222-233).  Broken-segment continuations get
     # neither (ohmgpu/gpu/AdjustOccupancy.cl:14-18).
-    end_flat, end_missed = _resolve_slots(b["end_abs"], b["rmin"], b["corner_slots"], cfg)
+    end_flat, end_missed = _resolve_slots(b["end_abs"], b.get("rmin"), b.get("corner_slots"), cfg, treg=b.get("treg"), tslot=b.get("tslot"), gmeta=b.get("gmeta"))
     end_is_hit = b["is_sample"] & ray_valid & ~ray_stopped
     end_is_miss = b["end_as_miss"] & ray_valid & ~ray_stopped
     if flags & RayFlag.EXCLUDE_SAMPLE:
@@ -651,9 +744,9 @@ def expand_records_jit(batch, cfg: IntegrateConfig):
     if flags & RayFlag.EXCLUDE_RAY:
         rec_valid = jnp.zeros_like(rec_valid)
 
-    walk_flat, walk_missed = _resolve_slots(walk["voxels"], b["rmin"], b["corner_slots"], cfg)
+    walk_flat, walk_missed = _resolve_slots(walk["voxels"], b.get("rmin"), b.get("corner_slots"), cfg, treg=b.get("treg"), tslot=b.get("tslot"), gmeta=b.get("gmeta"))
     walk_flat = jnp.where(rec_valid, walk_flat, cfg.sentinel)
-    end_flat, end_missed = _resolve_slots(b["end_abs"], b["rmin"], b["corner_slots"], cfg)
+    end_flat, end_missed = _resolve_slots(b["end_abs"], b.get("rmin"), b.get("corner_slots"), cfg, treg=b.get("treg"), tslot=b.get("tslot"), gmeta=b.get("gmeta"))
     end_is_hit = b["is_sample"] & ray_valid
     end_is_miss = b["end_as_miss"] & ray_valid
     if flags & RayFlag.EXCLUDE_SAMPLE:

@@ -88,10 +88,10 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
     if flags & RayFlag.EXCLUDE_RAY:
         rec_valid = jnp.zeros_like(rec_valid)
 
-    walk_flat, walk_missed = _resolve_slots(walk["voxels"], b["rmin"], b["corner_slots"], base)
+    walk_flat, walk_missed = _resolve_slots(walk["voxels"], b.get("rmin"), b.get("corner_slots"), base, treg=b.get("treg"), tslot=b.get("tslot"), gmeta=b.get("gmeta"))
     walk_flat = jnp.where(rec_valid, walk_flat, base.sentinel)
 
-    end_flat, end_missed = _resolve_slots(b["end_abs"], b["rmin"], b["corner_slots"], base)
+    end_flat, end_missed = _resolve_slots(b["end_abs"], b.get("rmin"), b.get("corner_slots"), base, treg=b.get("treg"), tslot=b.get("tslot"), gmeta=b.get("gmeta"))
     # NDT ignores kRfExcludeSample / state exclusions (ohm/RayMapperNdt.cpp
     # applies the hit whenever the sample is not folded into the ray).
     end_is_hit = b["is_sample"] & ray_valid

@@ -1,0 +1,78 @@
+"""Rayflow (full-ray wire) differentials.
+
+The rayflow path replaces host segmentation entirely: per-RAY records with
+host-f64-quantised endpoints, device-side walking over the whole ray, and
+slot resolution against per-ray candidate-region tables
+(mapping.batch.prepare_rayflow, ops.integrate rayflow branch).  Occupancy
+must match the segmented path bit-for-bit (same quantised endpoints -> same
+visited voxel multiset); traversal must match the f64 oracle MORE closely
+than the segmented path, whose per-segment walk drops the partial traversal
+of each segment-boundary voxel (the reference walks full rays:
+ohm/RayMapperOccupancy.cpp:171-183).
+"""
+
+import numpy as np
+
+from ohm_tpu.core.map import OccupancyMap, MapFlag
+from ohm_tpu.core.layout import OCCUPANCY_LAYER, TRAVERSAL_LAYER
+from ohm_tpu.mapping.tpu_map import TpuRayMapper
+from ohm_tpu.oracle.occupancy import RayMapperOccupancy
+
+
+def _scene(n=128, rng=None):
+    rng = rng or np.random.default_rng(5)
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    t = np.min(np.where(dirs != 0, np.array([1.6, 1.6, 1.0]) / np.abs(dirs), np.inf), axis=1)
+    rays = np.zeros((2 * n, 3))
+    rays[1::2] = dirs * t[:, None]
+    return rays
+
+
+def _voxel_maps(m):
+    oi = m.layer_index(OCCUPANCY_LAYER)
+    ti = m.layer_index(TRAVERSAL_LAYER)
+    occ, trav = {}, {}
+    for key, chunk in m.chunks.items():
+        o = chunk.layers[oi][OCCUPANCY_LAYER]
+        t = chunk.layers[ti][TRAVERSAL_LAYER]
+        for i in np.flatnonzero(np.isfinite(o)):
+            occ[(key, int(i))] = float(o[i])
+            trav[(key, int(i))] = float(t[i])
+    return occ, trav
+
+
+def test_rayflow_matches_segmented_and_oracle_traversal():
+    rays = _scene()
+    m_oracle = OccupancyMap(resolution=0.2, flags=MapFlag.TRAVERSAL)
+    RayMapperOccupancy(m_oracle).integrate_rays(rays)
+    occ_o, trav_o = _voxel_maps(m_oracle)
+
+    results = {}
+    for use_rf in (True, False):
+        m = OccupancyMap(resolution=0.2, flags=MapFlag.TRAVERSAL)
+        mp = TpuRayMapper(m, capacity=64, validate=True, rayflow=use_rf)
+        if use_rf:
+            mp.integrate_rays(rays)
+            assert mp.stats["batches"] == 1
+            # the rayflow path must actually have been taken
+            assert getattr(mp, "_k_cache_rf", 0) >= 8
+        else:
+            mp.integrate_rays(rays)
+        mp.sync_voxels()
+        results[use_rf] = _voxel_maps(m)
+
+    occ_rf, trav_rf = results[True]
+    occ_seg, trav_seg = results[False]
+
+    # Identical quantised endpoints -> identical visited voxels and counts.
+    assert set(occ_rf) == set(occ_seg)
+    worst = max(abs(occ_rf[k] - occ_seg[k]) for k in occ_seg)
+    assert worst == 0.0, worst
+
+    # Traversal: rayflow must be at least as close to the f64 oracle as the
+    # segmented path, and within f32 tolerance of it.
+    err_rf = max(abs(trav_rf[k] - trav_o[k]) for k in trav_o)
+    err_seg = max(abs(trav_seg[k] - trav_o[k]) for k in trav_o)
+    assert err_rf < 2e-3, err_rf
+    assert err_rf <= err_seg + 1e-6
