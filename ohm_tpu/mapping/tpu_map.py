@@ -158,6 +158,10 @@ class TpuRayMapper:
         # group cap, all exact from the host-quantised endpoint coords.
         steps = -(-(rf.max_axis_steps + 1) // 32) * 32
         self._steps_cache_rf = max(getattr(self, "_steps_cache_rf", 0), steps)
+        # Walk truncation cap from the exact max TOTAL crossings (the
+        # sqrt(3)*steps default under-caps diagonal full rays).
+        wcap = -(-(int(rf.crossings.max()) + 2) // 64) * 64 if rf.n_rays else 64
+        self._wcap_cache_rf = max(getattr(self, "_wcap_cache_rf", 0), wcap)
         G = 8
         cr = rf.crossings
         gmax = int(cr.reshape(G, -1).sum(axis=0).max()) if rf.rpad % G == 0 else 0
@@ -165,13 +169,13 @@ class TpuRayMapper:
         self._cap_cache_rf = max(getattr(self, "_cap_cache_rf", 0), cap)
         cfg = self._config(ray_update_flags, group_cap=self._cap_cache_rf,
                            max_steps=self._steps_cache_rf, group_size=G,
-                           table_k=rf.table_k)
+                           table_k=rf.table_k, walk_cap=self._wcap_cache_rf)
         batch = {"rayw": jnp.asarray(wire)}
         return batch, cfg, rf.n_rays
 
     def _config(self, ray_flags: int, group_cap: int = 0,
                 max_steps: int | None = None, group_size: int = 64,
-                table_k: int = 0) -> IntegrateConfig:
+                table_k: int = 0, walk_cap: int = 0) -> IntegrateConfig:
         m = self.map
         return IntegrateConfig(
             resolution=float(m.resolution),
@@ -196,6 +200,7 @@ class TpuRayMapper:
             group_cap=group_cap,
             group_size=group_size,
             table_k=table_k,
+            walk_cap=walk_cap,
         )
 
     def integrate_rays(self, rays, intensities=None, timestamps=None, ray_update_flags: int = 0) -> int:

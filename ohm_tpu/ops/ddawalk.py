@@ -71,7 +71,8 @@ def walk_total_cap(max_steps: int) -> int:
     return min(3 * max_steps, int(np.ceil(np.sqrt(3.0) * (max_steps - 3))) + 4)
 
 
-def walk_rays(start_abs, end_abs, start_frac, direction, length, resolution, max_steps: int):
+def walk_rays(start_abs, end_abs, start_frac, direction, length, resolution, max_steps: int,
+              total_cap: int | None = None):
     """Expand rays to visit records via time-sorted wall-crossing events.
 
     ``max_steps`` caps the PER-AXIS crossing count (host segmentation
@@ -104,19 +105,36 @@ def walk_rays(start_abs, end_abs, start_frac, direction, length, resolution, max
     mask = k < jnp.minimum(crossings, S)[:, :, None]
     times = jnp.where(mask, times, _BIG)
 
+    # Single-operand event sort: event times are non-negative f32, whose
+    # int32 bit patterns sort in the same order, so the axis id rides in the
+    # low 2 bits of the time key ((2 - axis): z -> 0 sorts first on masked
+    # ties, realising the descending-axis tie-break).  Recovered times are
+    # biased down by <= 3 ulp — far inside every downstream tolerance.
     flat_times = times[:, ::-1, :].reshape(B, 3 * S)  # planes z, y, x
     axis_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 3, 1), 1)
-    flat_axis = jnp.broadcast_to(2 - axis_ids, times.shape).reshape(B, 3 * S)
-    t_sorted, a_sorted = jax.lax.sort(
-        (flat_times, flat_axis), num_keys=1, dimension=1)
+    flat_axis = jnp.broadcast_to(axis_ids, times.shape).reshape(B, 3 * S)  # 0=z,1=y,2=x
+    tb = jax.lax.bitcast_convert_type(flat_times, jnp.int32)
+    key = (tb & ~3) | flat_axis
+    key_sorted = jax.lax.sort((key,), num_keys=1, dimension=1)[0]
+    t_sorted = jax.lax.bitcast_convert_type(key_sorted & ~3, jnp.float32)
+    a_sorted = 2 - (key_sorted & 3)
 
-    # Valid events sort to the front, and a segment of length L crosses at
-    # most ~sqrt(3) * L/res walls in TOTAL (vs L/res per axis), so the sorted
-    # stream can be truncated well below 3*S — shrinking every downstream
-    # record-level op (notably the global arena sort) by ~40%.
-    total_cap = walk_total_cap(S)
+    # Valid events sort to the front, so the sorted stream can be truncated
+    # below 3*S — shrinking every downstream record-level op (notably the
+    # global arena sort).  The default sqrt(3)*S bound is only valid when S
+    # is a LENGTH bound (the segmented path: steps = segment_length/res); a
+    # full ray's total crossings reach 3*max_axis for diagonal rays, so
+    # rayflow callers pass an explicit cap from the exact per-batch max
+    # (IntegrateConfig.walk_cap).  `truncated` counts real events dropped by
+    # an insufficient cap (asserted zero in validate mode).
+    if total_cap is None:
+        total_cap = walk_total_cap(S)
+    total_cap = min(total_cap, 3 * S)
+    n_real = jnp.minimum(crossings, S).sum(axis=1)  # valid events per ray
+    truncated = jnp.sum(jnp.maximum(n_real - total_cap, 0))
     t_sorted = t_sorted[:, :total_cap]
     a_sorted = a_sorted[:, :total_cap]
+    key_sorted = key_sorted[:, :total_cap]
 
     # Per-axis exclusive counts -> voxel coordinate of each interval.
     onehot = (a_sorted[:, :, None] == jnp.arange(3)[None, None, :]).astype(jnp.int32)
@@ -126,7 +144,11 @@ def walk_rays(start_abs, end_abs, start_frac, direction, length, resolution, max
 
     exits = t_sorted
     enters = jnp.concatenate([jnp.zeros((B, 1), jnp.float32), t_sorted[:, :-1]], axis=1)
-    valid = t_sorted < _BIG
+    # Sentinel detection in the int key domain: the recovered sentinel time
+    # is _BIG with its low mantissa bits masked, so a float compare against
+    # _BIG would wrongly pass it.
+    big_key = jax.lax.bitcast_convert_type(_BIG, jnp.int32) & ~3
+    valid = key_sorted < big_key
 
     n_events = valid.sum(axis=1)
     end_enter = jnp.max(jnp.where(valid, t_sorted, 0.0), axis=1)
@@ -143,4 +165,5 @@ def walk_rays(start_abs, end_abs, start_frac, direction, length, resolution, max
         "valid": valid,
         "end_enter": end_enter,
         "overflow": overflow,
+        "truncated": truncated,
     }

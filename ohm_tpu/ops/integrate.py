@@ -107,6 +107,12 @@ class IntegrateConfig:
     #: the batch uses the segmented wire.
     table_k: int = 0
 
+    #: Walk record-axis truncation cap.  0 = sqrt(3)*max_steps default,
+    #: which is only valid when max_steps is a LENGTH bound (segmented
+    #: path); rayflow sets this from the batch's exact max total crossings
+    #: (a diagonal full ray reaches 3x its max per-axis count).
+    walk_cap: int = 0
+
     def __post_init__(self):
         # Flat arena addresses and split-phase sort keys are int32; the key
         # packs (flat << 1 | hit_bit), so the sentinel itself needs headroom:
@@ -515,6 +521,7 @@ def integrate_occupancy(arena: dict, batch: dict, cfg: IntegrateConfig):
     walk = walk_rays(
         b["start_abs"], b["end_abs"], b["start_frac"],
         b["direction"], b["length"], cfg.resolution, cfg.max_steps,
+        total_cap=cfg.walk_cap or None,
     )
 
     B, S = walk["valid"].shape
@@ -707,7 +714,8 @@ def integrate_occupancy(arena: dict, batch: dict, cfg: IntegrateConfig):
     stats = {
         "missed_updates": missed_updates,
         "applied_updates": applied_updates,
-        "overflow": jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0)).astype(jnp.int32),
+        "overflow": (jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0))
+                     + walk["truncated"]).astype(jnp.int32),
         "touched": jnp.sum((last & (ids_sorted != cfg.sentinel)).astype(jnp.int32)),
     }
     return arena, stats
@@ -734,6 +742,7 @@ def expand_records_jit(batch, cfg: IntegrateConfig):
     walk = walk_rays(
         b["start_abs"], b["end_abs"], b["start_frac"],
         b["direction"], b["length"], cfg.resolution, cfg.max_steps,
+        total_cap=cfg.walk_cap or None,
     )
     B, S = walk["valid"].shape
     ray_valid = b["valid"]
@@ -791,7 +800,8 @@ def expand_records_jit(batch, cfg: IntegrateConfig):
     stats = {
         "missed_updates": (jnp.sum(jnp.where(rec_valid & walk_missed, 1, 0))
                            + jnp.sum(jnp.where(end_active & end_missed, 1, 0))).astype(jnp.int32),
-        "overflow": jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0)).astype(jnp.int32),
+        "overflow": (jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0))
+                     + walk["truncated"]).astype(jnp.int32),
         "compaction_dropped": compaction_dropped,
     }
     return out, stats

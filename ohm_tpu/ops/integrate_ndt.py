@@ -77,6 +77,7 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
     walk = walk_rays(
         b["start_abs"], b["end_abs"], b["start_frac"],
         b["direction"], b["length"], base.resolution, base.max_steps,
+        total_cap=base.walk_cap or None,
     )
     B, S = walk["valid"].shape
     ray_valid = b["valid"]
@@ -411,7 +412,8 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
     ).astype(jnp.int32)
     stats = {
         "missed_updates": missed_updates,
-        "overflow": jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0)).astype(jnp.int32),
+        "overflow": (jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0))
+                     + walk["truncated"]).astype(jnp.int32),
         "touched": jnp.sum((last & (ids_s != base.sentinel)).astype(jnp.int32)),
         "ndt_overflow": overflow_ndt,
         "compaction_dropped": compaction_dropped,

@@ -51,6 +51,7 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
     walk = walk_rays(
         b["start_abs"], b["end_abs"], b["start_frac"],
         b["direction"], b["length"], base.resolution, base.max_steps,
+        total_cap=base.walk_cap or None,
     )
     B, S = walk["valid"].shape
     ray_valid = b["valid"]
@@ -141,7 +142,8 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
     stats = {
         "missed_updates": (jnp.sum(jnp.where(rec_valid & walk_missed, 1, 0))
                            + jnp.sum(jnp.where(end_active & end_missed, 1, 0))).astype(jnp.int32),
-        "overflow": jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0)).astype(jnp.int32),
+        "overflow": (jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0))
+                     + walk["truncated"]).astype(jnp.int32),
         "touched": jnp.sum((last & (ids_s != base.sentinel)).astype(jnp.int32)),
         "compaction_dropped": compaction_dropped,
     }

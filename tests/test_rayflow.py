@@ -35,10 +35,11 @@ def _voxel_maps(m):
     occ, trav = {}, {}
     for key, chunk in m.chunks.items():
         o = chunk.layers[oi][OCCUPANCY_LAYER]
-        t = chunk.layers[ti][TRAVERSAL_LAYER]
+        t = chunk.layers[ti][TRAVERSAL_LAYER] if ti >= 0 else None
         for i in np.flatnonzero(np.isfinite(o)):
             occ[(key, int(i))] = float(o[i])
-            trav[(key, int(i))] = float(t[i])
+            if t is not None:
+                trav[(key, int(i))] = float(t[i])
     return occ, trav
 
 
@@ -76,3 +77,24 @@ def test_rayflow_matches_segmented_and_oracle_traversal():
     err_seg = max(abs(trav_seg[k] - trav_o[k]) for k in trav_o)
     assert err_rf < 2e-3, err_rf
     assert err_rf <= err_seg + 1e-6
+
+
+def test_rayflow_diagonal_ray_not_truncated():
+    # A pure-diagonal full ray's TOTAL crossings reach 3x its per-axis max,
+    # so the segmented-path sqrt(3)*steps truncation bound does not apply;
+    # rayflow must cap the walk from the exact batch max (walk_cap) and the
+    # device counts real events lost to an insufficient cap into
+    # stats['overflow'] (validate asserts zero).
+    rays = np.array([[0.0, 0.0, 0.0], [6.0, 6.0, 6.0]])
+    m_dev = OccupancyMap(resolution=0.1, flags=MapFlag.NONE)
+    mp = TpuRayMapper(m_dev, capacity=64, validate=True, rayflow=True)
+    mp.integrate_rays(rays)
+    mp.sync_voxels()
+    assert getattr(mp, "_wcap_cache_rf", 0) >= 180
+    m_ref = OccupancyMap(resolution=0.1, flags=MapFlag.NONE)
+    RayMapperOccupancy(m_ref).integrate_rays(rays)
+    occ_rf, _ = _voxel_maps(m_dev)
+    occ_o, _ = _voxel_maps(m_ref)
+    # Same observed-voxel set (no truncated tail) and matching values.
+    assert set(occ_rf) == set(occ_o)
+    assert max(abs(occ_rf[k] - occ_o[k]) for k in occ_o) < 1e-4
