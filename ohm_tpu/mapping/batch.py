@@ -432,8 +432,8 @@ def prepare_rayflow(map_obj, rays, timestamps=None, intensities=None,
         starts, ends, accept_all, params)
     if ray_count.size and (ray_count.min() < 0 or ray_count.max() > 32):
         return None
-    if np.any(bbox[3:6] - bbox[0:3] > 255):
-        return None  # packed rel-region uses 8 bits per axis
+    if np.any(bbox[3:6] - bbox[0:3] > 63):
+        return None  # packed rel-region uses 6 bits per axis (one-i32 table)
     table_k = max(8, int(min_table_k))
     kmax = int(ray_count.max()) if ray_count.size else 1
     while table_k < kmax:
@@ -452,14 +452,16 @@ def prepare_rayflow(map_obj, rays, timestamps=None, intensities=None,
     crossings = d.sum(axis=1).astype(np.int32)
     max_axis = int(d.max()) if n_rays else 0
 
-    # Packed bbox-relative candidate regions; sentinel entries never match a
-    # record (records pack to 24 bits; pad rays' rows stay all-sentinel).
+    # Packed bbox-relative candidate regions (6 bits/axis, low 18 bits);
+    # the arena slot rides in the high 14 bits at wire-assembly time
+    # (rayflow_wire).  Sentinel entries pack to -1 (slot bits negative), and
+    # the device only accepts matches whose decoded slot is >= 0.
     tbl = np.full((rpad, table_k, 3), np.int32(-2**31), np.int32)
     tbl[:n_rays] = ray_table[:, :table_k]
     rel = tbl - bbox[0:3]
     treg = np.where(
-        tbl[..., 0] == np.int32(-2**31), np.int32(0x7FFFFFFF),
-        rel[..., 0] | (rel[..., 1] << 8) | (rel[..., 2] << 16)).astype(np.int32)
+        tbl[..., 0] == np.int32(-2**31), np.int32(-1),
+        rel[..., 0] | (rel[..., 1] << 6) | (rel[..., 2] << 12)).astype(np.int32)
     return PreparedRayflow(rpad=rpad, n_rays=n_rays, bufs=bufs,
                            region_keys=region_keys, bbox=bbox,
                            crossings=crossings, max_axis_steps=max_axis,
@@ -469,11 +471,16 @@ def prepare_rayflow(map_obj, rays, timestamps=None, intensities=None,
 def rayflow_wire(prepared: PreparedRayflow, table_lookup) -> np.ndarray:
     """Assemble the single rayflow transfer buffer (after region allocation):
     [gmeta i32[8] | floats f32[R,7] | abs16 u16[R,6] | meta u32[R] |
-     touch u32[R] | intens f32[R] | treg i32[R,K] | tslot i16[R,K] | pad].
-    ``table_lookup`` maps region triples -> arena slots (i32, -1 missing)."""
+     touch u32[R] | intens f32[R] | tcand i32[R,K]].
+    tcand packs a candidate as (slot+1) << 18 | rel-region (6 bits/axis);
+    sentinel/unallocated entries have non-positive slot bits and never
+    resolve.  ``table_lookup`` maps region triples -> arena slots (i32, -1
+    missing); requires slot < 16383 (the mapper enforces the capacity)."""
     R, K = prepared.treg.shape
-    slots = table_lookup(prepared.ray_table.reshape(-1, 3)).astype(np.int16)
-    tslot = slots.reshape(R, K)
+    slots = table_lookup(prepared.ray_table.reshape(-1, 3)).astype(np.int32)
+    tcand = np.where(prepared.treg >= 0,
+                     ((slots.reshape(R, K) + 1) << 18) | prepared.treg,
+                     np.int32(0)).astype(np.int32)
     gmeta = np.zeros(8, np.int32)
     gmeta[0:3] = prepared.bbox[0:3]
     b = prepared.bufs
@@ -484,10 +491,6 @@ def rayflow_wire(prepared: PreparedRayflow, table_lookup) -> np.ndarray:
         b["meta"].view(np.uint8).reshape(-1),
         b["touch"].view(np.uint8).reshape(-1),
         b["intens"].view(np.uint8).reshape(-1),
-        prepared.treg.view(np.uint8).reshape(-1),
-        np.ascontiguousarray(tslot).view(np.uint8).reshape(-1),
+        np.ascontiguousarray(tcand).view(np.uint8).reshape(-1),
     ]
-    buf = np.concatenate(parts)
-    if buf.size % 4:
-        buf = np.concatenate([buf, np.zeros(4 - buf.size % 4, np.uint8)])
-    return buf
+    return np.concatenate(parts)

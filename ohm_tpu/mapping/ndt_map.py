@@ -54,10 +54,11 @@ class TpuNdtMap(TpuRayMapper):
         self.arena = VoxelArena(self.arena.capacity, self.region_shift, layer_names,
                                 scatter_pad=self.arena.scatter_pad)
 
-    def _ndt_config(self, ray_flags: int, group_cap: int = 0) -> NdtConfig:
+    def _ndt_config(self, ray_flags: int, group_cap: int = 0,
+                    base=None) -> NdtConfig:
         p = self.params
         return NdtConfig(
-            base=self._config(ray_flags, group_cap=group_cap),
+            base=base if base is not None else self._config(ray_flags, group_cap=group_cap),
             sensor_noise=float(p.sensor_noise),
             sample_threshold=int(p.sample_threshold),
             adaptation_rate=float(p.adaptation_rate),
@@ -71,6 +72,24 @@ class TpuNdtMap(TpuRayMapper):
     def integrate_rays(self, rays, intensities=None, timestamps=None, ray_update_flags: int = 0) -> int:
         m = self.map
         m.touch()
+        if self.rayflow:
+            setup = self._rayflow_setup(rays, timestamps, intensities, ray_update_flags)
+            if setup is not None:
+                batch, base_cfg, n_rays = setup
+                cfg = self._ndt_config(ray_update_flags, base=base_cfg)
+                new_state, stats = integrate_ndt_jit(self.arena.device_state(), batch, cfg)
+                self.arena.update_state(new_state)
+                self._stats["rays"] += n_rays
+                self._stats["segments"] += n_rays
+                self._stats["batches"] += 1
+                self._pending_stats.append({k: v for k, v in stats.items()
+                                            if k in ("missed_updates", "overflow", "compaction_dropped")})
+                if self.validate:
+                    self._drain_stats()
+                    assert self._stats["missed_updates"] == 0, "device slot resolution missed"
+                    assert self._stats["overflow"] == 0, "DDA step cap exceeded"
+                    assert self._stats["compaction_dropped"] == 0
+                return n_rays
         prepared = prepare_ray_batch(
             m, rays, timestamps=timestamps, intensities=intensities,
             ray_update_flags=ray_update_flags, segment_length=self.segment_length,

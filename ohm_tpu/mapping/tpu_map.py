@@ -144,6 +144,8 @@ class TpuRayMapper:
         from ohm_tpu import native
         from ohm_tpu.mapping.batch import prepare_rayflow, rayflow_wire
 
+        if self.arena.capacity > 16382:
+            return None  # candidate entries pack (slot+1) into 14 bits
         rf = prepare_rayflow(self.map, rays, timestamps=timestamps,
                              intensities=intensities,
                              ray_update_flags=ray_update_flags,

@@ -191,7 +191,7 @@ def _unpack_batch(batch, cfg=None):
         # segmented wire is derived here instead.
         buf = batch["rayw"]
         K = cfg.table_k
-        R = (buf.shape[0] - 32) // (52 + 6 * K)
+        R = (buf.shape[0] - 32) // (52 + 4 * K)
         off = 0
 
         def take(nbytes):
@@ -208,9 +208,7 @@ def _unpack_batch(batch, cfg=None):
         meta = jax.lax.bitcast_convert_type(take(4 * R).reshape(R, 4), jnp.uint32)
         touch = jax.lax.bitcast_convert_type(take(4 * R).reshape(R, 4), jnp.uint32)
         intens = jax.lax.bitcast_convert_type(take(4 * R).reshape(R, 4), jnp.float32)
-        treg = jax.lax.bitcast_convert_type(take(4 * K * R).reshape(R, K, 4), jnp.int32)
-        tslot = jax.lax.bitcast_convert_type(
-            take(2 * K * R).reshape(R, K, 2), jnp.int16).astype(jnp.int32)
+        tcand = jax.lax.bitcast_convert_type(take(4 * K * R).reshape(R, K, 4), jnp.int32)
 
         dim = jnp.int32(1 << (cfg.region_shift if cfg is not None else 5))
         bbox_min_vox = gmeta[0:3] * dim
@@ -239,8 +237,7 @@ def _unpack_batch(batch, cfg=None):
             "intensity": intens,
             "t0": jnp.zeros_like(length),
             "full_length": length,
-            "treg": treg,
-            "tslot": tslot,
+            "tcand": tcand,
             "gmeta": gmeta,
         }
     if "wire" in batch:
@@ -333,16 +330,16 @@ def _unpack_batch(batch, cfg=None):
 
 
 def _resolve_slots(voxels, rmin, corner_slots, cfg: IntegrateConfig,
-                   treg=None, tslot=None, gmeta=None):
+                   tcand=None, gmeta=None):
     """Voxel abs coords -> flat arena addresses.
 
     Segmented path: per-segment corner slots (rmin i32[B,3], corner_slots
     i32[B,8]) — each segment spans <= 2 regions per axis.  Rayflow path
-    (treg/tslot given): each record's packed bbox-relative region is compared
-    against its RAY's K candidate regions (treg i32[B,K], slots tslot
-    i32[B,K]) — a pure vector equality select, no gathers; the full-ray
-    analogue of the corner-slot trick (a ray crosses many regions, so the
-    candidate set is K-wide instead of 8).
+    (tcand given): each record's packed bbox-relative region is compared
+    against its RAY's K candidates (tcand i32[B,K] = (slot+1) << 18 |
+    rel-region 6 bits/axis) — a pure vector equality select, no gathers; the
+    full-ray analogue of the corner-slot trick (a ray crosses many regions,
+    so the candidate set is K-wide instead of 8).
     Returns (flat ids, missed mask).  local index ordering x + y*dim +
     z*dim^2 preserves the reference linearisation (ohm/MapChunk.h:33-38).
     """
@@ -351,20 +348,22 @@ def _resolve_slots(voxels, rmin, corner_slots, cfg: IntegrateConfig,
     region = voxels >> shift
     local = voxels & dim_mask
 
-    if treg is not None:
+    if tcand is not None:
         rel = region - gmeta[0:3]
-        packed = rel[..., 0] | (rel[..., 1] << 8) | (rel[..., 2] << 16)
-        in_box = jnp.all((rel >= 0) & (rel < 256), axis=-1)
+        packed = rel[..., 0] | (rel[..., 1] << 6) | (rel[..., 2] << 12)
+        in_box = jnp.all((rel >= 0) & (rel < 64), axis=-1)
         packed = jnp.where(in_box, packed, jnp.int32(-1))  # never matches
         # Broadcast the per-ray candidates over the record axis: voxels is
         # [B, S, 3] (walk records) or [B, 3] (end voxels).
         expand = (slice(None),) + (None,) * (voxels.ndim - 2)
         slot = jnp.full(voxels.shape[:-1], jnp.int32(-1))
-        K = treg.shape[1]
+        K = tcand.shape[1]
+        rel_mask = jnp.int32(0x3FFFF)
         for k in range(K):
-            cand = treg[:, k][expand]
-            cand_slot = tslot[:, k][expand]
-            slot = jnp.where(packed == cand, cand_slot, slot)
+            cand = tcand[:, k][expand]
+            cand_slot = (cand >> 18) - 1
+            match = ((cand & rel_mask) == packed) & (cand_slot >= 0)
+            slot = jnp.where(match, cand_slot, slot)
         missed = slot < 0
         local_idx = local[..., 0] + (local[..., 1] << shift) + (local[..., 2] << (2 * shift))
         flat = slot * cfg.voxels_per_region + local_idx
@@ -535,7 +534,7 @@ def integrate_occupancy(arena: dict, batch: dict, cfg: IntegrateConfig):
     if flags & RayFlag.EXCLUDE_RAY:
         rec_valid = jnp.zeros_like(rec_valid)
 
-    walk_flat, walk_missed = _resolve_slots(walk["voxels"], b.get("rmin"), b.get("corner_slots"), cfg, treg=b.get("treg"), tslot=b.get("tslot"), gmeta=b.get("gmeta"))
+    walk_flat, walk_missed = _resolve_slots(walk["voxels"], b.get("rmin"), b.get("corner_slots"), cfg, tcand=b.get("tcand"), gmeta=b.get("gmeta"))
     walk_flat = jnp.where(rec_valid, walk_flat, cfg.sentinel)
 
     # kRfStopOnFirstOccupied: suppress occupancy adjustments after the first
@@ -571,7 +570,7 @@ def integrate_occupancy(arena: dict, batch: dict, cfg: IntegrateConfig):
     # sample (hit) update or, for clipped/as-free rays, a miss update
     # (ohm/RayMapperOccupancy.cpp:222-233).  Broken-segment continuations get
     # neither (ohmgpu/gpu/AdjustOccupancy.cl:14-18).
-    end_flat, end_missed = _resolve_slots(b["end_abs"], b.get("rmin"), b.get("corner_slots"), cfg, treg=b.get("treg"), tslot=b.get("tslot"), gmeta=b.get("gmeta"))
+    end_flat, end_missed = _resolve_slots(b["end_abs"], b.get("rmin"), b.get("corner_slots"), cfg, tcand=b.get("tcand"), gmeta=b.get("gmeta"))
     end_is_hit = b["is_sample"] & ray_valid & ~ray_stopped
     end_is_miss = b["end_as_miss"] & ray_valid & ~ray_stopped
     if flags & RayFlag.EXCLUDE_SAMPLE:
@@ -753,9 +752,9 @@ def expand_records_jit(batch, cfg: IntegrateConfig):
     if flags & RayFlag.EXCLUDE_RAY:
         rec_valid = jnp.zeros_like(rec_valid)
 
-    walk_flat, walk_missed = _resolve_slots(walk["voxels"], b.get("rmin"), b.get("corner_slots"), cfg, treg=b.get("treg"), tslot=b.get("tslot"), gmeta=b.get("gmeta"))
+    walk_flat, walk_missed = _resolve_slots(walk["voxels"], b.get("rmin"), b.get("corner_slots"), cfg, tcand=b.get("tcand"), gmeta=b.get("gmeta"))
     walk_flat = jnp.where(rec_valid, walk_flat, cfg.sentinel)
-    end_flat, end_missed = _resolve_slots(b["end_abs"], b.get("rmin"), b.get("corner_slots"), cfg, treg=b.get("treg"), tslot=b.get("tslot"), gmeta=b.get("gmeta"))
+    end_flat, end_missed = _resolve_slots(b["end_abs"], b.get("rmin"), b.get("corner_slots"), cfg, tcand=b.get("tcand"), gmeta=b.get("gmeta"))
     end_is_hit = b["is_sample"] & ray_valid
     end_is_miss = b["end_as_miss"] & ray_valid
     if flags & RayFlag.EXCLUDE_SAMPLE:

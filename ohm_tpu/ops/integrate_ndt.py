@@ -89,10 +89,10 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
     if flags & RayFlag.EXCLUDE_RAY:
         rec_valid = jnp.zeros_like(rec_valid)
 
-    walk_flat, walk_missed = _resolve_slots(walk["voxels"], b.get("rmin"), b.get("corner_slots"), base, treg=b.get("treg"), tslot=b.get("tslot"), gmeta=b.get("gmeta"))
+    walk_flat, walk_missed = _resolve_slots(walk["voxels"], b.get("rmin"), b.get("corner_slots"), base, tcand=b.get("tcand"), gmeta=b.get("gmeta"))
     walk_flat = jnp.where(rec_valid, walk_flat, base.sentinel)
 
-    end_flat, end_missed = _resolve_slots(b["end_abs"], b.get("rmin"), b.get("corner_slots"), base, treg=b.get("treg"), tslot=b.get("tslot"), gmeta=b.get("gmeta"))
+    end_flat, end_missed = _resolve_slots(b["end_abs"], b.get("rmin"), b.get("corner_slots"), base, tcand=b.get("tcand"), gmeta=b.get("gmeta"))
     # NDT ignores kRfExcludeSample / state exclusions (ohm/RayMapperNdt.cpp
     # applies the hit whenever the sample is not folded into the ray).
     end_is_hit = b["is_sample"] & ray_valid
@@ -266,7 +266,9 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
              "sensor_noise": cfg.sensor_noise, "adaptation_rate": cfg.adaptation_rate,
              "sample_threshold": cfg.sample_threshold},
         )
-        intensity = batch["intensity"]
+        # Rayflow wires carry intensity inline; the segmented path ships it
+        # as a separate per-segment array.
+        intensity = b["intensity"] if "intensity" in b else batch["intensity"]
         flat_ops += [
             (inc_hit & end_is_hit).astype(jnp.float32),
             (inc_miss & end_is_hit).astype(jnp.float32),

@@ -57,9 +57,9 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
     ray_valid = b["valid"]
     rec_valid = walk["valid"] & ray_valid[:, None]
 
-    walk_flat, walk_missed = _resolve_slots(walk["voxels"], b.get("rmin"), b.get("corner_slots"), base, treg=b.get("treg"), tslot=b.get("tslot"), gmeta=b.get("gmeta"))
+    walk_flat, walk_missed = _resolve_slots(walk["voxels"], b.get("rmin"), b.get("corner_slots"), base, tcand=b.get("tcand"), gmeta=b.get("gmeta"))
     walk_flat = jnp.where(rec_valid, walk_flat, base.sentinel)
-    end_flat, end_missed = _resolve_slots(b["end_abs"], b.get("rmin"), b.get("corner_slots"), base, treg=b.get("treg"), tslot=b.get("tslot"), gmeta=b.get("gmeta"))
+    end_flat, end_missed = _resolve_slots(b["end_abs"], b.get("rmin"), b.get("corner_slots"), base, tcand=b.get("tcand"), gmeta=b.get("gmeta"))
     # The reference TSDF walk includes the sample voxel
     # (RayMapperTsdf.cpp:178 walks with no exclusion flags); our walk stops
     # before the end voxel, so final segments contribute an explicit end

@@ -98,3 +98,67 @@ def test_rayflow_diagonal_ray_not_truncated():
     # Same observed-voxel set (no truncated tail) and matching values.
     assert set(occ_rf) == set(occ_o)
     assert max(abs(occ_rf[k] - occ_o[k]) for k in occ_o) < 1e-4
+
+
+def test_rayflow_ndt_matches_segmented():
+    from ohm_tpu.mapping.ndt_map import TpuNdtMap
+    from ohm_tpu.oracle.ndt import NdtParams
+    from ohm_tpu.core.layout import MEAN_LAYER, COVARIANCE_LAYER
+
+    rng = np.random.default_rng(9)
+    n = 64
+    samples = np.column_stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                               np.zeros(n) + rng.normal(0, 0.005, n)])
+    rays = np.empty((2 * n, 3))
+    rays[0::2] = (0.0, 0.0, 2.0)
+    rays[1::2] = samples
+
+    maps = []
+    for use_rf in (True, False):
+        m = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+        mp = TpuNdtMap(m, NdtParams(), capacity=64, validate=True)
+        mp.rayflow = use_rf
+        for _ in range(2):
+            mp.integrate_rays(rays)
+        mp.sync_voxels()
+        assert bool(getattr(mp, "_k_cache_rf", 0)) == use_rf  # path actually taken
+        maps.append(m)
+    m0, m1 = maps
+    ci = m0.layer_index(COVARIANCE_LAYER)
+    mi = m0.layer_index(MEAN_LAYER)
+    checked = 0
+    for key, a in m0.chunks.items():
+        b = m1.region(key)
+        assert b is not None
+        np.testing.assert_array_equal(a.layers[mi]["count"], b.layers[mi]["count"])
+        for f in a.layers[ci].dtype.names:
+            np.testing.assert_allclose(a.layers[ci][f], b.layers[ci][f], atol=1e-5)
+        checked += 1
+    assert checked > 0
+
+
+def test_rayflow_tsdf_matches_segmented():
+    from ohm_tpu.mapping.tsdf_map import TpuTsdfMap
+    from ohm_tpu.core.layout import TSDF_LAYER
+
+    rng = np.random.default_rng(11)
+    rays = _scene(96, rng)
+    maps = []
+    for use_rf in (True, False):
+        m = OccupancyMap(resolution=0.2, flags=MapFlag.NONE)
+        mp = TpuTsdfMap(m, capacity=64, validate=True)
+        mp.rayflow = use_rf
+        mp.integrate_rays(rays)
+        mp.sync_voxels()
+        assert bool(getattr(mp, "_k_cache_rf", 0)) == use_rf  # path actually taken
+        maps.append(m)
+    m0, m1 = maps
+    ti = m0.layer_index(TSDF_LAYER)
+    checked = 0
+    for key, a in m0.chunks.items():
+        b = m1.region(key)
+        assert b is not None
+        np.testing.assert_allclose(a.layers[ti]["weight"], b.layers[ti]["weight"], atol=1e-4)
+        np.testing.assert_allclose(a.layers[ti]["distance"], b.layers[ti]["distance"], atol=1e-3)
+        checked += 1
+    assert checked > 0
