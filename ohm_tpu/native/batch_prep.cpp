@@ -422,14 +422,25 @@ int64_t ray_regions(const double* starts, const double* ends, const uint8_t* acc
         // deviated path may cross the two walls in the other order; emit
         // both the diagonal region AND the transposed-order intermediate
         // (this cell with the just-stepped axis un-stepped).
+        int32_t near_db[3] = {0, 0, 0};
         for (int b = 0; b < 3; ++b) {
           if (b == ax || d[b] == 0) continue;
           const double vb = (double)abs0[b] + t * d[b];     // voxel coord
           const double fr = vb - (double)(cur[b] * dim);    // within region
-          const int32_t db = fr < 2.0 ? -1 : (fr > (double)dim - 2.0 ? 1 : 0);
+          const int32_t db = fr < 1.5 ? -1 : (fr > (double)dim - 1.5 ? 1 : 0);
           if (db == 0) continue;
+          near_db[b] = db;
           int32_t nb[3] = {cur[0], cur[1], cur[2]};
           nb[b] += db;
+          if (!emit(nb)) { delete[] table; return -1; }
+          nb[ax] -= stp[ax];
+          if (!emit(nb)) { delete[] table; return -1; }
+        }
+        // Triple-corner case: BOTH other axes near a wall — transposed
+        // orders can also visit the double-diagonal cells.
+        if ((!!near_db[0] + !!near_db[1] + !!near_db[2]) == 2) {
+          int32_t nb[3] = {cur[0] + near_db[0], cur[1] + near_db[1],
+                           cur[2] + near_db[2]};
           if (!emit(nb)) { delete[] table; return -1; }
           nb[ax] -= stp[ax];
           if (!emit(nb)) { delete[] table; return -1; }
@@ -443,16 +454,19 @@ int64_t ray_regions(const double* starts, const double* ends, const uint8_t* acc
     const int32_t* epts[2] = {abs0, abs1};
     const int32_t* regs[2] = {r0, r1};
     for (int epi = 0; epi < 2; ++epi) {
+      int32_t db[3] = {0, 0, 0};
       for (int b = 0; b < 3; ++b) {
         const double fr = (double)epts[epi][b] - (double)(regs[epi][b] * dim);
-        int32_t nb[3] = {regs[epi][0], regs[epi][1], regs[epi][2]};
-        if (fr < 2.0) {
-          nb[b] -= 1;
-          if (!emit(nb)) { delete[] table; return -1; }
-        } else if (fr > (double)dim - 2.0) {
-          nb[b] += 1;
-          if (!emit(nb)) { delete[] table; return -1; }
-        }
+        db[b] = fr < 1.5 ? -1 : (fr > (double)dim - 1.5 ? 1 : 0);
+      }
+      // All wall-neighbour combinations (up to 7 when near a corner).
+      for (int c = 1; c < 8; ++c) {
+        if (((c & 1) && !db[0]) || ((c & 2) && !db[1]) || ((c & 4) && !db[2]))
+          continue;
+        int32_t nb[3] = {regs[epi][0] + ((c & 1) ? db[0] : 0),
+                         regs[epi][1] + ((c & 2) ? db[1] : 0),
+                         regs[epi][2] + ((c & 4) ? db[2] : 0)};
+        if (!emit(nb)) { delete[] table; return -1; }
       }
     }
     ray_count[i] = cur_count;
