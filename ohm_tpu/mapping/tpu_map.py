@@ -125,7 +125,7 @@ class TpuRayMapper:
         # Strided grouping (ops.integrate.group_rows): row r holds segments
         # {r, r+R, ...}, i.e. crossings.reshape(G, R) column sums.
         gmax = int(crossings.reshape(G, -1).sum(axis=0).max())
-        cap = max(256, -(-(gmax + gmax // 8 + 64) // 256) * 256)
+        cap = max(256, -(-(gmax + 128) // 256) * 256)
         # Monotone per-mapper cache: a new cap means a new compiled program
         # variant, so grow sticky (with margin) instead of tracking each
         # batch exactly — otherwise cap jitter between batches recompiles
@@ -167,10 +167,12 @@ class TpuRayMapper:
         G = 8
         cr = rf.crossings
         gmax = int(cr.reshape(G, -1).sum(axis=0).max()) if rf.rpad % G == 0 else 0
-        # 25% headroom + coarse 1024 quantisation so batch-to-batch cap
-        # jitter doesn't force a mid-run recompile (observed: one regrow
-        # cost a 1.8 s compile inside a bench timed region).
-        cap = max(1024, -(-(gmax + gmax // 4 + 64) // 1024) * 1024) if gmax else 0
+        # Tight cap (stream length = rows * cap drives the sort AND the
+        # scatter, both ~linear in it — 25% headroom measured as a 2.5x
+        # throughput regression).  Batch-to-batch growth recompiles once per
+        # NEW high-water mark only (monotone cache below); benches warm
+        # enough batches to absorb it.
+        cap = max(256, -(-(gmax + 128) // 256) * 256) if gmax else 0
         self._cap_cache_rf = max(getattr(self, "_cap_cache_rf", 0), cap)
         cfg = self._config(ray_update_flags, group_cap=self._cap_cache_rf,
                            max_steps=self._steps_cache_rf, group_size=G,

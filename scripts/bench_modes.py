@@ -74,7 +74,7 @@ def _fence(mapper):
     float(jnp.ravel(mapper.arena.arrays["occupancy"])[0])
 
 
-def timed_integration(mapper, batches, warmup=2):
+def timed_integration(mapper, batches, warmup=4):
     for b in batches[:warmup]:
         mapper.integrate_rays(b)
     _fence(mapper)
