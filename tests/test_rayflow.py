@@ -168,3 +168,19 @@ def test_rayflow_tsdf_matches_segmented():
         np.testing.assert_allclose(a.layers[ti]["distance"], b.layers[ti]["distance"], atol=1e-3)
         checked += 1
     assert checked > 0
+
+
+def test_rayflow_fallback_outside_envelope():
+    # A batch whose region bbox exceeds the rayflow envelope (>63 regions on
+    # an axis at 0.1 m res -> >201.6 m extent) must fall back to the
+    # segmented wire silently and still integrate correctly.
+    rays = np.array([[0.0, 0.0, 0.0], [210.0, 0.5, 0.5],
+                     [0.0, 0.0, 0.0], [-1.0, 0.3, 0.2]])
+    m = OccupancyMap(resolution=0.1, flags=MapFlag.NONE)
+    mp = TpuRayMapper(m, capacity=128, validate=True, rayflow=True)
+    mp.integrate_rays(rays)
+    mp.sync_voxels()
+    # rayflow was NOT taken (no cache entries), yet the map is populated
+    assert getattr(mp, "_k_cache_rf", 0) == 0
+    assert m.voxel_value(point=[210.0, 0.5, 0.5]) > 0
+    assert m.voxel_value(point=[100.0, 0.25, 0.25]) < 0
