@@ -383,7 +383,7 @@ def prepare_rayflow(map_obj, rays, timestamps=None, intensities=None,
                     ray_update_flags: int = 0, min_bucket: int = 256,
                     min_table_k: int = 8) -> PreparedRayflow | None:
     """Build the full-ray wire; returns None when unavailable (no native lib,
-    >65535 rays, >255-region bbox extent, >32 regions on one ray) — the
+    >65535 rays, >63-region bbox extent, >32 regions on one ray) — the
     caller falls back to the segmented path."""
     from ohm_tpu import native
     from ohm_tpu.core.rayflags import RayFlag
@@ -475,7 +475,8 @@ def rayflow_wire(prepared: PreparedRayflow, table_lookup) -> np.ndarray:
     tcand packs a candidate as (slot+1) << 18 | rel-region (6 bits/axis);
     sentinel/unallocated entries have non-positive slot bits and never
     resolve.  ``table_lookup`` maps region triples -> arena slots (i32, -1
-    missing); requires slot < 16383 (the mapper enforces the capacity)."""
+    missing); requires slot < 8191 so (slot+1) << 18 stays below the int32
+    sign bit (the mapper gates the arena capacity accordingly)."""
     R, K = prepared.treg.shape
     slots = table_lookup(prepared.ray_table.reshape(-1, 3)).astype(np.int32)
     tcand = np.where(prepared.treg >= 0,

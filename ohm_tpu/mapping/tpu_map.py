@@ -53,7 +53,6 @@ class TpuRayMapper:
         scatter_pad: int = 1 << 22,
         scatter_cap: int = 0,
         rayflow: bool | None = None,
-        grid_cap: int = 8192,
     ):
         self.map = map_obj
         dims = map_obj.region_voxel_dims
@@ -91,14 +90,13 @@ class TpuRayMapper:
         #: records + device-side segmentation + per-ray candidate-region
         #: tables.  Falls back to the segmented wire when the native lib is
         #: missing or a batch exceeds the rayflow envelope (>32 regions on a
-        #: ray, >255-region bbox extent, >65535 rays).  Default from
+        #: ray, >63-region bbox extent, >65535 rays).  Default from
         #: OHM_RAYFLOW (the test suite pins the segmented path to bound CPU
         #: compile time; dedicated differentials cover rayflow).
         if rayflow is None:
             import os
             rayflow = os.environ.get("OHM_RAYFLOW", "1") != "0"
         self.rayflow = bool(rayflow)
-        self.grid_cap = int(grid_cap)
         self._config(0)  # validate int32 addressing headroom at construction
         self._stats = {"rays": 0, "segments": 0, "batches": 0, "missed_updates": 0,
                        "overflow": 0, "dropped_updates": 0, "compaction_dropped": 0}
@@ -144,8 +142,11 @@ class TpuRayMapper:
         from ohm_tpu import native
         from ohm_tpu.mapping.batch import prepare_rayflow, rayflow_wire
 
-        if self.arena.capacity > 16382:
-            return None  # candidate entries pack (slot+1) into 14 bits
+        if self.arena.capacity > 8191:
+            # Candidate entries pack (slot+1) << 18 into an int32: slot+1 must
+            # stay below 2^13 or the sign bit sets and _resolve_slots rejects
+            # the (valid) match, silently dropping updates for high slots.
+            return None
         rf = prepare_rayflow(self.map, rays, timestamps=timestamps,
                              intensities=intensities,
                              ray_update_flags=ray_update_flags,

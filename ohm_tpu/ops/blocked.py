@@ -72,3 +72,60 @@ def cumsum(x):
         shift *= 2
     prefix = r - y[:, -1]
     return (y + prefix[:, None]).reshape(-1)[:n]
+
+
+def segment_sums(vals, first):
+    """Segment sums of a sorted stream, valid at every in-segment position.
+
+    ``first`` marks segment starts.  Returns the running sum of the current
+    segment at each position (so segment totals are read at segment-last
+    records).  Unlike a global-cumsum-minus-base formulation, every
+    subtraction here is ROW-LOCAL: at ~2M f32 records a global inclusive
+    cumsum reaches ~1e5 magnitude and cancelling it against a propagated
+    base loses ~0.01-0.03 absolute — comparable to one record's value.
+    Rounding error in this form scales with the SEGMENT magnitude instead.
+
+    Decomposition per [rows, 1024] block: in-row cumsum ``c`` + in-row base
+    propagation give in-row-started segment sums; a (value, reset) segmented
+    combine over the per-row open-segment tails provides the carry for
+    segments spanning row boundaries.
+    """
+    lowest = jnp.asarray(-3.0e38, vals.dtype)
+    y, n = _pad_rows(vals, jnp.zeros((), vals.dtype))
+    f, _ = _pad_rows(first, False)
+    rows = y.shape[0]
+
+    # In-row inclusive cumsum (local magnitude).
+    c = y
+    shift = 1
+    while shift < _C:
+        c = c + jnp.pad(c, ((0, 0), (shift, 0)))[:, :_C]
+        shift *= 2
+    # In-row base: exclusive cumsum at the most recent segment start.
+    base = jnp.where(f, c - y, lowest)
+    started = f
+    shift = 1
+    while shift < _C:
+        base = jnp.maximum(base, jnp.pad(base, ((0, 0), (shift, 0)), constant_values=lowest)[:, :_C])
+        started = started | jnp.pad(started, ((0, 0), (shift, 0)))[:, :_C]
+        shift *= 2
+    local = c - base  # valid where ``started``
+
+    # Per-row open-segment tail and carry recursion:
+    #   carry_j = any_start_j ? tail_local_j : carry_{j-1} + rowsum_j
+    # computed as a segmented (value, reset) combine over rows.
+    any_start = jnp.any(f, axis=1)
+    rowsum = c[:, -1]
+    tail = jnp.where(any_start, local[:, -1], rowsum)
+    v, r = tail, any_start
+    shift = 1
+    while shift < rows:
+        pv = jnp.pad(v, (shift, 0))[:rows]
+        pr = jnp.pad(r, (shift, 0))[:rows]
+        v = jnp.where(r, v, pv + v)
+        r = r | pr
+        shift *= 2
+    carry_prev = jnp.concatenate([jnp.zeros((1,), vals.dtype), v[:-1]])
+
+    out = jnp.where(started, local, carry_prev[:, None] + c)
+    return out.reshape(-1)[:n]

@@ -182,10 +182,10 @@ def group_rows(flat, B, S, G):
 def _unpack_batch(batch, cfg=None):
     if "rayw" in batch:
         # Full-ray wire (mapping.batch.prepare_rayflow / rayflow_wire):
-        # per-RAY records, 52 + 6K B/ray — gmeta i32[8] | floats f32[R,7]
+        # per-RAY records, 52 + 4K B/ray — gmeta i32[8] | floats f32[R,7]
         # (start_frac, dir, length) | abs16 u16[R,6] (endpoint voxels,
-        # bbox-relative) | meta u32 | touch u32 | intens f32 | treg i32[R,K]
-        # (packed bbox-relative candidate regions) | tslot i16[R,K].
+        # bbox-relative) | meta u32 | touch u32 | intens f32 | tcand i32[R,K]
+        # (packed candidates: (slot+1) << 18 | bbox-relative region).
         # Endpoints were quantised on the host in f64, so the exact reference
         # crossing counts are preserved; every per-segment quantity of the
         # segmented wire is derived here instead.
@@ -464,7 +464,11 @@ def _apply_occupancy_dense(occupancy, ids_sorted, last, n_hit, n_miss, cfg: Inte
     idx = _unique_scatter_indices(ids_sorted, last, cfg)
     cap = jnp.float32(65535.0)
     packed = (jnp.minimum(n_hit, cap).astype(jnp.uint32) << 16) | jnp.minimum(n_miss, cap).astype(jnp.uint32)
-    packed = jnp.where(last, packed, jnp.uint32(0))
+    # Zero sentinel-group records too: the sentinel group's last record
+    # carries huge capped counts and scatters into a scratch-tail slot, which
+    # the dense sweep would turn into a garbage "observed" value that
+    # accumulates across batches (scratch must stay clear).
+    packed = jnp.where(last & (ids_sorted != cfg.sentinel), packed, jnp.uint32(0))
     pending = jnp.zeros(occupancy.shape, jnp.uint32).at[idx].set(packed, unique_indices=True)
 
     n_hit_d = (pending >> 16).astype(jnp.float32)
@@ -837,16 +841,15 @@ def sorted_hit_miss_counts(key_s):
 
 
 def sorted_nonneg_sums(vals_s, first):
-    """Segment sums of NON-NEGATIVE values over a sorted stream, at segment
-    lasts: inclusive blocked cumsum minus the segment-start base, which is
-    propagated from segment firsts by a cummax (valid because the cumsum of
-    non-negative values is non-decreasing)."""
+    """Segment sums over a sorted stream, valid at segment lasts.
+
+    Row-local blocked segmented sum (ops.blocked.segment_sums): the earlier
+    global-cumsum-minus-propagated-base form cancelled ~1e5-magnitude f32
+    prefixes at 2M records, losing ~0.01-0.03 absolute per segment — rivaling
+    one record's traversal.  Error now scales with the segment magnitude."""
     from ohm_tpu.ops import blocked
 
-    t_incl = blocked.cumsum(vals_s)
-    t_excl_first = jnp.where(first, t_incl - vals_s, jnp.float32(-3.0e38))
-    t_base = blocked.cummax(t_excl_first, lowest=jnp.float32(-3.0e38))
-    return t_incl - t_base
+    return blocked.segment_sums(vals_s, first)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("arena",))
