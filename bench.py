@@ -30,7 +30,7 @@ def box_scene_rays(n, rng, half=(10.0, 10.0, 5.0), sensor=(0.0, 0.0, 0.0)):
     return rays
 
 
-def hardware_check(rng, tolerance=1e-4, allowed_ratio=0.01):
+def hardware_check(rng, tolerance=1e-4, allowed_ratio=1e-4, worst_bound=2e-3):
     """On-hardware differential: integrate a small box scan on the real chip
     and compare voxel-by-voxel against the f64 CPU oracle (reference pattern:
     tests/ohmtestgpu/GpuMapTest.cpp:207-314 compareCpuGpuMaps).  The CI test
@@ -65,7 +65,13 @@ def hardware_check(rng, tolerance=1e-4, allowed_ratio=0.01):
             diff = np.abs(occ[0][both] - occ[1][both])
             worst = max(worst, float(diff.max()))
             failures += int((diff > tolerance).sum())
-    ok = compared > 0 and failures <= allowed_ratio * compared
+    # Tight gate (round-2 verdict): the box-scene differential is exact on
+    # the CPU backend (scripts/bisect_diff.py) — the round-2 442-voxel
+    # regression was an FMA-contraction quantisation bug in the native lib,
+    # not batch-clamp semantics.  Residual allowance covers only platform
+    # f32 rounding differences, bounded well below one miss adjustment.
+    ok = (compared > 0 and failures <= allowed_ratio * compared
+          and worst <= worst_bound)
     print(json.dumps({"metric": "hardware_differential", "compared_voxels": compared,
                       "mismatches": failures, "worst_abs_diff": round(worst, 6),
                       "ok": bool(ok)}))

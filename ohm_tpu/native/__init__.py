@@ -41,7 +41,13 @@ def _build() -> str | None:
         return _LIB
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _LIB + ".tmp"],
+            # -ffp-contract=off: quantisation must round exactly like the
+            # Python/f64 oracle; -O3 -march=native otherwise contracts
+            # a*b - c into FMA, flipping floor() for points EXACTLY on a
+            # voxel boundary (bench box-scene wall samples) — the round-2
+            # 442-voxel hardware-differential regression.
+            ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+             "-fPIC", _SRC, "-o", _LIB + ".tmp"],
             check=True, capture_output=True, timeout=120)
         os.replace(_LIB + ".tmp", _LIB)
         return _LIB

@@ -86,3 +86,41 @@ def test_native_end_to_end_differential():
             tm.prepare_ray_batch = batchmod_prepare
         maps.append(m)
     compare_occupancy(maps[0], maps[1], tolerance=0.0, allowed_failure_ratio=0.0)
+
+
+def test_native_quantisation_exact_on_voxel_boundaries():
+    """Points landing EXACTLY on voxel/region boundary planes must quantise
+    identically in C++ and Python (f64 two-step, ohm/MapCoord.h:45-80).
+
+    Regression: the native lib built with default -ffp-contract=fast
+    contracted region_min's multiply-subtract into an FMA, flipping floor()
+    for boundary-exact points — every box-scene wall sample — which showed
+    up as the round-2 442-voxel bench differential (VERDICT weak #2).
+    """
+    import numpy as np
+    from ohm_tpu import native
+    from ohm_tpu.core.map import OccupancyMap, MapFlag
+    from ohm_tpu.core import keys as keymath
+    from ohm_tpu.mapping.batch import prepare_rayflow
+
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+
+    m = OccupancyMap(resolution=0.1, flags=MapFlag.NONE)
+    # Boundary-exact samples: multiples of the resolution and of the region
+    # edge, positive and negative, including region-boundary planes.
+    coords = np.array([10.0, -10.0, 3.2, -3.2, 1.6, -1.6, 0.1, -0.1, 5.0, 0.0])
+    ends = np.stack([coords, np.roll(coords, 1), np.roll(coords, 2)], axis=1)
+    starts = np.full_like(ends, 0.05)
+    rays = np.empty((2 * len(ends), 3))
+    rays[0::2] = starts
+    rays[1::2] = ends
+
+    rf = prepare_rayflow(m, rays)
+    assert rf is not None
+    a16 = rf.bufs["abs16"].astype(np.int64)
+    end_abs_rf = a16[:rf.n_rays, 3:6] + rf.bbox[:3] * int(m.region_voxel_dims[0])
+    r, l = m.voxel_key(ends)
+    end_abs_py = keymath.key_to_abs(r, l, m.region_voxel_dims)
+    np.testing.assert_array_equal(end_abs_rf, end_abs_py)
