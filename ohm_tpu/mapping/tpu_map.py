@@ -51,7 +51,7 @@ class TpuRayMapper:
         segment_length: float | None = None,
         validate: bool = False,
         scatter_pad: int = 1 << 22,
-        scatter_cap: int = 0,
+        scatter_cap: int | str = "auto",
         rayflow: bool | None = None,
     ):
         self.map = map_obj
@@ -83,9 +83,16 @@ class TpuRayMapper:
         # (ops.integrate.apply_delta); every host<->device transfer converts.
         self.arena = VoxelArena(capacity, self.region_shift, layer_names,
                                 scatter_pad=scatter_pad, occupancy_encoding="zero")
-        #: Optional per-batch touched-voxel scatter budget for the delta
-        #: path; overflow is counted in stats['dropped_updates'].
-        self.scatter_cap = int(scatter_cap)
+        #: Per-batch touched-voxel scatter budget for the delta fast path
+        #: (ops.integrate.apply_delta); overflow is counted in
+        #: stats['dropped_updates'].  "auto": the first batch runs the
+        #: split-phase pipeline, its touched-voxel count is read back once,
+        #: and subsequent batches route to the delta path with a monotone
+        #: power-of-two cap at >=4x that count (drops still surface in
+        #: stats / validate).  0 disables the delta path; an explicit int
+        #: pins the cap.
+        self._auto_scatter = scatter_cap == "auto"
+        self.scatter_cap = 0 if self._auto_scatter else int(scatter_cap)
         #: Full-ray wire path (mapping.batch.prepare_rayflow): per-RAY
         #: records + device-side segmentation + per-ray candidate-region
         #: tables.  Falls back to the segmented wire when the native lib is
@@ -165,15 +172,20 @@ class TpuRayMapper:
         # sqrt(3)*steps default under-caps diagonal full rays).
         wcap = -(-(int(rf.crossings.max()) + 2) // 64) * 64 if rf.n_rays else 64
         self._wcap_cache_rf = max(getattr(self, "_wcap_cache_rf", 0), wcap)
-        G = 8
+        # Large strided groups: per-group padding is the max-over-groups of a
+        # sum of G near-iid per-ray crossing counts, so relative padding
+        # shrinks ~1/sqrt(G).  Measured on the box bench scene: G=8 carried
+        # 64% padding (224 rec/ray vs 137 true); G=64 cuts the stream ~1.4x
+        # for a slightly wider (G*walk_cap) row sort.
+        G = 64 if rf.rpad % 64 == 0 else 8
         cr = rf.crossings
         gmax = int(cr.reshape(G, -1).sum(axis=0).max()) if rf.rpad % G == 0 else 0
-        # Tight cap (stream length = rows * cap drives the sort AND the
-        # scatter, both ~linear in it — 25% headroom measured as a 2.5x
-        # throughput regression).  Batch-to-batch growth recompiles once per
-        # NEW high-water mark only (monotone cache below); benches warm
-        # enough batches to absorb it.
-        cap = max(256, -(-(gmax + 128) // 256) * 256) if gmax else 0
+        # Cap with ~6% headroom, quantised to 512: stream length = rows * cap
+        # drives the sort and the scatter (both ~linear), but at G=64 the
+        # rows are few so modest headroom costs <1% stream while stopping
+        # batch-to-batch cap jitter from recompiling mid-run (each new
+        # high-water mark is a new compiled program variant).
+        cap = max(512, -(-(gmax + max(256, gmax >> 4)) // 512) * 512) if gmax else 0
         self._cap_cache_rf = max(getattr(self, "_cap_cache_rf", 0), cap)
         cfg = self._config(ray_update_flags, group_cap=self._cap_cache_rf,
                            max_steps=self._steps_cache_rf, group_size=G,
@@ -250,10 +262,16 @@ class TpuRayMapper:
         or rayflow) and adopt the new arena state."""
         stop = bool(ray_update_flags & RayFlag.STOP_ON_FIRST_OCCUPIED)
         state = self.arena.device_state()
+        # Auto-capped delta routing: a batch with more rays than the one
+        # that sized the cap falls back to split-phase (and re-sizes the cap
+        # from its own touched count) — the 4x headroom only covers scene
+        # drift, not systematic batch growth.
+        delta_ok = delta_path_ok(cfg) and not (
+            self._auto_scatter and n_rays > getattr(self, "_cap_rays", 0))
         if stop:
             # State-dependent prefix masking needs the monolithic pipeline.
             new_state, stats = integrate_occupancy_jit(state, batch, cfg)
-        elif delta_path_ok(cfg):
+        elif delta_ok:
             # Delta fast path: sort + blocked-cummax reduce + compaction sort
             # + one sorted scatter-add (ops.integrate.apply_delta).  Internal
             # i64 keys need x64 tracing; inputs/outputs stay i32/f32.
@@ -275,6 +293,19 @@ class TpuRayMapper:
             new_state, touched = apply_records_jit(state, records, batch, cfg)
             stats = dict(stats)
             stats["touched"] = touched
+            if self._auto_scatter and not stop and (
+                    self.scatter_cap == 0
+                    or n_rays > getattr(self, "_cap_rays", 0)):
+                # One-time readback: size the delta-path scatter window from
+                # the first batch's touched-voxel count with 4x headroom
+                # (monotone pow2 so later batches reuse one compiled variant).
+                t = int(touched)
+                cap = 1 << 16
+                while cap < 4 * t:
+                    cap *= 2
+                self.scatter_cap = max(self.scatter_cap,
+                                       min(cap, self.arena.scatter_pad))
+                self._cap_rays = n_rays
         self.arena.update_state(new_state)
 
         self._stats["rays"] += n_rays

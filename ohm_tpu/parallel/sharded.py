@@ -128,7 +128,7 @@ def sharded_integrate(mesh: Mesh, cfg: IntegrateConfig):
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_routed_batch(prepared, sharded_arena, mesh: Mesh):
+def make_routed_batch(prepared, sharded_arena, mesh: Mesh, with_intensity: bool = False):
     """Route segments to the shards owning their corner regions.
 
     The replicated scheme (make_sharded_batch) ships every segment to every
@@ -159,6 +159,7 @@ def make_routed_batch(prepared, sharded_arena, mesh: Mesh):
     floats = np.zeros((n_shards, b_max, arrays["floats"].shape[1]), arrays["floats"].dtype)
     flags = np.zeros((n_shards, b_max, arrays["flags"].shape[1]), arrays["flags"].dtype)
     touch = np.zeros((n_shards, b_max), arrays["touch"].dtype)
+    intensity = (np.zeros((n_shards, b_max), np.float32) if with_intensity else None)
 
     for sidx, ix in enumerate(sel):
         k = len(ix)
@@ -170,6 +171,8 @@ def make_routed_batch(prepared, sharded_arena, mesh: Mesh):
         floats[sidx, :k] = sub.arrays["floats"][:k]
         flags[sidx, :k] = sub.arrays["flags"][:k]
         touch[sidx, :k] = sub.arrays["touch"][:k]
+        if intensity is not None and prepared.intensities is not None:
+            intensity[sidx, :k] = prepared.intensities[ix]
 
     shard_spec = jax.sharding.NamedSharding(mesh, P("shard"))
     batch = {
@@ -178,6 +181,8 @@ def make_routed_batch(prepared, sharded_arena, mesh: Mesh):
         "flags": jax.device_put(flags, shard_spec),
         "touch": jax.device_put(touch, shard_spec),
     }
+    if intensity is not None:
+        batch["intensity"] = jax.device_put(intensity, shard_spec)
     return batch, np.asarray(counts)
 
 

@@ -153,3 +153,149 @@ def test_routed_applied_equals_reference_applied(mesh):
     from ohm_tpu.parallel.sharded import check_routed_coverage
 
     check_routed_coverage(stats, expected)
+
+
+# --------------------------------------------------------------------------- #
+# ShardedRayMapper: device-resident arenas, multi-batch, eviction, NDT/TSDF
+# (round-3; parallel.mapper).  Semantics bar: exact equality with the
+# single-chip mappers on identical ray streams.
+
+
+def _map_voxels(m, layer="occupancy", member="occupancy"):
+    idx = m.layer_index(layer)
+    vals = {}
+    for key, chunk in m.chunks.items():
+        arr = chunk.layers[idx][member]
+        for i in np.flatnonzero(np.isfinite(arr) & (arr != 0) if arr.dtype.kind == "f"
+                                else arr != 0):
+            vals[(key, int(i))] = float(arr[i])
+    return vals
+
+
+def _occ_voxels(m):
+    idx = m.layer_index("occupancy")
+    vals = {}
+    for key, chunk in m.chunks.items():
+        occ = chunk.layers[idx]["occupancy"]
+        for i in np.flatnonzero(np.isfinite(occ)):
+            vals[(key, int(i))] = float(occ[i])
+    return vals
+
+
+def test_resident_mapper_multibatch_matches_single_device(mesh):
+    from ohm_tpu.parallel.mapper import ShardedRayMapper
+
+    rng = np.random.default_rng(11)
+    batches = []
+    for b in range(6):
+        rays = rng.uniform(-6, 6, (2 * 128, 3))
+        rays[0::2] *= 0.05
+        batches.append(rays)
+
+    m_sh = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    sh = ShardedRayMapper(m_sh, mesh, capacity=64, scatter_pad=1 << 16,
+                          validate=True)
+    m_ref = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    ref = TpuRayMapper(m_ref, capacity=512, scatter_cap=0)
+    for rays in batches:
+        sh.integrate_rays(rays)
+        ref.integrate_rays(rays)
+    sh.sync_voxels()
+    ref.sync_voxels()
+    v_sh, v_ref = _occ_voxels(m_sh), _occ_voxels(m_ref)
+    assert set(v_sh) == set(v_ref)
+    worst = max(abs(v_sh[k] - v_ref[k]) for k in v_ref)
+    assert worst < 1e-5, worst
+    # Routing must ship fewer segment-copies than full replication.
+    st = sh.stats
+    assert st["routed_records"] < N_DEV * st["segments"]
+
+
+def test_resident_mapper_eviction_spill_and_reload(mesh):
+    """Per-shard capacity too small for the whole scene: regions spill to the
+    host map on eviction and re-upload when revisited; the final map must
+    still match the single-chip reference exactly."""
+    from ohm_tpu.parallel.mapper import ShardedRayMapper
+
+    from ohm_tpu.parallel.sharded import region_owner
+
+    rng = np.random.default_rng(13)
+    # Single-region clusters whose regions COLLIDE on one shard (computed
+    # from the ownership hash), alternated with per-shard capacity 1 so the
+    # shared shard must evict+spill+re-upload every batch.
+    cand = np.array([[i, 0, 0] for i in range(48)])
+    owners = region_owner(cand, N_DEV)
+    shard = next(s for s in range(N_DEV) if (owners == s).sum() >= 2)
+    r_a, r_b = cand[owners == shard][:2]
+
+    def cluster(region, n=64):
+        centre = np.asarray(region, dtype=float) * 8.0  # region_spatial = 8
+        rays = rng.uniform(-1.5, 1.5, (2 * n, 3))
+        rays[0::2] *= 0.05
+        return rays + centre
+
+    batches = [cluster(r_a), cluster(r_b), cluster(r_a), cluster(r_b),
+               cluster(r_a)]
+
+    m_sh = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    sh = ShardedRayMapper(m_sh, mesh, capacity=1, scatter_pad=1 << 16)
+    m_ref = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    ref = TpuRayMapper(m_ref, capacity=512, scatter_cap=0)
+    for rays in batches:
+        sh.integrate_rays(rays)
+        ref.integrate_rays(rays)
+    sh.sync_voxels()
+    ref.sync_voxels()
+    assert sh.arena.stats["evictions"] > 0, "scene did not force eviction"
+    v_sh, v_ref = _occ_voxels(m_sh), _occ_voxels(m_ref)
+    assert set(v_sh) == set(v_ref)
+    worst = max(abs(v_sh[k] - v_ref[k]) for k in v_ref)
+    assert worst < 1e-5, worst
+
+
+def test_resident_mapper_ndt_matches_single_device(mesh):
+    from ohm_tpu.parallel.mapper import ShardedRayMapper
+    from ohm_tpu.mapping.ndt_map import TpuNdtMap
+
+    rays = _scene(96, seed=17)
+    m_sh = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    sh = ShardedRayMapper(m_sh, mesh, kind="ndt", capacity=64,
+                          scatter_pad=1 << 16)
+    m_ref = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    ref = TpuNdtMap(m_ref, capacity=512)
+    for b in range(2):
+        sh.integrate_rays(rays)
+        ref.integrate_rays(rays)
+    sh.sync_voxels()
+    ref.sync_voxels()
+    v_sh, v_ref = _occ_voxels(m_sh), _occ_voxels(m_ref)
+    assert set(v_sh) == set(v_ref)
+    worst = max(abs(v_sh[k] - v_ref[k]) for k in v_ref)
+    assert worst < 1e-5, worst
+    # Covariance layer must match too (P00 member spot check).
+    c_sh = _map_voxels(m_sh, "covariance", "P00")
+    c_ref = _map_voxels(m_ref, "covariance", "P00")
+    assert set(c_sh) == set(c_ref)
+    worst_c = max(abs(c_sh[k] - c_ref[k]) for k in c_ref) if c_ref else 0.0
+    assert worst_c < 1e-5, worst_c
+
+
+def test_resident_mapper_tsdf_matches_single_device(mesh):
+    from ohm_tpu.parallel.mapper import ShardedRayMapper
+    from ohm_tpu.mapping.tsdf_map import TpuTsdfMap
+
+    rays = _scene(96, seed=19)
+    m_sh = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    sh = ShardedRayMapper(m_sh, mesh, kind="tsdf", capacity=64,
+                          scatter_pad=1 << 16)
+    m_ref = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    ref = TpuTsdfMap(m_ref, capacity=512)
+    sh.integrate_rays(rays)
+    ref.integrate_rays(rays)
+    sh.sync_voxels()
+    ref.sync_voxels()
+    w_sh = _map_voxels(m_sh, "tsdf", "weight")
+    w_ref = _map_voxels(m_ref, "tsdf", "weight")
+    assert set(w_sh) == set(w_ref)
+    worst = max(abs(w_sh[k] - w_ref[k]) for k in w_ref) if w_ref else 0.0
+    assert worst < 1e-5, worst
