@@ -332,34 +332,41 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
         hit_inc = s_red[ri]
         miss_inc = s_red[ri + 1]
         int_sum = s_red[ri + 2]
-        int_sq = s_red[ri + 3]
-        ri += 4
-        # Intensity merge.  The reference per-sample recursion
-        # (calculateIntensityUpdateOnHit) increments Q = n*cov by
-        # delta_j^2/(n0+j) — NOT the Welford increment W_j =
-        # delta_j^2*(n0+j-1)/(n0+j) — so term_j = W_j/(n0+j-1).  Sum of W_j
-        # over the batch is exactly the Chan merge increment (m2_b + cross),
-        # and the 1/(n0+j-1) factors are approximated by their midpoint:
-        #   Q += (m2_b + cross) / (n_eff + (k_eff-1)/2)
-        # where a count-0 voxel seeds its first sample (reset semantics), so
-        # n_eff = max(n0, 1), k_eff = k - (n0 == 0).  EXACT for k == 1 on an
-        # established voxel and for k <= 2 on a fresh one; within a few
-        # percent for larger per-voxel batches (tests pin both regimes).
+        ri += 4  # int_sq payload retained in the sort for layout stability
+        # EXACT intensity merge (reference per-sample recursion,
+        # ohm/CovarianceVoxelCompute.h:391-411 calculateIntensityUpdateOnHit).
+        # The recursion telescopes: with C_j = n_j * cov_j and n_j = n0 + j,
+        #   C_j = C_{j-1} + delta_j^2 / n_j,   delta_j = mean_{j-1} - x_j,
+        # so the batch update is C_k = C_0 + sum_j delta_j^2/n_j where
+        # mean_{j-1} comes from the segment-local intensity prefix sum —
+        # computable at every sorted position with ops.blocked.segment_sums
+        # (samples are contiguous per voxel after the stable sample sort,
+        # in batch ray order — the order the oracle recursion uses).
+        # A fresh/reset voxel's first sample contributes C_1 =
+        # initial_intensity_covariance and no delta term.
+        from ohm_tpu.ops import blocked as _blocked
+
+        int_sorted = sorted_s[extra_payload_start + 2]
+        hit_sorted = sorted_s[1]  # 1.0 at hit records, 0.0 at padding
         im_old = arena["intensity"][s_sorted, 0]
         ic_old = arena["intensity"][s_sorted, 1]
         n0 = jnp.where(reset, 0.0, count_old.astype(jnp.float32))
         im0 = jnp.where(reset, 0.0, im_old)
+        s_first = jnp.concatenate([jnp.array([True]), s_sorted[1:] != s_sorted[:-1]])
+        # In-segment 1-based sample index j (hit records only; non-hit
+        # padding records carry hit_sorted == 0 and contribute nothing).
+        j_incl = _blocked.segment_sums(hit_sorted, s_first)
+        prefix_incl = _blocked.segment_sums(int_sorted, s_first)
+        n_j = n0 + j_incl
+        prev_cnt = n_j - 1.0
+        mean_prev = (n0 * im0 + (prefix_incl - int_sorted)) / jnp.maximum(prev_cnt, 1.0)
+        delta = mean_prev - int_sorted
+        term = jnp.where((hit_sorted > 0) & (prev_cnt > 0),
+                         delta * delta / jnp.maximum(n_j, 1.0), 0.0)
+        q_inc = _blocked.segment_sums(term, s_first)  # valid at segment lasts
         kf = jnp.maximum(k, 1.0)
-        mu_b = int_sum / kf
-        m2_b = jnp.maximum(int_sq - kf * mu_b * mu_b, 0.0)
         n_new = n0 + kf
-        d = mu_b - im0
-        cross = (n0 * kf / jnp.maximum(n_new, 1.0)) * d * d
         q_base = jnp.where(n0 > 0, n0 * ic_old, jnp.float32(cfg.initial_intensity_covariance))
-        n_eff = jnp.maximum(n0, 1.0)
-        k_eff = jnp.where(n0 > 0, kf, kf - 1.0)
-        denom = n_eff + jnp.float32(0.5) * jnp.maximum(k_eff - 1.0, 0.0)
-        q_inc = jnp.where(k_eff > 0, (m2_b + cross) / denom, 0.0)
         q = q_base + q_inc
         im_new = (n0 * im0 + int_sum) / n_new
         ic_new = q / n_new

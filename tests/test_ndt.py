@@ -275,15 +275,15 @@ def test_ndt_miss_geometry(geometry):
     assert v_after > v_before + 0.5 * k * np.float32(m.miss_value)
 
 
-@pytest.mark.parametrize("k_per_batch,cov_rtol", [(1, 1e-4), (2, 0.1), (8, 0.25)])
+@pytest.mark.parametrize("k_per_batch,cov_rtol", [(1, 1e-4), (2, 1e-4), (8, 1e-3), (32, 1e-3)])
 def test_ndt_tm_intensity_recursion_differential(k_per_batch, cov_rtol):
-    """Tolerance-bounded differential of the TM intensity batch approximation
-    vs the reference per-sample recursion (oracle.ndt calculateIntensity-
-    UpdateOnHit).  The device batch form (ops.integrate_ndt) is EXACT for
-    one sample per established voxel per batch (and up to two on a fresh
-    voxel) and approximates the non-Welford covariance increment with a
-    midpoint-count scaling for larger per-voxel batches; this pins the exact
-    regime at f32 tolerance and bounds the approximation."""
+    """Parity differential of the TM intensity batch form vs the reference
+    per-sample recursion (oracle.ndt calculateIntensityUpdateOnHit).  The
+    device batch form (ops.integrate_ndt) evaluates the recursion EXACTLY at
+    any per-voxel multiplicity via its telescoped form C_k = C_0 + sum
+    delta_j^2/n_j over segment-local prefix means — tolerances cover f32
+    reassociation only (round-2 accepted 10%/25% at k=2/8; round 3 is
+    exact)."""
     rng = np.random.default_rng(12345 + k_per_batch)
     cpu_map, dev_map = make_maps()
     oracle = RayMapperNdt(cpu_map, NdtParams(ndt_tm=True))
