@@ -129,3 +129,80 @@ def segment_sums(vals, first):
 
     out = jnp.where(started, local, carry_prev[:, None] + c)
     return out.reshape(-1)[:n]
+
+
+def segment_compose_shift_clamp(c, lo, hi, first):
+    """Segmented composition of shift-then-clamp maps x -> clamp(x+c, lo, hi).
+
+    Monotone saturating shifts are closed under composition:
+      (f2 . f1)(x) = clamp(x + (c1+c2), max(lo2, lo1+c2), min(hi2, hi1+c2))
+    so a segment's whole recursion folds into one (C, LO, HI) triple — the
+    mechanism that makes the per-visit-truncating TSDF update (reference
+    ohm/VoxelTsdfCompute.h calculateTsdf, applied per visit) computable as a
+    data-parallel scan instead of a sequential per-voxel loop.
+
+    Returns (C, LO, HI) of the composed map at every position (composition
+    of all maps since the segment start, inclusive); read at segment lasts
+    and apply as min(max(x0 + C, LO), HI).
+    """
+    BIG = jnp.float32(3.0e38)
+
+    def combine(l, r):
+        # Exact composite of r . l (l applied first):
+        #   z = clamp(x + C, lo1+c2, hi1+c2);  out = clamp(z, lo2, hi2)
+        # gives LO = max(lo1+c2, lo2) and HI = min(max(hi1+c2, lo2), hi2).
+        # The inner max against lo2 matters when l saturates BELOW r's
+        # floor (hi1+c2 < lo2): the composite is then the constant lo2.
+        # Evaluation order min(max(x+C, LO), HI) keeps degenerate LO > HI
+        # maps (constants) exact under further composition.
+        c1, lo1, hi1 = l
+        c2, lo2, hi2 = r
+        return (c1 + c2,
+                jnp.maximum(lo1 + c2, lo2),
+                jnp.minimum(jnp.maximum(hi1 + c2, lo2), hi2))
+
+    cv, n = _pad_rows(c, jnp.float32(0))
+    lov, _ = _pad_rows(lo, -BIG)
+    hiv, _ = _pad_rows(hi, BIG)
+    f, _ = _pad_rows(first, False)
+    rows = cv.shape[0]
+
+    vals = (cv, lov, hiv)
+    started = f
+    shift = 1
+    while shift < _C:
+        pv = tuple(jnp.pad(x, ((0, 0), (shift, 0)),
+                           constant_values=cval)[:, :_C]
+                   for x, cval in zip(vals, (0.0, -BIG, BIG)))
+        pf = jnp.pad(started, ((0, 0), (shift, 0)))[:, :_C]
+        comp = combine(pv, vals)
+        vals = tuple(jnp.where(started, vals[i], comp[i]) for i in range(3))
+        started = started | pf
+        shift *= 2
+    # NOTE on the masking above: an element that has already absorbed a
+    # segment start keeps its value (everything left of the start is in a
+    # different segment); otherwise it composes with the prefix `shift` away.
+    # `started` here means "a segment start lies within the current prefix
+    # window" — the standard Hillis-Steele segmented-scan recurrence.
+
+    # Inter-row carry over open-segment tails.
+    any_start = jnp.any(f, axis=1)
+    tail = tuple(v[:, -1] for v in vals)
+    tv, tr = tail, any_start
+    shift = 1
+    while shift < rows:
+        pv = tuple(jnp.pad(x, (shift, 0), constant_values=cval)[:rows]
+                   for x, cval in zip(tv, (0.0, -BIG, BIG)))
+        pr = jnp.pad(tr, (shift, 0))[:rows]
+        comp = combine(pv, tv)
+        tv = tuple(jnp.where(tr, tv[i], comp[i]) for i in range(3))
+        tr = tr | pr
+        shift *= 2
+    carry = tuple(jnp.concatenate([jnp.full((1,), cval, jnp.float32), x[:-1]])
+                  for x, cval in zip(tv, (0.0, -BIG, BIG)))
+
+    # Rows whose prefix has no start compose the carry in front.
+    started_row = started  # per element: start seen in-row at-or-before
+    comp = combine(tuple(x[:, None] for x in carry), vals)
+    out = tuple(jnp.where(started_row, vals[i], comp[i]) for i in range(3))
+    return tuple(x.reshape(-1)[:n] for x in out)

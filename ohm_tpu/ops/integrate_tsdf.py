@@ -40,6 +40,10 @@ class TsdfConfig:
     default_truncation_distance: float = 0.1
     dropoff_epsilon: float = 0.0
     sparsity_compensation_factor: float = 1.0
+    #: Apply truncation at every visit in reference ray order (exact
+    #: semantics of ohm/VoxelTsdfCompute.h used per visit) instead of once
+    #: per batch.  Costs one extra sort key + two stream gathers.
+    per_visit: bool = True
 
 
 def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
@@ -95,49 +99,102 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
     walk_ids = walk_flat.reshape(-1)
     walk_w = w_w.reshape(-1)
     walk_wsdf = (w_w * sdf_w).reshape(-1)
+    # Visit-order key: the oracle applies calculateTsdf in ray order (each
+    # segment/ray contributes at most one visit per voxel), so a per-voxel
+    # secondary sort on the segment index reproduces the reference's
+    # per-visit sequence exactly (segments are emitted ray-major).
+    ridx = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0), (B, S)).reshape(-1)
     compaction_dropped = jnp.int32(0)
     G = base.group_size
     if base.group_cap and B % G == 0 and base.group_cap < G * S:
         # Group compaction (see integrate.expand_records_jit): sentinel-keyed
         # padding sorts to the back of each 64-segment row and is truncated
-        # at the host-computed exact cap; the w / w*sdf payloads ride along.
+        # at the host-computed exact cap; the w / w*sdf / order payloads ride.
         from ohm_tpu.ops.integrate import group_rows
-        rows, rw, rwsdf = jax.lax.sort(
-            (group_rows(walk_ids, B, S, G), group_rows(walk_w, B, S, G),
-             group_rows(walk_wsdf, B, S, G)),
+        rows, ridx_r, rw, rwsdf = jax.lax.sort(
+            (group_rows(walk_ids, B, S, G), group_rows(ridx, B, S, G),
+             group_rows(walk_w, B, S, G), group_rows(walk_wsdf, B, S, G)),
             num_keys=1, dimension=1)
         n_valid = jnp.sum(jnp.where(walk_ids < base.sentinel, 1, 0))
         rows = rows[:, :base.group_cap]
         n_kept = jnp.sum(jnp.where(rows < base.sentinel, 1, 0))
         compaction_dropped = (n_valid - n_kept).astype(jnp.int32)
         walk_ids = rows.reshape(-1)
+        ridx = ridx_r[:, :base.group_cap].reshape(-1)
         walk_w = rw[:, :base.group_cap].reshape(-1)
         walk_wsdf = rwsdf[:, :base.group_cap].reshape(-1)
 
+    end_ridx = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0).squeeze(-1)
     ids = jnp.concatenate([walk_ids, end_flat_masked])
+    ridx_all = jnp.concatenate([ridx, end_ridx])
     w_all = jnp.concatenate([walk_w, w_e])
     wsdf_all = jnp.concatenate([walk_wsdf, w_e * sdf_e])
 
-    sorted_all = jax.lax.sort((ids, w_all, wsdf_all), num_keys=1)
-    ids_s, w_s, wsdf_s = sorted_all
+    if cfg.per_visit:
+        sorted_all = jax.lax.sort((ids, ridx_all, w_all, wsdf_all), num_keys=2)
+        ids_s, _, w_s, wsdf_s = sorted_all
+    else:
+        sorted_all = jax.lax.sort((ids, w_all, wsdf_all), num_keys=1)
+        ids_s, w_s, wsdf_s = sorted_all
     last, (w_sum, wsdf_sum) = _segment_reduce(ids_s, [(w_s, "sum"), (wsdf_s, "sum")], base)
     idx = _unique_scatter_indices(ids_s, last, base)
 
-    shape = arena["tsdf_weight"].shape
-    pending_w = jnp.zeros(shape, jnp.float32).at[idx].set(jnp.where(last, w_sum, 0.0), unique_indices=True)
-    pending_wsdf = jnp.zeros(shape, jnp.float32).at[idx].set(jnp.where(last, wsdf_sum, 0.0), unique_indices=True)
-
-    # Dense blend (calculateTsdf update rule, batched).
-    w0 = arena["tsdf_weight"]
-    d0 = arena["tsdf_distance"]
-    new_w = w0 + pending_w
-    near_zero = jnp.abs(new_w) < jnp.float32(1e-5)
-    new_d = jnp.where(near_zero, d0, (pending_wsdf + d0 * w0) / jnp.where(near_zero, 1.0, new_w))
-    new_d = jnp.where(new_d > 0, jnp.minimum(trunc, new_d), jnp.maximum(-trunc, new_d))
-    touched = pending_w != 0
     arena = dict(arena)
-    arena["tsdf_weight"] = jnp.where(touched & ~near_zero, jnp.minimum(new_w, jnp.float32(cfg.max_weight)), w0)
-    arena["tsdf_distance"] = jnp.where(touched & ~near_zero, new_d, d0)
+    if cfg.per_visit:
+        # PER-VISIT truncation parity (reference ohm/VoxelTsdfCompute.h:87-137
+        # applies calculateTsdf — blend, truncate, weight-clamp — at every
+        # visit; round-2 truncated once per batch, VERDICT item 6).  In the
+        # weighted-sum domain U_j = d_j * W_j the per-visit rule is
+        #   U_j = clamp(U_{j-1} + w_j*sdf_j, -trunc*W_j, +trunc*W_j),
+        #   W_j = W_0 + sum w  (visits with W_j < 1e-5 are skipped),
+        # a segmented composition of shift-then-clamp maps
+        # (ops.blocked.segment_compose_shift_clamp).  Known divergence: the
+        # per-visit weight cap min(W, max_weight) is applied once per batch,
+        # so denominators differ only when W crosses max_weight (1e4
+        # default) mid-batch.
+        from ohm_tpu.ops import blocked
+
+        w0_s = arena["tsdf_weight"][ids_s]
+        d0_s = arena["tsdf_distance"][ids_s]
+        first = jnp.concatenate([jnp.array([True]), ids_s[1:] != ids_s[:-1]])
+        s_w = blocked.segment_sums(w_s, first)
+        w_run = w0_s + s_w
+        alive = w_run >= jnp.float32(1e-5)
+        big = jnp.float32(3.0e38)
+        c_map = jnp.where(alive, wsdf_s, 0.0)
+        lo_map = jnp.where(alive, -trunc * w_run, -big)
+        hi_map = jnp.where(alive, trunc * w_run, big)
+        C, LO, HI = blocked.segment_compose_shift_clamp(c_map, lo_map, hi_map, first)
+        u_k = jnp.minimum(jnp.maximum(d0_s * w0_s + C, LO), HI)
+        d_k = u_k / jnp.maximum(w_run, jnp.float32(1e-5))
+        w_k = jnp.minimum(w_run, jnp.float32(cfg.max_weight))
+        upd = last & alive & (ids_s != base.sentinel)
+        pend_w = jnp.zeros(arena["tsdf_weight"].shape, jnp.float32).at[idx].set(
+            jnp.where(upd, w_k, 0.0), unique_indices=True)
+        pend_d = jnp.zeros(arena["tsdf_distance"].shape, jnp.float32).at[idx].set(
+            jnp.where(upd, d_k, 0.0), unique_indices=True)
+        pend_t = jnp.zeros(arena["tsdf_weight"].shape, jnp.bool_).at[idx].set(
+            upd, unique_indices=True)
+        arena["tsdf_weight"] = jnp.where(pend_t, pend_w, arena["tsdf_weight"])
+        arena["tsdf_distance"] = jnp.where(pend_t, pend_d, arena["tsdf_distance"])
+    else:
+        # Batch blend: one accumulate + one truncation per batch (faster;
+        # diverges from per-visit truncation on voxels whose record sdfs
+        # straddle the truncation band).
+        shape = arena["tsdf_weight"].shape
+        pending_w = jnp.zeros(shape, jnp.float32).at[idx].set(jnp.where(last, w_sum, 0.0), unique_indices=True)
+        pending_wsdf = jnp.zeros(shape, jnp.float32).at[idx].set(jnp.where(last, wsdf_sum, 0.0), unique_indices=True)
+
+        w0 = arena["tsdf_weight"]
+        d0 = arena["tsdf_distance"]
+        new_w = w0 + pending_w
+        near_zero = jnp.abs(new_w) < jnp.float32(1e-5)
+        new_d = jnp.where(near_zero, d0, (pending_wsdf + d0 * w0) / jnp.where(near_zero, 1.0, new_w))
+        new_d = jnp.where(new_d > 0, jnp.minimum(trunc, new_d), jnp.maximum(-trunc, new_d))
+        touched = pending_w != 0
+        arena["tsdf_weight"] = jnp.where(touched & ~near_zero, jnp.minimum(new_w, jnp.float32(cfg.max_weight)), w0)
+        arena["tsdf_distance"] = jnp.where(touched & ~near_zero, new_d, d0)
 
     stats = {
         "missed_updates": (jnp.sum(jnp.where(rec_valid & walk_missed, 1, 0))
