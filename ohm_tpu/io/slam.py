@@ -49,44 +49,81 @@ def _load_text_table(filename):
     return np.asarray([r[:width] for r in rows], dtype=np.float64)
 
 
-def load_cloud(filename: str):
-    """Load a point cloud: returns dict with 'points' [N,3], optional
-    'timestamps' [N], 'intensities' [N], 'normals' [N,3]."""
-    ext = os.path.splitext(filename)[1].lower()
-    if ext == ".ply":
-        props = load_ply(filename)
-        out = {"points": np.column_stack([props["x"], props["y"], props["z"]])}
-        for tname in ("time", "timestamp", "gpstime", "gps_time", "t"):
-            if tname in props:
-                out["timestamps"] = np.asarray(props[tname], np.float64)
-                break
-        if "intensity" in props:
-            out["intensities"] = np.asarray(props["intensity"], np.float32)
-        for rname in ("return_number", "returnnumber", "return_num"):
-            if rname in props:
-                out["return_numbers"] = np.asarray(props[rname], np.uint8)
-                break
-        if all(k in props for k in ("nx", "ny", "nz")):
-            out["normals"] = np.column_stack([props["nx"], props["ny"], props["nz"]]).astype(np.float32)
-        return out
-    if ext in (".las", ".laz"):
-        try:
-            import laspy  # noqa: F401  (not in the baked environment)
-        except ImportError as exc:
-            raise RuntimeError("LAS/LAZ support requires laspy, which is unavailable") from exc
-        las = laspy.read(filename)
-        out = {"points": np.column_stack([las.x, las.y, las.z])}
-        if hasattr(las, "gps_time"):
-            out["timestamps"] = np.asarray(las.gps_time, np.float64)
-        if hasattr(las, "intensity"):
-            out["intensities"] = np.asarray(las.intensity, np.float32)
-        return out
+def _read_ply_cloud(filename):
+    props = load_ply(filename)
+    out = {"points": np.column_stack([props["x"], props["y"], props["z"]])}
+    for tname in ("time", "timestamp", "gpstime", "gps_time", "t"):
+        if tname in props:
+            out["timestamps"] = np.asarray(props[tname], np.float64)
+            break
+    if "intensity" in props:
+        out["intensities"] = np.asarray(props["intensity"], np.float32)
+    for rname in ("return_number", "returnnumber", "return_num"):
+        if rname in props:
+            out["return_numbers"] = np.asarray(props[rname], np.uint8)
+            break
+    if all(k in props for k in ("nx", "ny", "nz")):
+        out["normals"] = np.column_stack([props["nx"], props["ny"], props["nz"]]).astype(np.float32)
+    return out
+
+
+def _read_las_cloud(filename):
+    from ohm_tpu.io.las import read_las
+
+    return read_las(filename)
+
+
+def _read_laz_cloud(filename):
+    try:
+        import laspy  # noqa: F401  (needs the lazrs/laszip codec too)
+    except ImportError as exc:
+        raise RuntimeError(
+            "compressed .laz requires laspy (unavailable in this environment); "
+            "decompress to .las — the native reader (io.las) handles it") from exc
+    las = laspy.read(filename)
+    out = {"points": np.column_stack([las.x, las.y, las.z])}
+    if hasattr(las, "gps_time"):
+        out["timestamps"] = np.asarray(las.gps_time, np.float64)
+    if hasattr(las, "intensity"):
+        out["intensities"] = np.asarray(las.intensity, np.float32)
+    if hasattr(las, "return_number"):
+        out["return_numbers"] = np.asarray(las.return_number, np.uint8)
+    return out
+
+
+def _read_text_cloud(filename):
     # Text table: [time] x y z [intensity]
     table = _load_text_table(filename)
     if table.shape[1] >= 4:
         return {"timestamps": table[:, 0], "points": table[:, 1:4],
                 **({"intensities": table[:, 4].astype(np.float32)} if table.shape[1] > 4 else {})}
     return {"points": table[:, 0:3]}
+
+
+#: Extension -> reader registry (reference: slamio/PointCloudReader.h:58-105
+#: createPointCloudReader backend dispatch).  register_cloud_reader extends
+#: it, mirroring the reference's pluggable reader set.
+_CLOUD_READERS = {
+    ".ply": _read_ply_cloud,
+    ".las": _read_las_cloud,
+    ".laz": _read_laz_cloud,
+    ".xyz": _read_text_cloud,
+    ".txt": _read_text_cloud,
+}
+
+
+def register_cloud_reader(extension: str, reader) -> None:
+    """Register a cloud reader callable(filename) -> dict for an extension."""
+    _CLOUD_READERS[extension.lower()] = reader
+
+
+def load_cloud(filename: str):
+    """Load a point cloud: returns dict with 'points' [N,3], optional
+    'timestamps' [N], 'intensities' [N], 'return_numbers' [N],
+    'normals' [N,3].  Backend chosen by extension via the reader registry."""
+    ext = os.path.splitext(filename)[1].lower()
+    reader = _CLOUD_READERS.get(ext, _read_text_cloud)
+    return reader(filename)
 
 
 def load_trajectory(filename: str):

@@ -69,7 +69,7 @@ class TpuNdtMap(TpuRayMapper):
             miss_k=self.miss_k,
         )
 
-    def integrate_rays(self, rays, intensities=None, timestamps=None, ray_update_flags: int = 0) -> int:
+    def _integrate_batch(self, rays, intensities=None, timestamps=None, ray_update_flags: int = 0) -> int:
         m = self.map
         m.touch()
         if self.rayflow:

@@ -51,7 +51,7 @@ class TpuRayMapper:
         segment_length: float | None = None,
         validate: bool = False,
         scatter_pad: int = 1 << 22,
-        scatter_cap: int | str = "auto",
+        scatter_cap: int | str = 0,
         rayflow: bool | None = None,
     ):
         self.map = map_obj
@@ -89,8 +89,11 @@ class TpuRayMapper:
         #: split-phase pipeline, its touched-voxel count is read back once,
         #: and subsequent batches route to the delta path with a monotone
         #: power-of-two cap at >=4x that count (drops still surface in
-        #: stats / validate).  0 disables the delta path; an explicit int
-        #: pins the cap.
+        #: stats / validate).  0 (default) disables the delta path; an
+        #: explicit int pins the cap.  Default is OFF: on-chip the delta
+        #: path's x64-traced i64 compaction sort measured far slower than
+        #: the split-phase apply (round-3 probe; bench 124k vs 358k rays/s),
+        #: so it remains an opt-in until re-expressed in i32.
         self._auto_scatter = scatter_cap == "auto"
         self.scatter_cap = 0 if self._auto_scatter else int(scatter_cap)
         #: Full-ray wire path (mapping.batch.prepare_rayflow): per-RAY
@@ -224,7 +227,40 @@ class TpuRayMapper:
         )
 
     def integrate_rays(self, rays, intensities=None, timestamps=None, ray_update_flags: int = 0) -> int:
-        """Integrate interleaved origin/sample rays (2N, 3). Returns N."""
+        """Integrate interleaved origin/sample rays (2N, 3). Returns N.
+
+        A batch whose region demand exceeds the arena capacity is split in
+        half and retried (the arena analogue of the reference's cache-full
+        flush-and-retry, ohmgpu/GpuMap.cpp:922-1017)."""
+        return self._integrate_with_retry(rays, intensities, timestamps, ray_update_flags)
+
+    def _integrate_with_retry(self, rays, intensities, timestamps, ray_update_flags) -> int:
+        from ohm_tpu.mapping.arena import CacheFull
+
+        try:
+            return self._integrate_batch(rays, intensities, timestamps, ray_update_flags)
+        except CacheFull:
+            r = np.asarray(rays, dtype=np.float64).reshape(-1, 3)
+            n = r.shape[0] // 2
+            if n <= 1:
+                raise
+            h = n // 2
+
+            def part(x, a, b):
+                if x is None:
+                    return None
+                x = np.asarray(x).reshape(-1)
+                return x[a:b] if x.size == n else None
+
+            total = self._integrate_with_retry(
+                r[: 2 * h], part(intensities, 0, h), part(timestamps, 0, h),
+                ray_update_flags)
+            total += self._integrate_with_retry(
+                r[2 * h:], part(intensities, h, n), part(timestamps, h, n),
+                ray_update_flags)
+            return total
+
+    def _integrate_batch(self, rays, intensities=None, timestamps=None, ray_update_flags: int = 0) -> int:
         m = self.map
         m.touch()
         if self.rayflow and not (ray_update_flags & RayFlag.STOP_ON_FIRST_OCCUPIED):

@@ -41,7 +41,7 @@ class TpuTsdfMap(TpuRayMapper):
             sparsity_compensation_factor=float(o.sparsity_compensation_factor),
         )
 
-    def integrate_rays(self, rays, intensities=None, timestamps=None, ray_update_flags: int = 0) -> int:
+    def _integrate_batch(self, rays, intensities=None, timestamps=None, ray_update_flags: int = 0) -> int:
         m = self.map
         m.touch()
         if self.rayflow:

@@ -146,6 +146,27 @@ def main():
     print(json.dumps(r), flush=True)
     results.append(r)
 
+    # --- RaysQuery p50 latency (BASELINE.json tracked metric) -----------------
+    # 512-ray first-occupied/unobserved-volume queries against the populated
+    # config-2 map; execute() ends in a device->host readback so each sample
+    # is a true round-trip latency.
+    from ohm_tpu.query.rays_query import RaysQuery
+
+    q = RaysQuery(mapper=mp2)
+    qrays = outdoor_rays(512, rng)
+    lat = []
+    for i in range(13):
+        q.set_rays(qrays)
+        t0 = time.perf_counter()
+        q.execute()
+        lat.append(time.perf_counter() - t0)
+    lat = sorted(lat[1:])  # drop the compile-bearing first sample
+    p50 = lat[len(lat) // 2] * 1e3
+    r = {"metric": "rays_query_p50_ms", "value": round(p50, 2), "unit": "ms",
+         "vs_baseline": None, "rays": 512}
+    print(json.dumps(r), flush=True)
+    results.append(r)
+
     # --- config 3: NDT-OM ------------------------------------------------------
     m3 = OccupancyMap(resolution=0.2, flags=MapFlag.NONE)
     mp3 = TpuNdtMap(m3, capacity=1024)

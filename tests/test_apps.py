@@ -399,3 +399,48 @@ def test_ray_mapper_trace_decorator(tmp_path):
     assert integ[1]["ellipsoids"], "expected NDT ellipsoids after hits"
     e = integ[1]["ellipsoids"][0]
     assert len(e["pos"]) == 3 and len(e["scale"]) == 3
+
+
+def test_las_native_reader_roundtrip(tmp_path):
+    """Native .las reader (io.las, ASPRS spec) round-trips points, GPS time,
+    intensity and return numbers written by write_las."""
+    import numpy as np
+    from ohm_tpu.io.las import read_las, write_las
+
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-40, 40, (500, 3))
+    ts = np.sort(rng.uniform(0, 10, 500))
+    intens = rng.integers(0, 65535, 500).astype(np.uint16)
+    rn = rng.integers(1, 3, 500).astype(np.uint8)
+    nr = np.full(500, 2, np.uint8)
+    path = str(tmp_path / "cloud.las")
+    write_las(path, pts, timestamps=ts, intensities=intens,
+              return_numbers=rn, number_of_returns=nr)
+    out = read_las(path)
+    np.testing.assert_allclose(out["points"], pts, atol=1e-3)
+    np.testing.assert_allclose(out["timestamps"], ts)
+    np.testing.assert_array_equal(out["intensities"], intens.astype(np.float32))
+    np.testing.assert_array_equal(out["return_numbers"], rn)
+    np.testing.assert_array_equal(out["number_of_returns"], nr)
+
+
+def test_ohmpop_from_las_end_to_end(tmp_path, scene):
+    """BASELINE config-2 shape from a real .las in one command: ohmpop over a
+    LAS cloud + trajectory to a saved .ohm (VERDICT round-2 item 7)."""
+    import numpy as np
+    from ohm_tpu.app import ohmpop, ohminfo
+    from ohm_tpu.io.las import write_las
+    from ohm_tpu.io.slam import load_cloud
+
+    cloud = load_cloud(scene["cloud"])
+    las_path = str(tmp_path / "scene.las")
+    write_las(las_path, cloud["points"], timestamps=cloud.get("timestamps"),
+              intensities=np.zeros(len(cloud["points"]), np.uint16))
+
+    base = str(tmp_path / "las-map")
+    rc = ohmpop.main([las_path, scene["traj"], "-o", base, "--resolution", "0.2",
+                      "--voxel-mean", "--device", "tpu", "--arena-capacity", "128",
+                      "--batch-size", "512", "--quiet"])
+    assert rc == 0
+    assert os.path.exists(base + ".ohm")
+    assert ohminfo.main([base + ".ohm"]) == 0

@@ -341,3 +341,30 @@ def test_group_compaction_exact():
     # are integral.
     np.testing.assert_allclose(ta, tb, atol=1e-3)
     assert outs[0].stats["compaction_dropped"] == 0
+
+
+def test_cache_full_split_batch_and_retry():
+    """A batch touching ~2x the arena's region capacity must complete via
+    split-and-retry (arena analogue of the reference's cache-full
+    flush-and-retry, ohmgpu/GpuMap.cpp:922-1017), matching the oracle."""
+    rng = np.random.default_rng(31)
+    # Long rays fanned over a wide area: many regions per batch.
+    n = 64
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rays = np.empty((2 * n, 3))
+    rays[0::2] = 0.0
+    rays[1::2] = dirs * 30.0  # ~30 m rays at 0.25 res -> wide region spread
+
+    map_kwargs = {"resolution": 0.25, "flags": MapFlag.NONE}
+    cpu_map = OccupancyMap(**map_kwargs)
+    RayMapperOccupancy(cpu_map).integrate_rays(rays)
+    demand = len({tuple(k) for k in cpu_map.chunks})
+    capacity = max(8, demand // 2)
+
+    tpu_map_obj = OccupancyMap(**map_kwargs)
+    tpu = TpuRayMapper(tpu_map_obj, capacity=capacity, validate=True)
+    assert tpu.integrate_rays(rays) == n
+    tpu.sync_voxels()
+    compare_occupancy(cpu_map, tpu_map_obj)
+    assert tpu.arena.stats["evictions"] > 0
