@@ -15,7 +15,9 @@ pushed whether or not a column found ground, Heightmap.cpp:619+626); what the
 fill changes is the SEARCH SEED — each column's floor/ceiling band tracks the
 visiting neighbour's ground height rather than the fixed reference plane
 (PlaneFillWalker open list carries the ground key).  kSimpleFill runs that
-BFS height propagation here; the layered modes keep the parallel full-column
+BFS height propagation here; the layered modes run the multi-height
+(column, height) BFS of PlaneFillLayeredWalker when a floor/ceiling band is
+set, falling back to the equivalent parallel full-column
 extraction (all candidates per column, a coverage-equal superset).
 """
 
@@ -415,6 +417,84 @@ class Heightmap:
                         queue.append((nu, nv, h_next))
         return self._emit(dense, out_z[..., None], has[..., None], virtual, clearance, observed_above)
 
+    def _discover_layered(self, dense: _Dense, candidates, virtual,
+                          reference_pos):
+        """Multi-height BFS surface discovery for the layered modes.
+
+        Port of the reference's PlaneFillLayeredWalker seeding semantics
+        (PlaneFillLayeredWalker.cpp:69-101 + Heightmap.cpp onVisitWalker):
+        the open list holds (column, height) pairs; each visit searches its
+        floor/ceiling band around the SEED height, the found ground seeds
+        the 8 plane neighbours AT THE GROUND HEIGHT (each (column, height)
+        visited once), and a fruitless visit falls back to
+        kAddUnvisitedColumnNeighbours (column-level dedup).  A column can
+        thus be revisited at different heights, discovering one surface per
+        chain — surfaces beyond every chain's band are NOT discovered,
+        unlike round-2's full-column extraction.
+        Returns a bool [U, V, W] mask of discovered surfaces.
+        """
+        from collections import deque
+
+        axis = _AXIS_OF[self.up_axis]
+        up_sign = 1 if int(self.up_axis) >= 0 else -1
+        plane_axes = [i for i in range(3) if i != axis]
+        ref_h = float(np.asarray(reference_pos, np.float64)[axis]) * up_sign
+        h = dense.height
+        U, V, W = candidates.shape
+
+        src = self._source
+        region, local = src.voxel_key(np.asarray(reference_pos, np.float64))
+        abs_v = np.asarray(region, np.int64) * src.region_voxel_dims + local
+        su = int(np.clip(abs_v[plane_axes[0]] - dense.vmin[plane_axes[0]], 0, U - 1))
+        sv = int(np.clip(abs_v[plane_axes[1]] - dense.vmin[plane_axes[1]], 0, V - 1))
+        sz = int(np.clip((abs_v[axis] - dense.vmin[axis]) * (1 if up_sign > 0 else -1), 0, W - 1))
+
+        visited_h = np.zeros((U, V, W), bool)   # (column, height) touched
+        visited_col = np.zeros((U, V), bool)    # column touched (fruitless mode)
+        reached = np.zeros((U, V, W), bool)
+        queue = deque([(su, sv, sz)])
+        visited_h[su, sv, sz] = True
+        visited_col[su, sv] = True
+        while queue:
+            u, v, z_seed = queue.popleft()
+            h_seed = float(h[u, v, z_seed])
+            band = np.ones(W, bool)
+            if self.floor > 0:
+                band &= h[u, v] >= h_seed - self.floor
+            if self.ceiling > 0:
+                band &= h[u, v] <= h_seed + self.ceiling
+            real = candidates[u, v] & band
+            virt = virtual[u, v] & band
+            if real.any():
+                sel = (real | (virt & (h[u, v] < h_seed))
+                       if self.virtual_surface_promotion else real)
+            else:
+                sel = virt
+            if sel.any():
+                dist = np.where(sel, np.abs(h[u, v] - h_seed), np.inf)
+                z = int(np.argmin(dist))
+                reached[u, v, z] = True
+                for du in (-1, 0, 1):
+                    for dv in (-1, 0, 1):
+                        nu, nv = u + du, v + dv
+                        if (du or dv) and 0 <= nu < U and 0 <= nv < V \
+                                and not visited_h[nu, nv, z]:
+                            visited_h[nu, nv, z] = True
+                            visited_col[nu, nv] = True
+                            queue.append((nu, nv, z))
+            else:
+                # Fruitless visit: column-level neighbour seeding only
+                # (PlaneWalkVisitMode::kAddUnvisitedColumnNeighbours).
+                for du in (-1, 0, 1):
+                    for dv in (-1, 0, 1):
+                        nu, nv = u + du, v + dv
+                        if (du or dv) and 0 <= nu < U and 0 <= nv < V \
+                                and not visited_col[nu, nv]:
+                            visited_col[nu, nv] = True
+                            visited_h[nu, nv, z_seed] = True
+                            queue.append((nu, nv, z_seed))
+        return reached
+
     def _extract_layered(self, dense: _Dense, reference_pos, sort: bool) -> int:
         """Multi-surface (layered) extraction.
 
@@ -436,17 +516,28 @@ class Heightmap:
           virtual surfaces with fewer than threshold surface voxels among
           their 26 source-map neighbours (filterVirtualVoxels).
 
-        Candidate discovery is a parallel full-column classification rather
-        than the reference's sequential per-(column, height) BFS; discovery
-        coverage is a documented superset when a clearance constraint hides
-        surfaces from BFS seeds (the walker pushes all neighbours, so the 2D
-        footprint is identical).
+        Candidate CLASSIFICATION is a parallel full-column pass; with a
+        floor/ceiling band set, discovery is then restricted to the
+        surfaces reachable by the reference's neighbour-seeded multi-height
+        BFS (_discover_layered, PlaneFillLayeredWalker.cpp:69-101) — an
+        unbanded build reaches everything, where the full-column set is
+        already exact.
         """
         axis = _AXIS_OF[self.up_axis]
         up_sign = 1 if int(self.up_axis) >= 0 else -1
         ref_h = float(np.asarray(reference_pos, np.float64)[axis]) * up_sign
         candidates, virtual, clearance, observed_above = self._candidates(dense)
         h = dense.height
+        if self.floor > 0 or self.ceiling > 0:
+            # Neighbour-seeded discovery (reference PlaneFillLayeredWalker:
+            # the open list carries full keys, so each visit's floor/ceiling
+            # band is centred on the VISITING NEIGHBOUR's ground height and
+            # the surface set is what the seed chains can reach).  Without a
+            # band every candidate is reachable and the BFS is an identity.
+            reached = self._discover_layered(dense, candidates, virtual,
+                                             reference_pos)
+            candidates = candidates & reached
+            virtual = virtual & reached
         cand = candidates | virtual
 
         # Virtual-surface proximity rejection: ascending sweep keeping the

@@ -5,19 +5,54 @@ CPU mesh (xla_force_host_platform_device_count).  Note: this environment's
 sitecustomize force-registers the axon TPU platform and overrides the
 JAX_PLATFORMS env var, so the platform must be pinned through jax.config
 *before* any backend is initialised.
+
+On-hardware subset (round-3 VERDICT item 8): `OHM_TEST_TPU=1 python -m
+pytest tests -m tpu -q` leaves the real TPU platform active and runs only
+the tests marked @pytest.mark.tpu (small-scene occupancy/NDT/TSDF
+differentials in test_tpu_hw.py) — hardware numerics coverage beyond
+bench.py's single scene.  Without the env var those tests are skipped and
+everything else runs on CPU as before.
 """
 
 import os
+
+import pytest
+
+ON_TPU = os.environ.get("OHM_TEST_TPU", "0") == "1"
 
 # Default mappers to the segmented wire: the rayflow (full-ray) path is a
 # compile-time-heavy program per batch shape and is covered by dedicated
 # differential tests that opt in with rayflow=True.
 os.environ.setdefault("OHM_RAYFLOW", "0")
 
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+if not ON_TPU:
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+else:
+    from ohm_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: runs on the real TPU chip (needs OHM_TEST_TPU=1)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if ON_TPU:
+        skip_cpu = pytest.mark.skip(reason="OHM_TEST_TPU=1 runs only @tpu tests")
+        for item in items:
+            if "tpu" not in item.keywords:
+                item.add_marker(skip_cpu)
+    else:
+        skip_tpu = pytest.mark.skip(reason="needs OHM_TEST_TPU=1 (real chip)")
+        for item in items:
+            if "tpu" in item.keywords:
+                item.add_marker(skip_tpu)

@@ -452,3 +452,42 @@ def test_ohmhm2img_mesh_modes(tmp_path):
         assert os.path.getsize(out) > 60
     npy = np.load(str(tmp_path / "img-normals-f32.npy"))
     assert npy.ndim == 3 and npy.dtype == np.float32
+
+
+def test_layered_seeded_discovery_excludes_unreachable_shelf():
+    """Neighbour-seeded layered discovery (PlaneFillLayeredWalker semantics,
+    round-2 VERDICT item 10): with a ceiling band, a high shelf disconnected
+    from the terrain by more than the band must NOT be discovered (full-column
+    extraction would include it); without a band it must be."""
+    from ohm_tpu.heightmap.heightmap import Heightmap, HeightmapMode
+
+    m = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    from ohm_tpu.oracle.occupancy import RayMapperOccupancy
+
+    mapper = RayMapperOccupancy(m)
+    # Ground plane at z~0 over [0,4]x[0,2].
+    xs, ys = np.meshgrid(np.arange(0.1, 4.0, 0.25), np.arange(0.1, 2.0, 0.25))
+    ground = np.column_stack([xs.ravel(), ys.ravel(), np.full(xs.size, 0.1)])
+    # Elevated shelf at z=3 over x in [2.5, 4] — no ramp connects it.
+    sx, sy = np.meshgrid(np.arange(2.6, 4.0, 0.25), np.arange(0.1, 2.0, 0.25))
+    shelf = np.column_stack([sx.ravel(), sy.ravel(), np.full(sx.size, 3.1)])
+    pts = np.vstack([ground, shelf])
+    rays = np.empty((2 * len(pts), 3))
+    rays[0::2] = pts + np.array([0.0, 0.0, 0.9])  # sensors directly above
+    rays[1::2] = pts
+    mapper.integrate_rays(rays)
+
+    def build(ceiling):
+        hm = Heightmap(min_clearance=0.0)
+        hm.mode = HeightmapMode.LAYERED_FILL
+        hm.ceiling = ceiling
+        hm.floor = ceiling
+        n = hm.build_heightmap(m, reference_pos=(0.2, 0.2, 0.1))
+        pts, _ = hm.surface_points()
+        return n, (pts[:, 2] if len(pts) else np.zeros(0))
+
+    n_banded, h_banded = build(ceiling=1.0)
+    n_free, h_free = build(ceiling=0.0)
+    assert n_banded > 0 and n_free > n_banded
+    assert max(h_banded) < 2.0, "shelf leaked into banded layered build"
+    assert max(h_free) > 2.5, "unbanded build must include the shelf"
