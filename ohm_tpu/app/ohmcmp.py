@@ -26,8 +26,8 @@ def main(argv=None):
         result = compare_layout(ref, test)
     else:
         result = compare_maps(ref, test, tolerance=args.tolerance)
-    for msg in result.messages:
-        print(f"  {msg}")
+    for severity, msg in result.messages:
+        print(f"  [{severity.name.lower()}] {msg}")
     print(f"layout: {'match' if result.layout_match else 'MISMATCH'}")
     print(f"regions compared: {result.regions_compared} (missing: {result.missing_regions})")
     print(f"voxels compared: {result.voxels_compared} failed: {result.voxels_failed}")

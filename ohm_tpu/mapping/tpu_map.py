@@ -179,8 +179,12 @@ class TpuRayMapper:
         # sum of G near-iid per-ray crossing counts, so relative padding
         # shrinks ~1/sqrt(G).  Measured on the box bench scene: G=8 carried
         # 64% padding (224 rec/ray vs 137 true); G=64 cuts the stream ~1.4x
-        # for a slightly wider (G*walk_cap) row sort.
-        G = 64 if rf.rpad % 64 == 0 else 8
+        # for a slightly wider (G*walk_cap) row sort.  OHM_RAYFLOW_G
+        # overrides for A/B measurement.
+        import os as _os
+        G = int(_os.environ.get("OHM_RAYFLOW_G", 64))
+        if rf.rpad % G:
+            G = 8
         cr = rf.crossings
         gmax = int(cr.reshape(G, -1).sum(axis=0).max()) if rf.rpad % G == 0 else 0
         # Cap with ~6% headroom, quantised to 512: stream length = rows * cap
