@@ -228,6 +228,8 @@ class TpuRayMapper:
             group_size=group_size,
             table_k=table_k,
             walk_cap=walk_cap,
+            unordered_walk=bool(group_cap) and not (
+                int(ray_flags) & RayFlag.STOP_ON_FIRST_OCCUPIED),
         )
 
     def integrate_rays(self, rays, intensities=None, timestamps=None, ray_update_flags: int = 0) -> int:

@@ -113,6 +113,13 @@ class IntegrateConfig:
     #: (a diagonal full ray reaches 3x its max per-axis count).
     walk_cap: int = 0
 
+    #: Rank-based walk (ops.ddawalk.walk_rays_unordered): skip the per-ray
+    #: event sort; records come out axis-major with the identical voxel set
+    #: (same masked-key total order).  Only sensible with group compaction
+    #: (group_cap > 0) to absorb the wider 3*max_steps record axis, and
+    #: never with kRfStopOnFirstOccupied (which needs time order).
+    unordered_walk: bool = False
+
     def __post_init__(self):
         # Flat arena addresses and split-phase sort keys are int32; the key
         # packs (flat << 1 | hit_bit), so the sentinel itself needs headroom:
@@ -740,18 +747,27 @@ def integrate_occupancy_jit(arena, batch, cfg: IntegrateConfig):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def expand_records_jit(batch, cfg: IntegrateConfig):
     """Phase 1: DDA expand + slot resolve -> packed sort keys (+ payloads)."""
+    from ohm_tpu.ops.ddawalk import walk_rays_unordered
+
     flags = cfg.ray_flags
     b = _unpack_batch(batch, cfg)
-    walk = walk_rays(
-        b["start_abs"], b["end_abs"], b["start_frac"],
-        b["direction"], b["length"], cfg.resolution, cfg.max_steps,
-        total_cap=cfg.walk_cap or None,
-    )
+    if cfg.unordered_walk and cfg.group_cap:
+        walk = walk_rays_unordered(
+            b["start_abs"], b["end_abs"], b["start_frac"],
+            b["direction"], b["length"], cfg.resolution, cfg.max_steps)
+    else:
+        walk = walk_rays(
+            b["start_abs"], b["end_abs"], b["start_frac"],
+            b["direction"], b["length"], cfg.resolution, cfg.max_steps,
+            total_cap=cfg.walk_cap or None,
+        )
     B, S = walk["valid"].shape
     ray_valid = b["valid"]
     rec_valid = walk["valid"] & ray_valid[:, None]
     if flags & RayFlag.EXCLUDE_ORIGIN:
-        first = jnp.concatenate([jnp.ones((B, 1), bool), jnp.zeros((B, S - 1), bool)], axis=1)
+        first = walk.get("first")
+        if first is None:
+            first = jnp.concatenate([jnp.ones((B, 1), bool), jnp.zeros((B, S - 1), bool)], axis=1)
         rec_valid = rec_valid & ~(first & b["exclude_start"][:, None])
     if flags & RayFlag.EXCLUDE_RAY:
         rec_valid = jnp.zeros_like(rec_valid)

@@ -74,17 +74,26 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
     b = _unpack_batch(batch, base)
     res = jnp.float32(base.resolution)
 
-    walk = walk_rays(
-        b["start_abs"], b["end_abs"], b["start_frac"],
-        b["direction"], b["length"], base.resolution, base.max_steps,
-        total_cap=base.walk_cap or None,
-    )
+    if base.unordered_walk and base.group_cap:
+        from ohm_tpu.ops.ddawalk import walk_rays_unordered
+
+        walk = walk_rays_unordered(
+            b["start_abs"], b["end_abs"], b["start_frac"],
+            b["direction"], b["length"], base.resolution, base.max_steps)
+    else:
+        walk = walk_rays(
+            b["start_abs"], b["end_abs"], b["start_frac"],
+            b["direction"], b["length"], base.resolution, base.max_steps,
+            total_cap=base.walk_cap or None,
+        )
     B, S = walk["valid"].shape
     ray_valid = b["valid"]
 
     rec_valid = walk["valid"] & ray_valid[:, None]
     if flags & RayFlag.EXCLUDE_ORIGIN:
-        first_col = jnp.concatenate([jnp.ones((B, 1), bool), jnp.zeros((B, S - 1), bool)], axis=1)
+        first_col = walk.get("first")
+        if first_col is None:
+            first_col = jnp.concatenate([jnp.ones((B, 1), bool), jnp.zeros((B, S - 1), bool)], axis=1)
         rec_valid = rec_valid & ~(first_col & b["exclude_start"][:, None])
     if flags & RayFlag.EXCLUDE_RAY:
         rec_valid = jnp.zeros_like(rec_valid)

@@ -52,11 +52,18 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
     b = _unpack_batch(batch, base)
     res = jnp.float32(base.resolution)
 
-    walk = walk_rays(
-        b["start_abs"], b["end_abs"], b["start_frac"],
-        b["direction"], b["length"], base.resolution, base.max_steps,
-        total_cap=base.walk_cap or None,
-    )
+    if base.unordered_walk and base.group_cap:
+        from ohm_tpu.ops.ddawalk import walk_rays_unordered
+
+        walk = walk_rays_unordered(
+            b["start_abs"], b["end_abs"], b["start_frac"],
+            b["direction"], b["length"], base.resolution, base.max_steps)
+    else:
+        walk = walk_rays(
+            b["start_abs"], b["end_abs"], b["start_frac"],
+            b["direction"], b["length"], base.resolution, base.max_steps,
+            total_cap=base.walk_cap or None,
+        )
     B, S = walk["valid"].shape
     ray_valid = b["valid"]
     rec_valid = walk["valid"] & ray_valid[:, None]
