@@ -41,10 +41,27 @@ def region_owner(region_keys: np.ndarray, n_shards: int, super_shift: int = 2) -
     and the mean owner count is ~1.6 (vs 8 for per-region hashing at 8
     shards).  Hashing the super-region key (rather than tiling shards in
     space) keeps load statistically balanced across many frames.
+
+    Arithmetic is uint32 wraparound so the DEVICE can reproduce ownership
+    bit-exactly in int32 (parallel.a2a in-jit routing) — no i64 needed.
     """
-    r = np.asarray(region_keys, dtype=np.int64) >> super_shift
-    h = (r[..., 0] * 73856093) ^ (r[..., 1] * 19349669) ^ (r[..., 2] * 83492791)
-    return (h % n_shards + n_shards) % n_shards
+    r = (np.asarray(region_keys, dtype=np.int64) >> super_shift).astype(np.uint32)
+    with np.errstate(over="ignore"):
+        h = ((r[..., 0] * np.uint32(73856093))
+             ^ (r[..., 1] * np.uint32(19349669))
+             ^ (r[..., 2] * np.uint32(83492791)))
+    return (h % np.uint32(n_shards)).astype(np.int64)
+
+
+def region_owner_jnp(region_keys, n_shards: int, super_shift: int = 2):
+    """Device-side twin of region_owner (bit-identical uint32 hash)."""
+    import jax.numpy as jnp
+
+    r = (region_keys.astype(jnp.int32) >> super_shift).astype(jnp.uint32)
+    h = ((r[..., 0] * jnp.uint32(73856093))
+         ^ (r[..., 1] * jnp.uint32(19349669))
+         ^ (r[..., 2] * jnp.uint32(83492791)))
+    return (h % jnp.uint32(n_shards)).astype(jnp.int32)
 
 
 class ShardedArena:

@@ -299,3 +299,58 @@ def test_resident_mapper_tsdf_matches_single_device(mesh):
     assert set(w_sh) == set(w_ref)
     worst = max(abs(w_sh[k] - w_ref[k]) for k in w_ref) if w_ref else 0.0
     assert worst < 1e-5, worst
+
+
+def test_in_jit_all_to_all_routing_matches_single_device(mesh):
+    """In-jit all_to_all routing experiment (parallel.a2a): source-sharded
+    batch, device-computed corner ownership (bit-identical uint32 hash),
+    MoE-style dispatch + jax.lax.all_to_all, destination-side foreign-corner
+    masking.  Must be exact vs the single-chip mapper with zero routing
+    drops (host-sized capacity)."""
+    import jax.numpy as jnp
+    from ohm_tpu.parallel.a2a import make_source_batch, sharded_integrate_a2a
+    from ohm_tpu.parallel.mapper import ResidentShardedArena
+
+    rays = _scene(192, seed=23)
+    m = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    ref_vals = _reference_voxels(rays)
+
+    from ohm_tpu.mapping.batch import prepare_ray_batch
+    from ohm_tpu.mapping.tpu_map import TpuRayMapper
+
+    mapper = TpuRayMapper(OccupancyMap(resolution=0.25, flags=MapFlag.NONE),
+                          capacity=16)
+    prepared = prepare_ray_batch(m, rays, segment_length=mapper.segment_length)
+
+    arena = ResidentShardedArena(mesh, capacity=16,
+                                 region_shift=mapper.region_shift,
+                                 layer_names=["occupancy"],
+                                 scatter_pad=1 << 16)
+    arena.ensure_regions(prepared.region_keys)
+    batch, max_pairs = make_source_batch(prepared, arena, mesh)
+    cap = max(64, 1 << (max_pairs - 1).bit_length())
+
+    import dataclasses
+    cfg = dataclasses.replace(mapper._config(0), capacity=16,
+                              scatter_pad=1 << 16)
+    step = sharded_integrate_a2a(mesh, cfg, capacity=cap,
+                                 region_dim_shift=mapper.region_shift)
+    state = {"occupancy": arena.state["occupancy"]}
+    new_state, stats = step(state, batch)
+    assert int(np.asarray(stats["routing_dropped"]).sum()) == 0
+    # Coverage: every record applied exactly once across shards.
+    applied = int(np.asarray(stats["applied_updates"]).sum())
+    assert applied > 0
+
+    occ = np.asarray(new_state["occupancy"])
+    occ = np.where((occ == 0) & np.signbit(occ), np.inf, occ)
+    vals = {}
+    for s, d in enumerate(arena.shards):
+        V = arena.voxels_per_region
+        for key, slot in d.slot_of.items():
+            block = occ[s, slot * V:(slot + 1) * V]
+            for i in np.flatnonzero(np.isfinite(block)):
+                vals[(key, int(i))] = float(block[i])
+    assert set(vals) == set(ref_vals)
+    worst = max(abs(vals[k] - ref_vals[k]) for k in ref_vals)
+    assert worst < 1e-5, worst
