@@ -51,8 +51,9 @@ class TpuRayMapper:
         segment_length: float | None = None,
         validate: bool = False,
         scatter_pad: int = 1 << 22,
-        scatter_cap: int | str = 0,
+        scatter_cap: int | str = "auto",
         rayflow: bool | None = None,
+        delta_path: bool = False,
     ):
         self.map = map_obj
         dims = map_obj.region_voxel_dims
@@ -83,19 +84,21 @@ class TpuRayMapper:
         # (ops.integrate.apply_delta); every host<->device transfer converts.
         self.arena = VoxelArena(capacity, self.region_shift, layer_names,
                                 scatter_pad=scatter_pad, occupancy_encoding="zero")
-        #: Per-batch touched-voxel scatter budget for the delta fast path
-        #: (ops.integrate.apply_delta); overflow is counted in
-        #: stats['dropped_updates'].  "auto": the first batch runs the
-        #: split-phase pipeline, its touched-voxel count is read back once,
-        #: and subsequent batches route to the delta path with a monotone
-        #: power-of-two cap at >=4x that count (drops still surface in
-        #: stats / validate).  0 (default) disables the delta path; an
-        #: explicit int pins the cap.  Default is OFF: on-chip the delta
-        #: path's x64-traced i64 compaction sort measured far slower than
-        #: the split-phase apply (round-3 probe; bench 124k vs 358k rays/s),
-        #: so it remains an opt-in until re-expressed in i32.
+        #: Per-batch touched-voxel scatter budget for the COMPACTED deposit
+        #: (ops.integrate._apply_occupancy_dense scatter_cap branch: voxel-
+        #: last records pulled to the stream front by a payload-carrying i32
+        #: sort, then one small sorted/unique/in-bounds scatter).  "auto"
+        #: (default): the first batch runs the uncapped deposit, its
+        #: touched-voxel count is read back once, and later batches use a
+        #: monotone power-of-two cap at >=4x that count; overflow surfaces
+        #: in stats['dropped_updates'].  0 disables; an int pins the cap.
+        #: ``delta_path=True`` additionally routes eligible flag sets to the
+        #: -0.0-encoded scatter-ADD delta pipeline (apply_delta) — opt-in:
+        #: its x64-traced i64 compaction sort measured far slower than
+        #: split-phase on this chip (round-3 probe; 124k vs 358k rays/s).
         self._auto_scatter = scatter_cap == "auto"
         self.scatter_cap = 0 if self._auto_scatter else int(scatter_cap)
+        self.delta_path = bool(delta_path)
         #: Full-ray wire path (mapping.batch.prepare_rayflow): per-RAY
         #: records + device-side segmentation + per-ray candidate-region
         #: tables.  Falls back to the segmented wire when the native lib is
@@ -308,7 +311,7 @@ class TpuRayMapper:
         # that sized the cap falls back to split-phase (and re-sizes the cap
         # from its own touched count) — the 4x headroom only covers scene
         # drift, not systematic batch growth.
-        delta_ok = delta_path_ok(cfg) and not (
+        delta_ok = self.delta_path and delta_path_ok(cfg) and not (
             self._auto_scatter and n_rays > getattr(self, "_cap_rays", 0))
         if stop:
             # State-dependent prefix masking needs the monolithic pipeline.
@@ -332,9 +335,10 @@ class TpuRayMapper:
             # Split-phase: two smaller XLA programs compile reliably through
             # the remote TPU compile service and hit the persistent cache.
             records, stats = expand_records_jit(batch, cfg)
-            new_state, touched = apply_records_jit(state, records, batch, cfg)
+            new_state, touched, dropped = apply_records_jit(state, records, batch, cfg)
             stats = dict(stats)
             stats["touched"] = touched
+            stats["dropped_updates"] = dropped
             if self._auto_scatter and not stop and (
                     self.scatter_cap == 0
                     or n_rays > getattr(self, "_cap_rays", 0)):

@@ -190,8 +190,10 @@ def sharded_integrate_a2a(mesh: Mesh, cfg: IntegrateConfig, capacity: int,
         new_local, stats = integrate_occupancy(local, local_batch, cfg)
         stats = dict(stats)
         stats["routing_dropped"] = dropped.astype(jnp.int32)
+        keys = ("missed_updates", "applied_updates", "overflow", "touched",
+                "routing_dropped")
         return ({k: v[None] for k, v in new_local.items()},
-                {k: v[None] for k, v in stats.items()})
+                {k: stats[k][None] for k in keys})
 
     shard = P("shard")
     state_keys = ["occupancy"]

@@ -128,7 +128,7 @@ def sharded_integrate(mesh: Mesh, cfg: IntegrateConfig):
         local_batch["ints"] = batch["ints"][0]
         new_local, stats = integrate_occupancy(local, local_batch, cfg)
         new_state = {k: v[None] for k, v in new_local.items()}
-        stats = {k: v[None] for k, v in stats.items()}
+        stats = {k: stats[k][None] for k in _stats_keys()}
         return new_state, stats
 
     shard = P("shard")
@@ -229,7 +229,7 @@ def sharded_integrate_routed(mesh: Mesh, cfg: IntegrateConfig):
         local_batch = {k: v[0] for k, v in batch.items()}
         new_local, stats = integrate_occupancy(local, local_batch, cfg)
         return ({k: v[None] for k, v in new_local.items()},
-                {k: v[None] for k, v in stats.items()})
+                {k: stats[k][None] for k in _stats_keys()})
 
     shard = P("shard")
     step = jax.shard_map(

@@ -33,7 +33,8 @@ def integrate(rays, scatter_cap, repeats=1, setup=None, validate=True,
     if setup is not None:
         setup(m)
     mapper = TpuRayMapper(m, capacity=capacity, validate=validate,
-                          scatter_cap=scatter_cap)
+                          scatter_cap=scatter_cap,
+                          delta_path=scatter_cap not in (0, "auto"))
     for _ in range(repeats):
         mapper.integrate_rays(rays)
     mapper.sync_voxels()
@@ -122,3 +123,65 @@ def test_delta_over_cap_surfaces_dropped_updates():
     assert mapper.stats["dropped_updates"] > 0
     with pytest.raises(AssertionError, match="scatter_cap"):
         integrate(rays, scatter_cap=64, validate=True)
+
+
+# --------------------------------------------------------------------------- #
+# Compacted deposit (scatter_cap > 0 WITHOUT delta_path): the split-phase
+# dense apply pulls voxel-last records to the stream front with a
+# payload-carrying sort and scatters only scatter_cap rows (ops.integrate
+# _apply_occupancy_dense).  Semantics must be identical to the uncapped
+# deposit; overflow surfaces in dropped_updates.
+
+
+def integrate_compact(_unused, scatter_cap, validate=True, capacity=128,
+                      flags=MapFlag.NONE):
+    m = OccupancyMap(resolution=0.25, flags=flags)
+    mapper = TpuRayMapper(m, capacity=capacity, validate=validate,
+                          scatter_cap=scatter_cap, delta_path=False)
+    mapper.integrate_rays(box_room_rays(256, np.random.default_rng(7)))
+    mapper.sync_voxels()
+    return m, mapper
+
+
+def test_compact_deposit_matches_uncapped():
+    m_c, mp = integrate_compact(None, scatter_cap=1 << 18)
+    m_u, _ = integrate_compact(None, scatter_cap=0)
+    assert mp.stats["dropped_updates"] == 0
+    assert_same_maps(m_c, m_u)
+
+
+def test_compact_deposit_with_traversal_matches_uncapped():
+    flags = MapFlag.TRAVERSAL
+    m_c, mp = integrate_compact(None, scatter_cap=1 << 18, flags=flags)
+    m_u, _ = integrate_compact(None, scatter_cap=0, flags=flags)
+    assert mp.stats["dropped_updates"] == 0
+    assert_same_maps(m_c, m_u)
+    ti = m_c.layer_index("traversal")
+    for key in m_c.chunks:
+        a = m_c.region(key).layers[ti]["traversal"]
+        b = m_u.region(key).layers[ti]["traversal"]
+        np.testing.assert_array_equal(a, b)
+
+
+def test_compact_deposit_over_cap_surfaces():
+    m, mapper = integrate_compact(None, scatter_cap=64, validate=False)
+    assert mapper.stats["dropped_updates"] > 0
+
+
+def test_auto_scatter_cap_sizes_from_first_batch():
+    rng = np.random.default_rng(7)
+    rays = box_room_rays(256, rng)
+    m = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    mapper = TpuRayMapper(m, capacity=128, validate=True)  # scatter_cap="auto"
+    mapper.integrate_rays(rays)
+    assert mapper.scatter_cap > 0  # sized from the first batch's touched
+    mapper.integrate_rays(rays)
+    mapper.sync_voxels()
+    assert mapper.stats["dropped_updates"] == 0
+    # Exactness vs a fully uncapped mapper on the same stream.
+    m_u = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    mp_u = TpuRayMapper(m_u, capacity=128, scatter_cap=0)
+    mp_u.integrate_rays(rays)
+    mp_u.integrate_rays(rays)
+    mp_u.sync_voxels()
+    assert_same_maps(m, m_u)
