@@ -104,9 +104,16 @@ def main():
     # with no LRU churn while keeping the dense apply sweep (which scales
     # with arena capacity, not touched regions) 4x smaller than round-1's
     # 2048-slot arena.
-    mapper = TpuRayMapper(m, capacity=512)
+    sc = os.environ.get("OHM_SCATTER_CAP", "auto")
+    mapper = TpuRayMapper(m, capacity=512,
+                          scatter_cap="auto" if sc == "auto" else int(sc))
 
     batches = [box_scene_rays(rays_per_batch, rng) for _ in range(n_batches)]
+
+    # Seed the monotone compile-shape caches from ALL batches (host-only)
+    # so no new program variant appears after warmup — a mid-run cap
+    # high-water mark silently recompiles through the remote service.
+    mapper.prime_caps(batches)
 
     # Warm up: compile + populate the region set.  The fence must be a
     # device->host readback: on the axon runtime block_until_ready returns

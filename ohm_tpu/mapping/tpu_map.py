@@ -148,6 +148,30 @@ class TpuRayMapper:
             self._cap_cache = cap
         return cap if cap < G * walk_total_cap(self.max_steps) else 0
 
+    def prime_caps(self, batches) -> None:
+        """Host-only pass seeding the monotone compile-shape caches (group
+        cap, step bucket, walk cap, candidate-table K) to the maxima over
+        ``batches`` — so a run over them compiles each program variant ONCE
+        during warmup instead of recompiling at every new high-water mark
+        mid-run (a silent 30-60 s stall per variant through the remote
+        compile service).  Benchmarks call this before their warmup."""
+        from ohm_tpu.mapping.batch import prepare_rayflow
+
+        for rays in batches:
+            rf = prepare_rayflow(self.map, rays)
+            if rf is None:
+                continue
+            self._k_cache_rf = max(getattr(self, "_k_cache_rf", 8), rf.table_k)
+            steps = -(-(rf.max_axis_steps + 1) // 32) * 32
+            self._steps_cache_rf = max(getattr(self, "_steps_cache_rf", 0), steps)
+            wcap = -(-(int(rf.crossings.max()) + 2) // 64) * 64 if rf.n_rays else 64
+            self._wcap_cache_rf = max(getattr(self, "_wcap_cache_rf", 0), wcap)
+            G = 64 if rf.rpad % 64 == 0 else 8
+            if rf.rpad % G == 0:
+                gmax = int(rf.crossings.reshape(G, -1).sum(axis=0).max())
+                cap = max(512, -(-(gmax + max(256, gmax >> 4)) // 512) * 512) if gmax else 0
+                self._cap_cache_rf = max(getattr(self, "_cap_cache_rf", 0), cap)
+
     def _rayflow_setup(self, rays, timestamps, intensities, ray_update_flags):
         """Try the full-ray wire path; returns (batch dict, cfg, n_rays) or
         None to fall back to the segmented path.  See
