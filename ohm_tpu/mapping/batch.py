@@ -468,10 +468,12 @@ def prepare_rayflow(map_obj, rays, timestamps=None, intensities=None,
                            table_k=table_k, ray_table=tbl, treg=treg)
 
 
-def rayflow_wire(prepared: PreparedRayflow, table_lookup) -> np.ndarray:
+def rayflow_wire(prepared: PreparedRayflow, table_lookup,
+                 with_touch: bool = True, with_intensity: bool = True) -> np.ndarray:
     """Assemble the single rayflow transfer buffer (after region allocation):
     [gmeta i32[8] | floats f32[R,7] | abs16 u16[R,6] | meta u32[R] |
-     touch u32[R] | intens f32[R] | tcand i32[R,K]].
+     [touch u32[R]] | [intens f32[R]] | tcand i32[R,K]] — touch/intensity
+    blocks ride only when requested (8 B/ray off the occupancy/TSDF wire).
     tcand packs a candidate as (slot+1) << 18 | rel-region (6 bits/axis);
     sentinel/unallocated entries have non-positive slot bits and never
     resolve.  ``table_lookup`` maps region triples -> arena slots (i32, -1
@@ -490,8 +492,10 @@ def rayflow_wire(prepared: PreparedRayflow, table_lookup) -> np.ndarray:
         b["floats"].view(np.uint8).reshape(-1),
         b["abs16"].view(np.uint8).reshape(-1),
         b["meta"].view(np.uint8).reshape(-1),
-        b["touch"].view(np.uint8).reshape(-1),
-        b["intens"].view(np.uint8).reshape(-1),
-        np.ascontiguousarray(tcand).view(np.uint8).reshape(-1),
     ]
+    if with_touch:
+        parts.append(b["touch"].view(np.uint8).reshape(-1))
+    if with_intensity:
+        parts.append(b["intens"].view(np.uint8).reshape(-1))
+    parts.append(np.ascontiguousarray(tcand).view(np.uint8).reshape(-1))
     return np.concatenate(parts)

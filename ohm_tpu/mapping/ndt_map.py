@@ -41,6 +41,8 @@ class TpuNdtMap(TpuRayMapper):
             map_obj.layout.add_intensity()
             map_obj.layout.add_hit_miss_count()
         self.miss_k = miss_k
+        #: Rayflow wire ships the per-ray intensity block (NDT-TM samples).
+        self._rayflow_intensity = True
 
         super().__init__(map_obj, capacity=capacity, segment_length=segment_length, validate=validate)
 

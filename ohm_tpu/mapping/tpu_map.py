@@ -192,7 +192,9 @@ class TpuRayMapper:
             return None
         self._k_cache_rf = max(getattr(self, "_k_cache_rf", 8), rf.table_k)
         self.arena.ensure_regions(rf.region_keys, host_map=self.map)
-        wire = rayflow_wire(rf, lambda rk: native.lookup_slots(rk, self.arena.table))
+        wire = rayflow_wire(rf, lambda rk: native.lookup_slots(rk, self.arena.table),
+                            with_touch=self.with_touch,
+                            with_intensity=getattr(self, "_rayflow_intensity", False))
         # Per-axis step bucket and candidate-table width K (monotone-cached;
         # each combination is a compiled program variant) and strided 8-ray
         # group cap, all exact from the host-quantised endpoint coords.
@@ -230,6 +232,7 @@ class TpuRayMapper:
     def _config(self, ray_flags: int, group_cap: int = 0,
                 max_steps: int | None = None, group_size: int = 64,
                 table_k: int = 0, walk_cap: int = 0) -> IntegrateConfig:
+        rayw_intensity = getattr(self, "_rayflow_intensity", False)
         m = self.map
         return IntegrateConfig(
             resolution=float(m.resolution),
@@ -255,6 +258,7 @@ class TpuRayMapper:
             group_size=group_size,
             table_k=table_k,
             walk_cap=walk_cap,
+            rayw_intensity=rayw_intensity,
             unordered_walk=bool(group_cap) and not (
                 int(ray_flags) & RayFlag.STOP_ON_FIRST_OCCUPIED),
         )

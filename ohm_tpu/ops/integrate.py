@@ -113,6 +113,12 @@ class IntegrateConfig:
     #: (a diagonal full ray reaches 3x its max per-axis count).
     walk_cap: int = 0
 
+    #: Rayflow wire carries the per-ray intensity block (NDT-TM); touch
+    #: rides only when with_touch_time.  Both default off, trimming the
+    #: wire 8 B/ray for plain occupancy/TSDF (every byte crosses the
+    #: serialised host->HBM tunnel).
+    rayw_intensity: bool = False
+
     #: Rank-based walk (ops.ddawalk.walk_rays_unordered): skip the per-ray
     #: event sort; records come out axis-major with the identical voxel set
     #: (same masked-key total order).  Only sensible with group compaction
@@ -189,16 +195,20 @@ def group_rows(flat, B, S, G):
 def _unpack_batch(batch, cfg=None):
     if "rayw" in batch:
         # Full-ray wire (mapping.batch.prepare_rayflow / rayflow_wire):
-        # per-RAY records, 52 + 4K B/ray — gmeta i32[8] | floats f32[R,7]
-        # (start_frac, dir, length) | abs16 u16[R,6] (endpoint voxels,
-        # bbox-relative) | meta u32 | touch u32 | intens f32 | tcand i32[R,K]
-        # (packed candidates: (slot+1) << 18 | bbox-relative region).
+        # per-RAY records, 44 + 4K (+4 touch when with_touch_time, +4
+        # intensity when rayw_intensity) B/ray — gmeta i32[8] | floats
+        # f32[R,7] (start_frac, dir, length) | abs16 u16[R,6] (endpoint
+        # voxels, bbox-relative) | meta u32 | [touch u32] | [intens f32] |
+        # tcand i32[R,K] (packed candidates: (slot+1)<<18 | bbox-rel region).
         # Endpoints were quantised on the host in f64, so the exact reference
         # crossing counts are preserved; every per-segment quantity of the
         # segmented wire is derived here instead.
         buf = batch["rayw"]
         K = cfg.table_k
-        R = (buf.shape[0] - 32) // (52 + 4 * K)
+        with_touch = cfg.with_touch_time if cfg is not None else True
+        with_intens = getattr(cfg, "rayw_intensity", False) if cfg is not None else True
+        bpr = 44 + 4 * K + (4 if with_touch else 0) + (4 if with_intens else 0)
+        R = (buf.shape[0] - 32) // bpr
         off = 0
 
         def take(nbytes):
@@ -213,8 +223,10 @@ def _unpack_batch(batch, cfg=None):
         a16 = jax.lax.bitcast_convert_type(
             take(12 * R).reshape(R, 6, 2), jnp.uint16).astype(jnp.int32)
         meta = jax.lax.bitcast_convert_type(take(4 * R).reshape(R, 4), jnp.uint32)
-        touch = jax.lax.bitcast_convert_type(take(4 * R).reshape(R, 4), jnp.uint32)
-        intens = jax.lax.bitcast_convert_type(take(4 * R).reshape(R, 4), jnp.float32)
+        touch = (jax.lax.bitcast_convert_type(take(4 * R).reshape(R, 4), jnp.uint32)
+                 if with_touch else jnp.zeros((R,), jnp.uint32))
+        intens = (jax.lax.bitcast_convert_type(take(4 * R).reshape(R, 4), jnp.float32)
+                  if with_intens else jnp.zeros((R,), jnp.float32))
         tcand = jax.lax.bitcast_convert_type(take(4 * K * R).reshape(R, K, 4), jnp.int32)
 
         dim = jnp.int32(1 << (cfg.region_shift if cfg is not None else 5))

@@ -185,3 +185,72 @@ class RayMapperTrace(TracingRayMapper):
             stamp=self.map.stamp,
         )
         return n
+
+
+def debug_draw(map_obj, trace: Trace, max_voxels: int = 200000):
+    """Whole-map snapshot event (reference: ohm/DebugDraw.h:17-32
+    debugDraw* send complete occupied/free/NDT-ellipsoid sets to 3es).
+
+    Emits one 'debug_draw' event with every observed voxel's centre, type
+    and value, plus NDT ellipsoids (pos/scale/axes) when a covariance layer
+    is present.  ``max_voxels`` bounds the payload; the count of omitted
+    voxels is reported so truncation is never silent.
+    """
+    from ohm_tpu.core.layout import OCCUPANCY_LAYER, COVARIANCE_LAYER, MEAN_LAYER
+    from ohm_tpu.core import keys as keymath
+    from ohm_tpu.core.subvoxel import sub_voxel_to_local_coord
+
+    occ_idx = map_obj.layer_index(OCCUPANCY_LAYER)
+    cov_idx = map_obj.layer_index(COVARIANCE_LAYER)
+    mean_idx = map_obj.layer_index(MEAN_LAYER)
+    dims = map_obj.region_voxel_dims
+    centres, values, kinds = [], [], []
+    ellipsoids = []
+    omitted = 0
+    for key, chunk in map_obj.chunks.items():
+        occ = chunk.layers[occ_idx][OCCUPANCY_LAYER]
+        sel = np.flatnonzero(np.isfinite(occ))
+        if not sel.size:
+            continue
+        if len(values) and len(values[0]) * len(values) > max_voxels:
+            omitted += sel.size
+            continue
+        local = keymath.local_key_from_index(sel, dims)
+        region = np.broadcast_to(np.asarray(key, np.int32), (len(sel), 3))
+        c = map_obj.voxel_centre_global(region, local)
+        centres.append(c)
+        values.append(occ[sel])
+        kinds.append(occ[sel] >= map_obj.occupancy_threshold_value)
+        if cov_idx >= 0:
+            occupied = np.flatnonzero(occ[sel] >= map_obj.occupancy_threshold_value)
+            for j in occupied[:256]:
+                idx = int(sel[j])
+                cov6 = np.array([chunk.layers[cov_idx][n][idx]
+                                 for n in ("P00", "P01", "P11", "P02", "P12", "P22")],
+                                np.float64)
+                s = np.zeros((3, 3))
+                s[0, 0], s[1, 0], s[1, 1], s[2, 0], s[2, 1], s[2, 2] = cov6
+                p = s @ s.T
+                w, v = np.linalg.eigh(p)
+                centre = c[j].copy()
+                if mean_idx >= 0:
+                    coord = chunk.layers[mean_idx]["coord"][idx]
+                    centre = centre + sub_voxel_to_local_coord(
+                        np.asarray([coord], np.uint32), map_obj.resolution)[0]
+                ellipsoids.append({"pos": centre.tolist(),
+                                   "scale": np.sqrt(np.maximum(w, 0)).tolist(),
+                                   "axes": v.tolist()})
+    if centres:
+        centres = np.concatenate(centres)
+        values = np.concatenate(values)
+        kinds = np.concatenate(kinds)
+    trace.event(
+        "debug_draw",
+        voxel_count=int(len(values)) if len(centres) else 0,
+        omitted=omitted,
+        centres=centres[:max_voxels] if len(centres) else [],
+        values=values[:max_voxels] if len(centres) else [],
+        occupied=kinds[:max_voxels] if len(centres) else [],
+        ellipsoids=ellipsoids,
+        stamp=map_obj.stamp,
+    )

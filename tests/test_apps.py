@@ -444,3 +444,39 @@ def test_ohmpop_from_las_end_to_end(tmp_path, scene):
     assert rc == 0
     assert os.path.exists(base + ".ohm")
     assert ohminfo.main([base + ".ohm"]) == 0
+
+
+def test_debug_draw_snapshot(tmp_path):
+    # Reference: ohm/DebugDraw.h:17-32 — whole-map voxel/ellipsoid snapshot
+    # pushed to the trace sink.
+    import json
+
+    from ohm_tpu.core.map import OccupancyMap
+    from ohm_tpu.utils.trace import Trace, debug_draw
+
+    m = OccupancyMap(resolution=0.2)
+    m.layout.add_covariance()
+    m.layout.add_mean()
+    m.integrate_rays(np.array([[0.0, 0.0, 0.0, 0.9, 0.1, 0.1]]))
+    occ_idx = m.layer_index("occupancy")
+    cov_idx = m.layer_index("covariance")
+    for _key, chunk in m.chunks.items():
+        occ = chunk.layers[occ_idx]["occupancy"]
+        sel = np.flatnonzero(occ > 0)
+        for name in ("P00", "P11", "P22"):
+            chunk.layers[cov_idx][name][sel] = 0.05
+    trace_file = str(tmp_path / "dd.jsonl")
+    with Trace(trace_file) as tr:
+        debug_draw(m, tr)
+    events = [json.loads(l) for l in open(trace_file)]
+    dd = [e for e in events if e["event"] == "debug_draw"]
+    assert len(dd) == 1
+    snap = dd[0]
+    assert snap["voxel_count"] == 5  # 4 free + 1 occupied along the ray
+    assert sum(snap["occupied"]) == 1
+    assert snap["omitted"] == 0
+    assert len(snap["ellipsoids"]) == 1
+    ell = snap["ellipsoids"][0]
+    assert ell["scale"] == pytest.approx([0.05] * 3, abs=1e-6)
+    # Mean offset applied: centre is near the sample, not the voxel centre.
+    assert np.allclose(ell["pos"], [0.9, 0.1, 0.1], atol=0.2)
