@@ -369,14 +369,16 @@ class PreparedRayflow:
 
     rpad: int                 # padded ray bucket
     n_rays: int               # accepted rays
-    bufs: dict                # floats f32[R,7], abs16 u16[R,6], meta u32[R], touch u32[R], intens f32[R]
+    bufs: dict                # floats f32[R,7], abs_i32 i32[R,6] (absolute
+                              # voxel coords), meta u32[R], touch u32[R],
+                              # intens f32[R], ray_table i32[n,32,3],
+                              # ray_count i32[n] (rayflow_build output dict)
     region_keys: np.ndarray   # i32 [R,3] unique crossed regions (allocation set)
     bbox: np.ndarray          # i32[6] region bbox (min xyz, max xyz)
     crossings: np.ndarray     # i32[rpad] total wall crossings per ray (0 pad)
     max_axis_steps: int       # max per-axis crossing count over the batch
     table_k: int              # candidate-table width (static bucket)
-    ray_table: np.ndarray     # i32 [rpad, K, 3] candidate regions (abs coords)
-    treg: np.ndarray          # i32 [rpad, K] packed bbox-relative candidates
+    params: object            # native.MapParamsStruct (for rayflow_finish)
 
 
 def prepare_rayflow(map_obj, rays, timestamps=None, intensities=None,
@@ -384,7 +386,13 @@ def prepare_rayflow(map_obj, rays, timestamps=None, intensities=None,
                     min_table_k: int = 8) -> PreparedRayflow | None:
     """Build the full-ray wire; returns None when unavailable (no native lib,
     >65535 rays, >63-region bbox extent, >32 regions on one ray) — the
-    caller falls back to the segmented path."""
+    caller falls back to the segmented path.
+
+    Single fused C++ pass (native.rayflow_build): region supercover DDA,
+    f64 endpoint quantisation, per-ray candidate tables, wire blocks and
+    crossing counts all come from one walk per ray — the prep is on the
+    one-core host's critical path between batches, so every numpy pass
+    removed here is throughput."""
     from ohm_tpu import native
     from ohm_tpu.core.rayflags import RayFlag
 
@@ -427,48 +435,28 @@ def prepare_rayflow(map_obj, rays, timestamps=None, intensities=None,
     params.resolution = float(map_obj.resolution)
     params.region_dim = int(map_obj.region_voxel_dims[0])
 
-    accept_all = np.ones(n_rays, np.uint8)
-    region_keys, bbox, ray_table, ray_count = native.ray_regions(
-        starts, ends, accept_all, params)
-    if ray_count.size and (ray_count.min() < 0 or ray_count.max() > 32):
+    rpad = _next_bucket(n_rays, min_bucket)
+    time_base = map_obj.first_ray_time if timestamps is not None else -1.0
+    bufs = native.rayflow_build(
+        starts, ends, filter_flags, timestamps, time_base, intensities,
+        bool(ray_update_flags & RayFlag.END_POINT_AS_FREE), params, rpad)
+    ray_count = bufs["ray_count"]
+    if ray_count.size and (int(ray_count.min()) < 0 or bufs["max_ray_k"] > 32):
         return None
+    bbox = bufs["bbox"]
     if np.any(bbox[3:6] - bbox[0:3] > 63):
         return None  # packed rel-region uses 6 bits per axis (one-i32 table)
     table_k = max(8, int(min_table_k))
-    kmax = int(ray_count.max()) if ray_count.size else 1
-    while table_k < kmax:
+    while table_k < max(bufs["max_ray_k"], 1):
         table_k += 8
-    bbox_min_vox = bbox[:3] * params.region_dim
-
-    rpad = _next_bucket(n_rays, min_bucket)
-    time_base = map_obj.first_ray_time if timestamps is not None else -1.0
-    bufs = native.fill_rayflow(
-        starts, ends, accept_all, filter_flags, timestamps, time_base,
-        intensities, bool(ray_update_flags & RayFlag.END_POINT_AS_FREE),
-        params, bbox_min_vox, rpad)
-
-    a16 = bufs["abs16"].astype(np.int32)
-    d = np.abs(a16[:, 3:6] - a16[:, 0:3])
-    crossings = d.sum(axis=1).astype(np.int32)
-    max_axis = int(d.max()) if n_rays else 0
-
-    # Packed bbox-relative candidate regions (6 bits/axis, low 18 bits);
-    # the arena slot rides in the high 14 bits at wire-assembly time
-    # (rayflow_wire).  Sentinel entries pack to -1 (slot bits negative), and
-    # the device only accepts matches whose decoded slot is >= 0.
-    tbl = np.full((rpad, table_k, 3), np.int32(-2**31), np.int32)
-    tbl[:n_rays] = ray_table[:, :table_k]
-    rel = tbl - bbox[0:3]
-    treg = np.where(
-        tbl[..., 0] == np.int32(-2**31), np.int32(-1),
-        rel[..., 0] | (rel[..., 1] << 6) | (rel[..., 2] << 12)).astype(np.int32)
     return PreparedRayflow(rpad=rpad, n_rays=n_rays, bufs=bufs,
-                           region_keys=region_keys, bbox=bbox,
-                           crossings=crossings, max_axis_steps=max_axis,
-                           table_k=table_k, ray_table=tbl, treg=treg)
+                           region_keys=bufs["region_keys"], bbox=bbox,
+                           crossings=bufs["crossings"],
+                           max_axis_steps=bufs["max_axis"],
+                           table_k=table_k, params=params)
 
 
-def rayflow_wire(prepared: PreparedRayflow, table_lookup,
+def rayflow_wire(prepared: PreparedRayflow, table,
                  with_touch: bool = True, with_intensity: bool = True) -> np.ndarray:
     """Assemble the single rayflow transfer buffer (after region allocation):
     [gmeta i32[8] | floats f32[R,7] | abs16 u16[R,6] | meta u32[R] |
@@ -476,26 +464,12 @@ def rayflow_wire(prepared: PreparedRayflow, table_lookup,
     blocks ride only when requested (8 B/ray off the occupancy/TSDF wire).
     tcand packs a candidate as (slot+1) << 18 | rel-region (6 bits/axis);
     sentinel/unallocated entries have non-positive slot bits and never
-    resolve.  ``table_lookup`` maps region triples -> arena slots (i32, -1
-    missing); requires slot < 8191 so (slot+1) << 18 stays below the int32
-    sign bit (the mapper gates the arena capacity accordingly)."""
-    R, K = prepared.treg.shape
-    slots = table_lookup(prepared.ray_table.reshape(-1, 3)).astype(np.int32)
-    tcand = np.where(prepared.treg >= 0,
-                     ((slots.reshape(R, K) + 1) << 18) | prepared.treg,
-                     np.int32(0)).astype(np.int32)
-    gmeta = np.zeros(8, np.int32)
-    gmeta[0:3] = prepared.bbox[0:3]
-    b = prepared.bufs
-    parts = [
-        gmeta.view(np.uint8).reshape(-1),
-        b["floats"].view(np.uint8).reshape(-1),
-        b["abs16"].view(np.uint8).reshape(-1),
-        b["meta"].view(np.uint8).reshape(-1),
-    ]
-    if with_touch:
-        parts.append(b["touch"].view(np.uint8).reshape(-1))
-    if with_intensity:
-        parts.append(b["intens"].view(np.uint8).reshape(-1))
-    parts.append(np.ascontiguousarray(tcand).view(np.uint8).reshape(-1))
-    return np.concatenate(parts)
+    resolve.  ``table`` is the arena's host hash table (slot resolution +
+    assembly run in one C++ pass — native.rayflow_finish); requires slot <
+    8191 so (slot+1) << 18 stays below the int32 sign bit (the mapper gates
+    the arena capacity accordingly)."""
+    from ohm_tpu import native
+
+    return native.rayflow_finish(
+        prepared.bufs, prepared.n_rays, prepared.rpad, prepared.table_k,
+        prepared.params, table, with_touch, with_intensity)

@@ -176,7 +176,6 @@ class TpuRayMapper:
         """Try the full-ray wire path; returns (batch dict, cfg, n_rays) or
         None to fall back to the segmented path.  See
         mapping.batch.prepare_rayflow / ops.integrate rayflow branch."""
-        from ohm_tpu import native
         from ohm_tpu.mapping.batch import prepare_rayflow, rayflow_wire
 
         if self.arena.capacity > 8191:
@@ -192,7 +191,7 @@ class TpuRayMapper:
             return None
         self._k_cache_rf = max(getattr(self, "_k_cache_rf", 8), rf.table_k)
         self.arena.ensure_regions(rf.region_keys, host_map=self.map)
-        wire = rayflow_wire(rf, lambda rk: native.lookup_slots(rk, self.arena.table),
+        wire = rayflow_wire(rf, self.arena.table,
                             with_touch=self.with_touch,
                             with_intensity=getattr(self, "_rayflow_intensity", False))
         # Per-axis step bucket and candidate-table width K (monotone-cached;

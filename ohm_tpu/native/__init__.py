@@ -72,7 +72,7 @@ def get_lib():
     lib = ctypes.CDLL(path)
     lib.count_segments.restype = ctypes.c_int64
     lib.unique_regions.restype = ctypes.c_int64
-    lib.ray_regions.restype = ctypes.c_int64
+    lib.rayflow_build.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -143,58 +143,84 @@ def compact_wire(ints, floats, flags, touch, region_dim: int, width: int,
     return out
 
 
-def ray_regions(starts, ends, accept, params: MapParamsStruct, cap: int = 65536,
-                ray_k: int = 32):
-    """Regions crossed by each accepted ray (region-level supercover DDA in
-    C++) deduplicated, plus the region bounding box and each ray's candidate
-    region table.  Returns (regions i32[n,3], bbox i32[6], ray_table
-    i32[n_rays, ray_k, 3] INT32_MIN-padded, ray_count i32[n_rays] with -1
-    marking per-ray table overflow)."""
-    lib = get_lib()
-    n_rays = len(starts)
-    out = np.empty((cap, 3), np.int32)
-    bbox = np.zeros(6, np.int32)
-    ray_table = np.full((n_rays, ray_k, 3), np.int32(-2**31), np.int32)
-    ray_count = np.zeros(n_rays, np.int32)
-    n = lib.ray_regions(
-        _ptr(starts, ctypes.c_double), _ptr(ends, ctypes.c_double),
-        _ptr(accept, ctypes.c_uint8), ctypes.c_int64(n_rays),
-        ctypes.byref(params), _ptr(out, ctypes.c_int32), ctypes.c_int64(cap),
-        _ptr(bbox, ctypes.c_int32), _ptr(ray_table, ctypes.c_int32),
-        ctypes.c_int32(ray_k), _ptr(ray_count, ctypes.c_int32))
-    if n < 0:
-        raise ValueError(f"more than {cap} unique regions in one ray batch")
-    return out[:n].copy(), bbox, ray_table, ray_count
-
-
-def fill_rayflow(starts, ends, accept, filter_flags, timestamps, time_base,
-                 intensities, sample_in_ray, params: MapParamsStruct,
-                 bbox_min_vox, rpad: int):
-    """Fill the rayflow per-ray wire blocks (floats/abs16/meta/touch/intens),
-    padded to ``rpad`` rays; rejected rays keep valid=0."""
+def rayflow_build(starts, ends, filter_flags, timestamps, time_base,
+                  intensities, sample_in_ray, params: MapParamsStruct,
+                  rpad: int, region_cap: int = 65536, ray_k: int = 32):
+    """Fused single-pass rayflow prep (region DDA + quantisation + wire
+    blocks + crossings); see batch_prep.cpp rayflow_build.  Returns a dict of
+    numpy arrays carrying all state to rayflow_finish; raises on global
+    region-cap overflow.  Per-ray candidate overflow shows as ray_count -1
+    (caller falls back to the segmented wire)."""
     lib = get_lib()
     n = len(starts)
+    regions = np.empty((region_cap, 3), np.int32)
+    bbox = np.zeros(6, np.int32)
+    # No sentinel fill: rayflow_finish reads only the first ray_count[i]
+    # entries of each row (3 MB/batch of memset saved on the 1-core host).
+    ray_table = np.empty((max(n, 1), ray_k, 3), np.int32)
+    ray_count = np.zeros(max(n, 1), np.int32)
     floats = np.zeros((rpad, 7), np.float32)
-    abs16 = np.zeros((rpad, 6), np.uint16)
+    abs_i32 = np.zeros((rpad, 6), np.int32)
     meta = np.zeros(rpad, np.uint32)
     touch = np.zeros(rpad, np.uint32)
     intens = np.zeros(rpad, np.float32)
-    bmin = np.ascontiguousarray(bbox_min_vox, np.int32)
+    crossings = np.zeros(rpad, np.int32)
+    stats = np.zeros(3, np.int32)
     ts = np.ascontiguousarray(timestamps, np.float64) if timestamps is not None else None
     iv = np.ascontiguousarray(intensities, np.float32) if intensities is not None else None
-    lib.fill_rayflow(
+    n_regions = lib.rayflow_build(
         _ptr(starts, ctypes.c_double), _ptr(ends, ctypes.c_double),
-        _ptr(accept, ctypes.c_uint8),
         _ptr(np.ascontiguousarray(filter_flags, np.uint32), ctypes.c_uint32),
         _ptr(ts, ctypes.c_double) if ts is not None else None,
-        ctypes.c_double(time_base), _ptr(iv, ctypes.c_float) if iv is not None else None,
+        ctypes.c_double(time_base),
+        _ptr(iv, ctypes.c_float) if iv is not None else None,
         ctypes.c_int64(n), ctypes.c_int(1 if sample_in_ray else 0),
-        ctypes.byref(params), _ptr(bmin, ctypes.c_int32),
-        _ptr(floats, ctypes.c_float), _ptr(abs16, ctypes.c_uint16),
+        ctypes.byref(params),
+        _ptr(regions, ctypes.c_int32), ctypes.c_int64(region_cap),
+        _ptr(bbox, ctypes.c_int32),
+        _ptr(ray_table, ctypes.c_int32), ctypes.c_int32(ray_k),
+        _ptr(ray_count, ctypes.c_int32),
+        _ptr(floats, ctypes.c_float), _ptr(abs_i32, ctypes.c_int32),
         _ptr(meta, ctypes.c_uint32), _ptr(touch, ctypes.c_uint32),
-        _ptr(intens, ctypes.c_float))
-    return {"floats": floats, "abs16": abs16, "meta": meta,
-            "touch": touch, "intens": intens}
+        _ptr(intens, ctypes.c_float), _ptr(crossings, ctypes.c_int32),
+        _ptr(stats, ctypes.c_int32))
+    if n_regions < 0:
+        raise ValueError(f"more than {region_cap} unique regions in one ray batch")
+    return {"region_keys": regions[:n_regions].copy(), "bbox": bbox,
+            "ray_table": ray_table, "ray_count": ray_count, "floats": floats,
+            "abs_i32": abs_i32, "meta": meta, "touch": touch, "intens": intens,
+            "crossings": crossings, "max_axis": int(stats[0]),
+            "max_crossings": int(stats[1]), "max_ray_k": int(stats[2])}
+
+
+def rayflow_finish(prep: dict, n_rays: int, rpad: int, table_k: int,
+                   params: MapParamsStruct, table, with_touch: bool,
+                   with_intensity: bool) -> np.ndarray:
+    """Resolve candidate slots against the arena hash table and assemble the
+    complete rayflow transfer buffer (one C pass; layout documented on
+    batch_prep.cpp rayflow_finish)."""
+    lib = get_lib()
+    nbytes = 32 + rpad * (28 + 12 + 4 + (4 if with_touch else 0)
+                          + (4 if with_intensity else 0) + 4 * table_k)
+    wire = np.zeros(nbytes, np.uint8)
+    ray_k = prep["ray_table"].shape[1]
+    lib.rayflow_finish(
+        ctypes.c_int64(n_rays), ctypes.c_int64(rpad),
+        ctypes.c_int32(ray_k), ctypes.c_int32(table_k),
+        _ptr(prep["bbox"], ctypes.c_int32), ctypes.byref(params),
+        _ptr(prep["floats"], ctypes.c_float),
+        _ptr(prep["abs_i32"], ctypes.c_int32),
+        _ptr(prep["meta"], ctypes.c_uint32),
+        _ptr(prep["touch"], ctypes.c_uint32),
+        _ptr(prep["intens"], ctypes.c_float),
+        _ptr(prep["ray_table"], ctypes.c_int32),
+        _ptr(prep["ray_count"], ctypes.c_int32),
+        _ptr(table.ab, ctypes.c_int32), _ptr(table.z, ctypes.c_int32),
+        _ptr(table.slot, ctypes.c_int32), ctypes.c_int32(table.table_size),
+        ctypes.c_int(1 if with_touch else 0),
+        ctypes.c_int(1 if with_intensity else 0),
+        _ptr(wire, ctypes.c_uint8))
+    return wire
 
 
 def lookup_slots(regions, table):

@@ -58,6 +58,112 @@ inline void quantise(const MapParams& p, const double* pt, int32_t* abs_out,
   }
 }
 
+// Walk ONE ray at region granularity (supercover DDA + grazing margins +
+// endpoint wall-proximity margins), calling emit(r) for every candidate
+// region the device's f32 voxel walk could visit.  Fills abs0/abs1 with the
+// f64 two-step quantised endpoint voxel coords.  Returns false when emit
+// aborts (global region cap overflow).  Used by rayflow_build.
+template <class EmitFn>
+inline bool walk_ray_regions(const MapParams& p, const double* s, const double* e,
+                             int32_t* abs0, int32_t* abs1, double* c0,
+                             EmitFn&& emit) {
+  double c1[3];
+  quantise(p, s, abs0, c0);
+  quantise(p, e, abs1, c1);
+  const int32_t dim = p.region_dim;
+  int32_t r0[3], r1[3];
+  for (int a = 0; a < 3; ++a) {
+    r0[a] = abs0[a] >= 0 ? abs0[a] / dim : -(((-abs0[a]) + dim - 1) / dim);
+    r1[a] = abs1[a] >= 0 ? abs1[a] / dim : -(((-abs1[a]) + dim - 1) / dim);
+  }
+  // Walk the voxel-space line at region granularity: supercover DDA over
+  // region cells (includes diagonal neighbours at crossings, so every
+  // voxel the f32 device walk can visit lies in an emitted region).
+  double d[3] = {(double)(abs1[0] - abs0[0]), (double)(abs1[1] - abs0[1]),
+                 (double)(abs1[2] - abs0[2])};
+  int32_t cur[3] = {r0[0], r0[1], r0[2]};
+  if (!emit(cur)) return false;
+  const double len2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2];
+  if (len2 > 0) {
+    int32_t steps_total = 0;
+    for (int a = 0; a < 3; ++a) steps_total += std::abs(r1[a] - r0[a]);
+    // t in units of the voxel-coordinate line parameter [0, 1].
+    double tnext[3], dt[3];
+    int32_t stp[3];
+    for (int a = 0; a < 3; ++a) {
+      stp[a] = d[a] > 0 ? 1 : (d[a] < 0 ? -1 : 0);
+      if (d[a] == 0) { tnext[a] = 2.0; dt[a] = 2.0; continue; }
+      // voxel coordinate of next region wall in direction of travel
+      const double wall = (double)(d[a] > 0 ? (cur[a] + 1) * dim : cur[a] * dim)
+                          - 0.5;  // walls between voxel dim-1 and dim
+      tnext[a] = (wall - (double)abs0[a]) / d[a];
+      dt[a] = (double)dim / std::abs(d[a]);
+    }
+    for (int32_t k = 0; k < steps_total; ++k) {
+      int ax = 0;
+      if (tnext[1] < tnext[ax]) ax = 1;
+      if (tnext[2] < tnext[ax]) ax = 2;
+      const double t = tnext[ax];
+      cur[ax] += stp[ax];
+      tnext[ax] += dt[ax];
+      if (!emit(cur)) return false;
+      // Supercover margin: the device's f32 walk follows the continuous
+      // ray, which deviates from this lattice chord by <= ~1 voxel (the
+      // endpoint quantisation error interpolates linearly).  When the
+      // crossing point is within 2 voxels of a wall on ANOTHER axis, the
+      // deviated path may cross the two walls in the other order; emit
+      // both the diagonal region AND the transposed-order intermediate
+      // (this cell with the just-stepped axis un-stepped).
+      int32_t near_db[3] = {0, 0, 0};
+      for (int b = 0; b < 3; ++b) {
+        if (b == ax || d[b] == 0) continue;
+        const double vb = (double)abs0[b] + t * d[b];     // voxel coord
+        const double fr = vb - (double)(cur[b] * dim);    // within region
+        const int32_t db = fr < 1.5 ? -1 : (fr > (double)dim - 1.5 ? 1 : 0);
+        if (db == 0) continue;
+        near_db[b] = db;
+        int32_t nb[3] = {cur[0], cur[1], cur[2]};
+        nb[b] += db;
+        if (!emit(nb)) return false;
+        nb[ax] -= stp[ax];
+        if (!emit(nb)) return false;
+      }
+      // Triple-corner case: BOTH other axes near a wall — transposed
+      // orders can also visit the double-diagonal cells.
+      if ((!!near_db[0] + !!near_db[1] + !!near_db[2]) == 2) {
+        int32_t nb[3] = {cur[0] + near_db[0], cur[1] + near_db[1],
+                         cur[2] + near_db[2]};
+        if (!emit(nb)) return false;
+        nb[ax] -= stp[ax];
+        if (!emit(nb)) return false;
+      }
+    }
+  }
+  // Endpoint proximity margin: wall distance per axis is affine along the
+  // ray, so its extremes are at the endpoints or at crossings (all checked
+  // in the loop above).  Emit wall neighbours of the endpoint regions when
+  // the endpoint voxel sits within 2 voxels of a region wall.
+  const int32_t* epts[2] = {abs0, abs1};
+  const int32_t* regs[2] = {r0, r1};
+  for (int epi = 0; epi < 2; ++epi) {
+    int32_t db[3] = {0, 0, 0};
+    for (int b = 0; b < 3; ++b) {
+      const double fr = (double)epts[epi][b] - (double)(regs[epi][b] * dim);
+      db[b] = fr < 1.5 ? -1 : (fr > (double)dim - 1.5 ? 1 : 0);
+    }
+    // All wall-neighbour combinations (up to 7 when near a corner).
+    for (int c = 1; c < 8; ++c) {
+      if (((c & 1) && !db[0]) || ((c & 2) && !db[1]) || ((c & 4) && !db[2]))
+        continue;
+      int32_t nb[3] = {regs[epi][0] + ((c & 1) ? db[0] : 0),
+                       regs[epi][1] + ((c & 2) ? db[1] : 0),
+                       regs[epi][2] + ((c & 4) ? db[2] : 0)};
+      if (!emit(nb)) return false;
+    }
+  }
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -286,38 +392,42 @@ void compact_wire(const int32_t* ints, const float* floats, const uint8_t* flags
   std::memcpy((uint8_t*)(i16 + 11 * b), flags, 4 * b);
 }
 
-// ------------------------------------------------------------------------- //
-// Full-ray wire ("rayflow"): per-RAY records with device-side segmentation.
-// The host quantises only the two ray endpoints (f64 two-step, exact
-// reference semantics for the crossing counts) and enumerates the regions a
-// ray passes through (region-level DDA) for arena allocation + the dense
-// slot grid; everything per-visit happens on device (ops/integrate.py
-// consumes the rayw wire).  Layout per accepted ray, SoA blocks over Rpad:
-//   floats f32[Rpad, 7]: start_frac xyz | dir xyz | length
-//   abs16  u16[Rpad, 6]: start/end voxel coords relative to bbox_min_vox
-//   meta   u32[Rpad]:    flags (bit0 valid, bit1 sample_in_ray/end_as_miss)
-//   touch  u32[Rpad], intens f32[Rpad] (always present; zero when unused)
-// plus the region bounding box of the batch (i32[6]: min xyz / max xyz,
-// region coords) returned via bbox_out.
-
-// Enumerate regions crossed by each accepted ray into a hash set and emit
-// unique region triples + the region bbox.  Returns unique count or -1 on
-// cap overflow.  Region-level 3D DDA in f64.
+// ---------------------------------------------------------------------------
+// Fused rayflow prep (round 3).  The two-call legacy path (ray_regions then
+// fill_rayflow) quantised every endpoint twice and left crossing counts and
+// candidate packing to numpy; at 8k rays that put ~10 ms of host work on the
+// ONE-core critical path between batches.  The fused path walks each ray
+// exactly once:
 //
-// Additionally fills each ray's CANDIDATE REGION list (its crossed regions
-// plus grazing margins, deduplicated): ray_table i32[n, ray_k, 3] padded
-// with INT32_MIN triples, ray_count i32[n] (the count, or -1 when a ray
-// needs more than ray_k entries — caller falls back).  The device resolves
-// record slots by comparing each record's region against its ray's K
-// candidates (vector equality select — no gathers; the full-ray analogue of
-// the segmented path's 8 corner slots).
-int64_t ray_regions(const double* starts, const double* ends, const uint8_t* accept,
-                    int64_t n, const MapParams* params, int32_t* out, int64_t cap,
-                    int32_t* bbox_out, int32_t* ray_table, int32_t ray_k,
-                    int32_t* ray_count) {
+//   rayflow_build  — region DDA + quantisation + wire blocks + crossings in
+//                    a single pass (before region allocation);
+//   rayflow_finish — after the Python side has allocated regions into the
+//                    arena, resolves candidate slots against the arena hash
+//                    table and assembles the complete transfer buffer
+//                    (layout: mapping.batch wire docstring) in one pass.
+//
+// All state between the calls lives in caller-allocated numpy arrays — no
+// opaque handles to leak.
+
+// Single-pass build.  Returns the unique region count, or -1 when it would
+// exceed region_cap.  Per-ray candidate-table overflow (> ray_k regions on
+// one ray) is reported via ray_count[i] = -1; the caller falls back to the
+// segmented wire.  stats_out: [0] max per-axis crossing count, [1] max total
+// crossings, [2] max per-ray candidate count.
+int64_t rayflow_build(const double* starts, const double* ends,
+                      const uint32_t* filter_flags, const double* timestamps,
+                      double time_base, const float* intensities,
+                      int64_t n_rays, int sample_in_ray_flag,
+                      const MapParams* params,
+                      int32_t* regions_out, int64_t region_cap,
+                      int32_t* bbox_out,
+                      int32_t* ray_table, int32_t ray_k, int32_t* ray_count,
+                      float* floats, int32_t* abs_i32, uint32_t* meta,
+                      uint32_t* touch, float* intens, int32_t* crossings,
+                      int32_t* stats_out) {
   const MapParams p = *params;
   int64_t table_size = 1024;
-  while (table_size < 4 * cap) table_size <<= 1;
+  while (table_size < 4 * region_cap) table_size <<= 1;
   constexpr int64_t kEmpty = INT64_MAX;
   int64_t* table = new int64_t[table_size];
   for (int64_t i = 0; i < table_size; ++i) table[i] = kEmpty;
@@ -325,6 +435,7 @@ int64_t ray_regions(const double* starts, const double* ends, const uint8_t* acc
   int64_t count = 0;
   int32_t bmin[3] = {INT32_MAX, INT32_MAX, INT32_MAX};
   int32_t bmax[3] = {INT32_MIN, INT32_MIN, INT32_MIN};
+  int32_t max_axis = 0, max_cross = 0, max_k = 0;
 
   int32_t* cur_table = nullptr;
   int32_t cur_count = 0;
@@ -348,9 +459,9 @@ int64_t ray_regions(const double* starts, const double* ends, const uint8_t* acc
     for (;;) {
       if (table[idx] == key) return true;
       if (table[idx] == kEmpty) {
-        if (count >= cap) return false;
+        if (count >= region_cap) return false;
         table[idx] = key;
-        int32_t* o = out + 3 * count;
+        int32_t* o = regions_out + 3 * count;
         o[0] = r[0]; o[1] = r[1]; o[2] = r[2];
         for (int a = 0; a < 3; ++a) {
           if (r[a] < bmin[a]) bmin[a] = r[a];
@@ -363,159 +474,125 @@ int64_t ray_regions(const double* starts, const double* ends, const uint8_t* acc
     }
   };
 
-  for (int64_t i = 0; i < n; ++i) {
+  for (int64_t i = 0; i < n_rays; ++i) {
     cur_table = ray_table + (int64_t)3 * ray_k * i;
     cur_count = 0;
-    if (!accept[i]) { ray_count[i] = 0; continue; }
     const double* s = starts + 3 * i;
     const double* e = ends + 3 * i;
-    // Region-space DDA from start to end region (conservative: the voxel
-    // walk stays within the regions its VOXELS touch; voxel quantisation
-    // matches quantise(), so walk voxels' regions are covered by walking
-    // region boundaries of the segment between the two quantised points,
-    // padded by one region when the ray grazes a boundary).
     int32_t abs0[3], abs1[3];
-    double c0[3], c1[3];
-    quantise(p, s, abs0, c0);
-    quantise(p, e, abs1, c1);
-    const int32_t dim = p.region_dim;
-    int32_t r0[3], r1[3];
-    for (int a = 0; a < 3; ++a) {
-      r0[a] = abs0[a] >= 0 ? abs0[a] / dim : -(((-abs0[a]) + dim - 1) / dim);
-      r1[a] = abs1[a] >= 0 ? abs1[a] / dim : -(((-abs1[a]) + dim - 1) / dim);
-    }
-    // Walk the voxel-space line at region granularity: supercover DDA over
-    // region cells (includes diagonal neighbours at crossings, so every
-    // voxel the f32 device walk can visit lies in an emitted region).
-    double d[3] = {(double)(abs1[0] - abs0[0]), (double)(abs1[1] - abs0[1]),
-                   (double)(abs1[2] - abs0[2])};
-    int32_t cur[3] = {r0[0], r0[1], r0[2]};
-    if (!emit(cur)) { delete[] table; return -1; }
-    const double len2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2];
-    if (len2 > 0) {
-      int32_t steps_total = 0;
-      for (int a = 0; a < 3; ++a) steps_total += std::abs(r1[a] - r0[a]);
-      // t in units of the voxel-coordinate line parameter [0, 1].
-      double tnext[3], dt[3];
-      int32_t stp[3];
-      for (int a = 0; a < 3; ++a) {
-        stp[a] = d[a] > 0 ? 1 : (d[a] < 0 ? -1 : 0);
-        if (d[a] == 0) { tnext[a] = 2.0; dt[a] = 2.0; continue; }
-        // voxel coordinate of next region wall in direction of travel
-        const double wall = (double)(d[a] > 0 ? (cur[a] + 1) * dim : cur[a] * dim)
-                            - 0.5;  // walls between voxel dim-1 and dim
-        tnext[a] = (wall - (double)abs0[a]) / d[a];
-        dt[a] = (double)dim / std::abs(d[a]);
-      }
-      for (int32_t k = 0; k < steps_total; ++k) {
-        int ax = 0;
-        if (tnext[1] < tnext[ax]) ax = 1;
-        if (tnext[2] < tnext[ax]) ax = 2;
-        const double t = tnext[ax];
-        cur[ax] += stp[ax];
-        tnext[ax] += dt[ax];
-        if (!emit(cur)) { delete[] table; return -1; }
-        // Supercover margin: the device's f32 walk follows the continuous
-        // ray, which deviates from this lattice chord by <= ~1 voxel (the
-        // endpoint quantisation error interpolates linearly).  When the
-        // crossing point is within 2 voxels of a wall on ANOTHER axis, the
-        // deviated path may cross the two walls in the other order; emit
-        // both the diagonal region AND the transposed-order intermediate
-        // (this cell with the just-stepped axis un-stepped).
-        int32_t near_db[3] = {0, 0, 0};
-        for (int b = 0; b < 3; ++b) {
-          if (b == ax || d[b] == 0) continue;
-          const double vb = (double)abs0[b] + t * d[b];     // voxel coord
-          const double fr = vb - (double)(cur[b] * dim);    // within region
-          const int32_t db = fr < 1.5 ? -1 : (fr > (double)dim - 1.5 ? 1 : 0);
-          if (db == 0) continue;
-          near_db[b] = db;
-          int32_t nb[3] = {cur[0], cur[1], cur[2]};
-          nb[b] += db;
-          if (!emit(nb)) { delete[] table; return -1; }
-          nb[ax] -= stp[ax];
-          if (!emit(nb)) { delete[] table; return -1; }
-        }
-        // Triple-corner case: BOTH other axes near a wall — transposed
-        // orders can also visit the double-diagonal cells.
-        if ((!!near_db[0] + !!near_db[1] + !!near_db[2]) == 2) {
-          int32_t nb[3] = {cur[0] + near_db[0], cur[1] + near_db[1],
-                           cur[2] + near_db[2]};
-          if (!emit(nb)) { delete[] table; return -1; }
-          nb[ax] -= stp[ax];
-          if (!emit(nb)) { delete[] table; return -1; }
-        }
-      }
-    }
-    // Endpoint proximity margin: wall distance per axis is affine along the
-    // ray, so its extremes are at the endpoints or at crossings (all checked
-    // in the loop above).  Emit wall neighbours of the endpoint regions when
-    // the endpoint voxel sits within 2 voxels of a region wall.
-    const int32_t* epts[2] = {abs0, abs1};
-    const int32_t* regs[2] = {r0, r1};
-    for (int epi = 0; epi < 2; ++epi) {
-      int32_t db[3] = {0, 0, 0};
-      for (int b = 0; b < 3; ++b) {
-        const double fr = (double)epts[epi][b] - (double)(regs[epi][b] * dim);
-        db[b] = fr < 1.5 ? -1 : (fr > (double)dim - 1.5 ? 1 : 0);
-      }
-      // All wall-neighbour combinations (up to 7 when near a corner).
-      for (int c = 1; c < 8; ++c) {
-        if (((c & 1) && !db[0]) || ((c & 2) && !db[1]) || ((c & 4) && !db[2]))
-          continue;
-        int32_t nb[3] = {regs[epi][0] + ((c & 1) ? db[0] : 0),
-                         regs[epi][1] + ((c & 2) ? db[1] : 0),
-                         regs[epi][2] + ((c & 4) ? db[2] : 0)};
-        if (!emit(nb)) { delete[] table; return -1; }
-      }
+    double c0[3];
+    if (!walk_ray_regions(p, s, e, abs0, abs1, c0, emit)) {
+      delete[] table;
+      return -1;
     }
     ray_count[i] = cur_count;
+    if (cur_count > max_k) max_k = cur_count;
+
+    // Wire blocks (mapping.batch rayflow layout), absolute voxel coords —
+    // the bbox-relative u16 conversion happens in rayflow_finish once the
+    // batch bbox is final.
+    double delta[3] = {e[0] - s[0], e[1] - s[1], e[2] - s[2]};
+    const double len = std::sqrt(delta[0] * delta[0] + delta[1] * delta[1]
+                                 + delta[2] * delta[2]);
+    float* F = floats + 7 * i;
+    int32_t* A = abs_i32 + 6 * i;
+    int32_t cross = 0;
+    for (int a = 0; a < 3; ++a) {
+      F[a] = (float)(s[a] - c0[a]);
+      F[3 + a] = (float)(len > 0 ? delta[a] / len : 0.0);
+      A[a] = abs0[a];
+      A[3 + a] = abs1[a];
+      const int32_t d = std::abs(abs1[a] - abs0[a]);
+      cross += d;
+      if (d > max_axis) max_axis = d;
+    }
+    F[6] = (float)len;
+    crossings[i] = cross;
+    if (cross > max_cross) max_cross = cross;
+    const bool clipped_end = filter_flags && (filter_flags[i] & 4u);
+    meta[i] = 1u | ((clipped_end || sample_in_ray_flag) ? 2u : 0u);
+    touch[i] = (timestamps && time_base >= 0)
+        ? (uint32_t)((timestamps[i] - time_base) / 0.001) : 0u;
+    intens[i] = intensities ? intensities[i] : 0.0f;
   }
   delete[] table;
   for (int a = 0; a < 3; ++a) {
     bbox_out[a] = count ? bmin[a] : 0;
     bbox_out[3 + a] = count ? bmax[a] : 0;
   }
+  stats_out[0] = max_axis;
+  stats_out[1] = max_cross;
+  stats_out[2] = max_k;
   return count;
 }
 
-// Fill the rayflow wire buffers.  Rpad is the padded ray bucket; rays are
-// written at their original index i (< Rpad).  bbox_min_vox = bbox_min
-// region * region_dim (voxel coords of the grid origin).
-void fill_rayflow(const double* starts, const double* ends, const uint8_t* accept,
-                  const uint32_t* filter_flags, const double* timestamps,
-                  double time_base, const float* intensities, int64_t n_rays,
-                  int sample_in_ray_flag, const MapParams* params,
-                  const int32_t* bbox_min_vox,
-                  float* floats, uint16_t* abs16, uint32_t* meta,
-                  uint32_t* touch, float* intens) {
-  const MapParams p = *params;
+// Assemble the complete rayflow transfer buffer.  wire_out must be
+// pre-zeroed and sized 32 + rpad*(28 + 12 + 4 [+4 touch] [+4 intens] + 4*K)
+// bytes; rows >= n_rays stay zero (valid bit 0, tcand 0).  Candidate slot
+// resolution probes the arena hash table with the same sequence as
+// lookup_slots / ops.regiontable; every candidate was emitted to the
+// allocation set by rayflow_build, so lookups only miss if the caller
+// skipped ensure_regions (such entries pack slot bits <= 0 and never
+// resolve on device).
+void rayflow_finish(int64_t n_rays, int64_t rpad, int32_t ray_k, int32_t out_k,
+                    const int32_t* bbox, const MapParams* params,
+                    const float* floats, const int32_t* abs_i32,
+                    const uint32_t* meta, const uint32_t* touch,
+                    const float* intens,
+                    const int32_t* ray_table, const int32_t* ray_count,
+                    const int32_t* tab_ab, const int32_t* tab_z,
+                    const int32_t* tab_slot, int32_t table_size,
+                    int with_touch, int with_intensity, uint8_t* wire_out) {
+  const int32_t dim = params->region_dim;
+  const int32_t bmin_vox[3] = {bbox[0] * dim, bbox[1] * dim, bbox[2] * dim};
+  uint8_t* w = wire_out;
+  // gmeta i32[8]: bbox min region coords, rest zero.
+  std::memcpy(w, bbox, 3 * sizeof(int32_t));
+  w += 8 * sizeof(int32_t);
+  std::memcpy(w, floats, (size_t)rpad * 7 * sizeof(float));
+  w += (size_t)rpad * 7 * sizeof(float);
+  uint16_t* a16 = (uint16_t*)w;
   for (int64_t i = 0; i < n_rays; ++i) {
-    if (!accept[i]) continue;  // buffers are pre-zeroed; valid bit stays 0
-    const double* s = starts + 3 * i;
-    const double* e = ends + 3 * i;
-    double delta[3] = {e[0] - s[0], e[1] - s[1], e[2] - s[2]};
-    const double len = std::sqrt(delta[0] * delta[0] + delta[1] * delta[1]
-                                 + delta[2] * delta[2]);
-    int32_t abs0[3], abs1[3];
-    double c0[3], c1[3];
-    quantise(p, s, abs0, c0);
-    quantise(p, e, abs1, c1);
-    float* F = floats + 7 * i;
-    uint16_t* A = abs16 + 6 * i;
+    const int32_t* A = abs_i32 + 6 * i;
+    uint16_t* O = a16 + 6 * i;
     for (int a = 0; a < 3; ++a) {
-      F[a] = (float)(s[a] - c0[a]);
-      F[3 + a] = (float)(len > 0 ? delta[a] / len : 0.0);
-      A[a] = (uint16_t)(abs0[a] - bbox_min_vox[a]);
-      A[3 + a] = (uint16_t)(abs1[a] - bbox_min_vox[a]);
+      O[a] = (uint16_t)(A[a] - bmin_vox[a]);
+      O[3 + a] = (uint16_t)(A[3 + a] - bmin_vox[a]);
     }
-    F[6] = (float)len;
-    const bool clipped_end = (filter_flags && (filter_flags[i] & 4u)) != 0;
-    const bool fold_sample = clipped_end || sample_in_ray_flag;
-    meta[i] = 1u | (fold_sample ? 2u : 0u);
-    touch[i] = (timestamps && time_base >= 0)
-        ? (uint32_t)((timestamps[i] - time_base) / 0.001) : 0u;
-    intens[i] = intensities ? intensities[i] : 0.0f;
+  }
+  w += (size_t)rpad * 6 * sizeof(uint16_t);
+  std::memcpy(w, meta, (size_t)rpad * sizeof(uint32_t));
+  w += (size_t)rpad * sizeof(uint32_t);
+  if (with_touch) {
+    std::memcpy(w, touch, (size_t)rpad * sizeof(uint32_t));
+    w += (size_t)rpad * sizeof(uint32_t);
+  }
+  if (with_intensity) {
+    std::memcpy(w, intens, (size_t)rpad * sizeof(float));
+    w += (size_t)rpad * sizeof(float);
+  }
+  int32_t* tcand = (int32_t*)w;
+  const int32_t mask = table_size - 1;
+  for (int64_t i = 0; i < n_rays; ++i) {
+    const int32_t* rt = ray_table + (int64_t)3 * ray_k * i;
+    int32_t* tc = tcand + (int64_t)out_k * i;
+    const int32_t kn = ray_count[i] < out_k ? ray_count[i] : out_k;
+    for (int32_t j = 0; j < kn; ++j) {
+      const int32_t x = rt[3 * j + 0], y = rt[3 * j + 1], z = rt[3 * j + 2];
+      const int32_t ab = (x & 0xFFFF) | (int32_t)((uint32_t)y << 16);
+      int32_t h = (int32_t)((uint32_t)(x * 73856093) ^ (uint32_t)(y * 19349669)
+                            ^ (uint32_t)(z * 83492791)) & mask;
+      int32_t slot = -1;
+      for (int k = 0; k < 8; ++k) {
+        const int32_t idx = (h + k) & mask;
+        if (tab_slot[idx] >= 0 && tab_ab[idx] == ab && tab_z[idx] == z) {
+          slot = tab_slot[idx];
+          break;
+        }
+      }
+      tc[j] = ((slot + 1) << 18)
+              | (x - bbox[0]) | ((y - bbox[1]) << 6) | ((z - bbox[2]) << 12);
+    }
   }
 }
 

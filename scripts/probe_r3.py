@@ -2,15 +2,17 @@
 
 Measures, on the real chip with readback fences (block_until_ready lies on
 this runtime — see docs/STATUS.md):
-  - readback RTT floor
+  - readback RTT floor + jit dispatch overhead
   - host prep (rayflow) per 8k-ray batch
   - wire transfer (device otherwise idle)
   - expand phase per batch
-  - expand + delta apply per batch
-  - expand + split-phase apply per batch
+  - split-phase apply, uncapped deposit
+  - split-phase apply, compacted deposit (scatter_cap, the bench default)
+  - monolithic expand+apply in ONE dispatch (tunnel RTT amortisation probe)
 Run SOLO on a rested tunnel: python -u scripts/probe_r3.py
 """
 
+import dataclasses
 import sys
 import time
 
@@ -28,7 +30,7 @@ import jax.numpy as jnp
 from ohm_tpu.core.map import OccupancyMap, MapFlag
 from ohm_tpu.mapping.tpu_map import TpuRayMapper
 from ohm_tpu.ops.integrate import (
-    expand_records_jit, apply_records_jit, apply_delta_jit, delta_path_ok)
+    expand_records_jit, apply_records_jit, integrate_occupancy_jit)
 import bench as benchmod
 
 N_RAYS = 8192
@@ -45,8 +47,9 @@ def main():
     mapper = TpuRayMapper(m, capacity=512, scatter_cap=1 << 19)
     rays_list = [benchmod.box_scene_rays(N_RAYS, rng) for _ in range(N + 4)]
     print(f"devices: {jax.devices()}", flush=True)
+    mapper.prime_caps(rays_list)
 
-    # Warm through the real mapper (compiles expand/delta variants + caps).
+    # Warm through the real mapper (compiles expand/apply variants + caps).
     for b in rays_list[:4]:
         mapper.integrate_rays(b)
     fence(mapper.arena.arrays["occupancy"])
@@ -60,8 +63,8 @@ def main():
     stream = (N_RAYS // cfg.group_size) * cfg.group_cap
     print(f"cfg: group_size={cfg.group_size} group_cap={cfg.group_cap} "
           f"stream={stream} ({stream/N_RAYS:.0f} rec/ray) "
-          f"wire={wires_np[0].nbytes/1e6:.2f} MB scatter_cap={cfg.scatter_cap}",
-          flush=True)
+          f"wire={wires_np[0].nbytes/1e6:.2f} MB scatter_cap={cfg.scatter_cap} "
+          f"table_k={cfg.table_k}", flush=True)
     print(f"host prep: {t_prep*1e3:.2f} ms/batch", flush=True)
 
     # Readback RTT floor.
@@ -72,6 +75,17 @@ def main():
         fence(small)
     rtt = (time.perf_counter() - t0) / 10
     print(f"readback RTT: {rtt*1e3:.2f} ms", flush=True)
+
+    # Dispatch overhead: N trivial jit calls chained, one fence.
+    tiny = jax.jit(lambda x: x + 1.0)
+    y = tiny(small)
+    fence(y)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        y = tiny(y)
+    fence(y)
+    t_disp = (time.perf_counter() - t0 - rtt) / 10
+    print(f"tiny dispatch: {t_disp*1e3:.2f} ms/call", flush=True)
 
     # Wire transfer, device idle: asarray is async; fence on the LAST buffer
     # only (prior transfers must have completed in order).
@@ -84,45 +98,52 @@ def main():
     batches = [{"rayw": b} for b in bufs]
 
     # Expand-only chain.
+    recs0, _ = expand_records_jit(batches[0], cfg)  # warm
+    fence(recs0["key"][:4])
     t0 = time.perf_counter()
     recs = [expand_records_jit(b, cfg)[0] for b in batches]
-    for r in recs:
-        pass
     fence(recs[-1]["key"][:4])
     t_exp = (time.perf_counter() - t0 - rtt) / N
     print(f"expand: {t_exp*1e3:.2f} ms/batch "
           f"({t_exp/stream*1e9:.2f} ns/record)", flush=True)
 
-    # Delta apply chain (uses precomputed records; donates occupancy).
-    assert delta_path_ok(cfg), "probe expects the delta path to be valid"
-    occ = mapper.arena.arrays["occupancy"]
-    t0 = time.perf_counter()
-    for r in recs:
-        with jax.enable_x64(True):
-            occ, _ = apply_delta_jit(occ, r["key"], cfg)
-    fence(occ[:4])
-    t_delta = (time.perf_counter() - t0 - rtt) / N
-    mapper.arena.arrays["occupancy"] = occ
-    print(f"delta apply: {t_delta*1e3:.2f} ms/batch "
-          f"({t_delta/stream*1e9:.2f} ns/record)", flush=True)
-
-    # Split-phase apply chain (donates full state).
-    cfg0 = mapper._config(0, group_cap=cfg.group_cap,
-                          max_steps=cfg.max_steps, group_size=cfg.group_size,
-                          table_k=cfg.table_k, walk_cap=cfg.walk_cap)
-    import dataclasses
-    cfg0 = dataclasses.replace(cfg0, scatter_cap=0)
+    # Split-phase apply, uncapped deposit.
+    cfg0 = dataclasses.replace(cfg, scatter_cap=0)
     state = dict(mapper.arena.arrays)
-    # warm compile
-    state, _ = apply_records_jit(state, recs[0], batches[0], cfg0)
+    state, _, _ = apply_records_jit(state, recs[0], batches[0], cfg0)  # warm
     fence(state["occupancy"][:4])
     t0 = time.perf_counter()
     for r, b in zip(recs, batches):
-        state, _ = apply_records_jit(state, r, b, cfg0)
+        state, _, _ = apply_records_jit(state, r, b, cfg0)
     fence(state["occupancy"][:4])
     t_split = (time.perf_counter() - t0 - rtt) / N
-    print(f"split apply: {t_split*1e3:.2f} ms/batch "
+    print(f"split apply (uncapped): {t_split*1e3:.2f} ms/batch "
           f"({t_split/stream*1e9:.2f} ns/record)", flush=True)
+
+    # Split-phase apply, compacted deposit (the bench default).
+    state, _, _ = apply_records_jit(state, recs[0], batches[0], cfg)  # warm
+    fence(state["occupancy"][:4])
+    t0 = time.perf_counter()
+    for r, b in zip(recs, batches):
+        state, _, _ = apply_records_jit(state, r, b, cfg)
+    fence(state["occupancy"][:4])
+    t_cap = (time.perf_counter() - t0 - rtt) / N
+    print(f"split apply (compacted): {t_cap*1e3:.2f} ms/batch "
+          f"({t_cap/stream*1e9:.2f} ns/record)", flush=True)
+
+    # Monolithic expand+apply in one dispatch (same cfg, compacted deposit).
+    try:
+        state2 = dict(mapper.arena.arrays)
+        state2, _ = integrate_occupancy_jit(state2, batches[0], cfg)  # warm
+        fence(state2["occupancy"][:4])
+        t0 = time.perf_counter()
+        for b in batches:
+            state2, _ = integrate_occupancy_jit(state2, b, cfg)
+        fence(state2["occupancy"][:4])
+        t_mono = (time.perf_counter() - t0 - rtt) / N
+        print(f"monolithic expand+apply: {t_mono*1e3:.2f} ms/batch", flush=True)
+    except Exception as e:
+        print(f"monolithic expand+apply: FAILED ({type(e).__name__}: {e})", flush=True)
 
     # Transfer while the device is busy: queue N expand dispatches, then
     # immediately time N transfers of fresh wires, fence everything.
@@ -135,6 +156,16 @@ def main():
     fence(pend[-1]["key"][:4])
     print(f"transfer while busy: {t_busy/N*1e3:.2f} ms/batch (incl shared fence)",
           flush=True)
+
+    # End-to-end through the mapper, pipelined (the bench's timed loop).
+    t0 = time.perf_counter()
+    for b in rays_list[:N]:
+        mapper.integrate_rays_async(b)
+    mapper.flush()
+    fence(mapper.arena.arrays["occupancy"][:4])
+    t_e2e = (time.perf_counter() - t0) / N
+    print(f"end-to-end pipelined: {t_e2e*1e3:.2f} ms/batch "
+          f"({N_RAYS/t_e2e/1e3:.0f}k rays/s)", flush=True)
 
 
 if __name__ == "__main__":

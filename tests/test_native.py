@@ -119,8 +119,7 @@ def test_native_quantisation_exact_on_voxel_boundaries():
 
     rf = prepare_rayflow(m, rays)
     assert rf is not None
-    a16 = rf.bufs["abs16"].astype(np.int64)
-    end_abs_rf = a16[:rf.n_rays, 3:6] + rf.bbox[:3] * int(m.region_voxel_dims[0])
+    end_abs_rf = rf.bufs["abs_i32"][:rf.n_rays, 3:6].astype(np.int64)
     r, l = m.voxel_key(ends)
     end_abs_py = keymath.key_to_abs(r, l, m.region_voxel_dims)
     np.testing.assert_array_equal(end_abs_rf, end_abs_py)
