@@ -54,8 +54,18 @@ class TpuRayMapper:
         scatter_cap: int | str = "auto",
         rayflow: bool | None = None,
         delta_path: bool = False,
+        stream_budget: int | None = None,
     ):
         self.map = map_obj
+        #: Resolution-aware batch sizing (_integrate_with_retry): a batch
+        #: whose estimated record stream (total wall crossings) exceeds this
+        #: is split in half before prep — long-ray outdoor scenes otherwise
+        #: inflate the stream ~3x per ray into the runtime's super-linear
+        #: regime.  None/0 disables; OHM_STREAM_BUDGET overrides the default.
+        if stream_budget is None:
+            import os as _os
+            stream_budget = int(_os.environ.get("OHM_STREAM_BUDGET", 1 << 21))
+        self.stream_budget = int(stream_budget)
         dims = map_obj.region_voxel_dims
         if not (dims[0] == dims[1] == dims[2]) or (dims[0] & (dims[0] - 1)) != 0:
             raise ValueError("TPU mapper requires cubic power-of-two region dims (e.g. 32)")
@@ -157,7 +167,7 @@ class TpuRayMapper:
         compile service).  Benchmarks call this before their warmup."""
         from ohm_tpu.mapping.batch import prepare_rayflow
 
-        for rays in batches:
+        for rays in self._presplit_all(batches):
             rf = prepare_rayflow(self.map, rays)
             if rf is None:
                 continue
@@ -270,31 +280,69 @@ class TpuRayMapper:
         flush-and-retry, ohmgpu/GpuMap.cpp:922-1017)."""
         return self._integrate_with_retry(rays, intensities, timestamps, ray_update_flags)
 
+    def _presplit_all(self, batches):
+        """Apply the stream-budget split rule to a batch list (host-only) so
+        cap priming sees the same shapes the run will dispatch."""
+        out = []
+        stack = [np.asarray(b, dtype=np.float64).reshape(-1, 3) for b in batches]
+        stack.reverse()
+        while stack:
+            r = stack.pop()
+            n = r.shape[0] // 2
+            if self.stream_budget and n > 256:
+                est = int(np.abs(r[1::2] - r[0::2]).sum() / self.map.resolution) + 3 * n
+                if est > self.stream_budget:
+                    h = n // 2
+                    stack.append(r[2 * h:])
+                    stack.append(r[: 2 * h])
+                    continue
+            out.append(r)
+        return out
+
+    def _split_and_integrate(self, rays, intensities, timestamps, ray_update_flags) -> int:
+        """Integrate a batch as two half-batches (recursively)."""
+        r = np.asarray(rays, dtype=np.float64).reshape(-1, 3)
+        n = r.shape[0] // 2
+        h = n // 2
+
+        def part(x, a, b):
+            if x is None:
+                return None
+            x = np.asarray(x).reshape(-1)
+            return x[a:b] if x.size == n else None
+
+        total = self._integrate_with_retry(
+            r[: 2 * h], part(intensities, 0, h), part(timestamps, 0, h),
+            ray_update_flags)
+        total += self._integrate_with_retry(
+            r[2 * h:], part(intensities, h, n), part(timestamps, h, n),
+            ray_update_flags)
+        return total
+
     def _integrate_with_retry(self, rays, intensities, timestamps, ray_update_flags) -> int:
         from ohm_tpu.mapping.arena import CacheFull
 
+        r = np.asarray(rays, dtype=np.float64).reshape(-1, 3)
+        n = r.shape[0] // 2
+        if self.stream_budget and n > 256:
+            # Resolution-aware batch sizing: the device record stream scales
+            # with total WALL CROSSINGS (sum_i |delta_i|_1 / resolution), not
+            # ray count, and long outdoor rays inflate it ~3x per ray — while
+            # large streams run super-linearly slower on this runtime
+            # (docs/STATUS.md: 32k-ray batches 230 ms vs 8k at 30 ms).  Split
+            # until the estimated stream fits the budget; the estimate is a
+            # numpy pass, no quantisation needed (exact within ~3/ray).
+            est = int(np.abs(r[1::2] - r[0::2]).sum() / self.map.resolution) + 3 * n
+            if est > self.stream_budget:
+                return self._split_and_integrate(r, intensities, timestamps,
+                                                 ray_update_flags)
         try:
-            return self._integrate_batch(rays, intensities, timestamps, ray_update_flags)
+            return self._integrate_batch(r, intensities, timestamps, ray_update_flags)
         except CacheFull:
-            r = np.asarray(rays, dtype=np.float64).reshape(-1, 3)
-            n = r.shape[0] // 2
             if n <= 1:
                 raise
-            h = n // 2
-
-            def part(x, a, b):
-                if x is None:
-                    return None
-                x = np.asarray(x).reshape(-1)
-                return x[a:b] if x.size == n else None
-
-            total = self._integrate_with_retry(
-                r[: 2 * h], part(intensities, 0, h), part(timestamps, 0, h),
-                ray_update_flags)
-            total += self._integrate_with_retry(
-                r[2 * h:], part(intensities, h, n), part(timestamps, h, n),
-                ray_update_flags)
-            return total
+            return self._split_and_integrate(r, intensities, timestamps,
+                                             ray_update_flags)
 
     def _integrate_batch(self, rays, intensities=None, timestamps=None, ray_update_flags: int = 0) -> int:
         m = self.map

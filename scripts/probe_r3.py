@@ -107,9 +107,11 @@ def main():
     print(f"expand: {t_exp*1e3:.2f} ms/batch "
           f"({t_exp/stream*1e9:.2f} ns/record)", flush=True)
 
-    # Split-phase apply, uncapped deposit.
+    # Split-phase apply, uncapped deposit.  COPY the arena buffers: the
+    # apply jits donate their arena argument, and donating the mapper's own
+    # arrays deletes them out from under the later end-to-end leg.
     cfg0 = dataclasses.replace(cfg, scatter_cap=0)
-    state = dict(mapper.arena.arrays)
+    state = {k: jnp.array(v) for k, v in mapper.arena.arrays.items()}
     state, _, _ = apply_records_jit(state, recs[0], batches[0], cfg0)  # warm
     fence(state["occupancy"][:4])
     t0 = time.perf_counter()
@@ -133,7 +135,7 @@ def main():
 
     # Monolithic expand+apply in one dispatch (same cfg, compacted deposit).
     try:
-        state2 = dict(mapper.arena.arrays)
+        state2 = {k: jnp.array(v) for k, v in mapper.arena.arrays.items()}
         state2, _ = integrate_occupancy_jit(state2, batches[0], cfg)  # warm
         fence(state2["occupancy"][:4])
         t0 = time.perf_counter()

@@ -368,3 +368,33 @@ def test_cache_full_split_batch_and_retry():
     tpu.sync_voxels()
     compare_occupancy(cpu_map, tpu_map_obj)
     assert tpu.arena.stats["evictions"] > 0
+
+
+def test_stream_budget_presplit():
+    """Resolution-aware batch sizing: a batch whose estimated record stream
+    exceeds stream_budget is split in half BEFORE prep (long-ray scenes
+    inflate records/ray ~3x into the runtime's super-linear regime) and the
+    result matches the unsplit mapper exactly."""
+    rng = np.random.default_rng(47)
+    n = 512
+    rays = box_room_rays(n, rng, half=(4.0, 4.0, 2.0))
+    map_kwargs = {"resolution": 0.1, "flags": MapFlag.NONE}
+
+    ref_map = OccupancyMap(**map_kwargs)
+    ref = TpuRayMapper(ref_map, capacity=256, stream_budget=0, validate=True)
+    ref.integrate_rays(rays)
+    ref.sync_voxels()
+
+    # Estimated stream for this scene is ~n * ~90; budget forces >= 2 splits.
+    split_map = OccupancyMap(**map_kwargs)
+    split = TpuRayMapper(split_map, capacity=256, stream_budget=12000, validate=True)
+    split.integrate_rays(rays)
+    split.sync_voxels()
+    assert split._stats["batches"] > ref._stats["batches"] >= 1
+
+    compare_occupancy(ref_map, split_map, tolerance=2e-4)
+
+    # prime_caps mirrors the split rule (same shapes as the dispatch path).
+    parts = split._presplit_all([rays])
+    assert len(parts) >= 2
+    assert sum(p.shape[0] for p in parts) == rays.reshape(-1, 3).shape[0]
