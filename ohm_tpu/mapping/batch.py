@@ -457,7 +457,8 @@ def prepare_rayflow(map_obj, rays, timestamps=None, intensities=None,
 
 
 def rayflow_wire(prepared: PreparedRayflow, table,
-                 with_touch: bool = True, with_intensity: bool = True) -> np.ndarray:
+                 with_touch: bool = True, with_intensity: bool = True,
+                 cdict: bool = False) -> np.ndarray:
     """Assemble the single rayflow transfer buffer (after region allocation):
     [gmeta i32[8] | floats f32[R,7] | abs16 u16[R,6] | meta u32[R] |
      [touch u32[R]] | [intens f32[R]] | tcand i32[R,K]] — touch/intensity
@@ -472,4 +473,4 @@ def rayflow_wire(prepared: PreparedRayflow, table,
 
     return native.rayflow_finish(
         prepared.bufs, prepared.n_rays, prepared.rpad, prepared.table_k,
-        prepared.params, table, with_touch, with_intensity)
+        prepared.params, table, with_touch, with_intensity, cdict=cdict)

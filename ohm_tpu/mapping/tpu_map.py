@@ -201,9 +201,16 @@ class TpuRayMapper:
             return None
         self._k_cache_rf = max(getattr(self, "_k_cache_rf", 8), rf.table_k)
         self.arena.ensure_regions(rf.region_keys, host_map=self.map)
+        # Dictionary wire when the batch fits 255 regions (the common case):
+        # candidate bytes drop 4K -> K per ray (the tunnel is the steady-state
+        # wall at ~40 MB/s).  Both variants are single compiled programs, so a
+        # scene crossing the boundary costs one extra warmup compile, not
+        # mid-run jitter.
+        cdict = len(rf.region_keys) <= 255
         wire = rayflow_wire(rf, self.arena.table,
                             with_touch=self.with_touch,
-                            with_intensity=getattr(self, "_rayflow_intensity", False))
+                            with_intensity=getattr(self, "_rayflow_intensity", False),
+                            cdict=cdict)
         # Per-axis step bucket and candidate-table width K (monotone-cached;
         # each combination is a compiled program variant) and strided 8-ray
         # group cap, all exact from the host-quantised endpoint coords.
@@ -234,13 +241,15 @@ class TpuRayMapper:
         self._cap_cache_rf = max(getattr(self, "_cap_cache_rf", 0), cap)
         cfg = self._config(ray_update_flags, group_cap=self._cap_cache_rf,
                            max_steps=self._steps_cache_rf, group_size=G,
-                           table_k=rf.table_k, walk_cap=self._wcap_cache_rf)
+                           table_k=rf.table_k, walk_cap=self._wcap_cache_rf,
+                           rayw_cdict=cdict)
         batch = {"rayw": jnp.asarray(wire)}
         return batch, cfg, rf.n_rays
 
     def _config(self, ray_flags: int, group_cap: int = 0,
                 max_steps: int | None = None, group_size: int = 64,
-                table_k: int = 0, walk_cap: int = 0) -> IntegrateConfig:
+                table_k: int = 0, walk_cap: int = 0,
+                rayw_cdict: bool = False) -> IntegrateConfig:
         rayw_intensity = getattr(self, "_rayflow_intensity", False)
         m = self.map
         return IntegrateConfig(
@@ -268,6 +277,7 @@ class TpuRayMapper:
             table_k=table_k,
             walk_cap=walk_cap,
             rayw_intensity=rayw_intensity,
+            rayw_cdict=rayw_cdict,
             unordered_walk=bool(group_cap) and not (
                 int(ray_flags) & RayFlag.STOP_ON_FIRST_OCCUPIED),
         )

@@ -158,6 +158,7 @@ def rayflow_build(starts, ends, filter_flags, timestamps, time_base,
     # No sentinel fill: rayflow_finish reads only the first ray_count[i]
     # entries of each row (3 MB/batch of memset saved on the 1-core host).
     ray_table = np.empty((max(n, 1), ray_k, 3), np.int32)
+    ray_cidx = np.empty((max(n, 1), ray_k), np.uint16)
     ray_count = np.zeros(max(n, 1), np.int32)
     floats = np.zeros((rpad, 7), np.float32)
     abs_i32 = np.zeros((rpad, 6), np.int32)
@@ -179,7 +180,7 @@ def rayflow_build(starts, ends, filter_flags, timestamps, time_base,
         _ptr(regions, ctypes.c_int32), ctypes.c_int64(region_cap),
         _ptr(bbox, ctypes.c_int32),
         _ptr(ray_table, ctypes.c_int32), ctypes.c_int32(ray_k),
-        _ptr(ray_count, ctypes.c_int32),
+        _ptr(ray_count, ctypes.c_int32), _ptr(ray_cidx, ctypes.c_uint16),
         _ptr(floats, ctypes.c_float), _ptr(abs_i32, ctypes.c_int32),
         _ptr(meta, ctypes.c_uint32), _ptr(touch, ctypes.c_uint32),
         _ptr(intens, ctypes.c_float), _ptr(crossings, ctypes.c_int32),
@@ -187,7 +188,8 @@ def rayflow_build(starts, ends, filter_flags, timestamps, time_base,
     if n_regions < 0:
         raise ValueError(f"more than {region_cap} unique regions in one ray batch")
     return {"region_keys": regions[:n_regions].copy(), "bbox": bbox,
-            "ray_table": ray_table, "ray_count": ray_count, "floats": floats,
+            "ray_table": ray_table, "ray_count": ray_count,
+            "ray_cidx": ray_cidx, "floats": floats,
             "abs_i32": abs_i32, "meta": meta, "touch": touch, "intens": intens,
             "crossings": crossings, "max_axis": int(stats[0]),
             "max_crossings": int(stats[1]), "max_ray_k": int(stats[2])}
@@ -195,13 +197,17 @@ def rayflow_build(starts, ends, filter_flags, timestamps, time_base,
 
 def rayflow_finish(prep: dict, n_rays: int, rpad: int, table_k: int,
                    params: MapParamsStruct, table, with_touch: bool,
-                   with_intensity: bool) -> np.ndarray:
+                   with_intensity: bool, cdict: bool = False) -> np.ndarray:
     """Resolve candidate slots against the arena hash table and assemble the
     complete rayflow transfer buffer (one C pass; layout documented on
-    batch_prep.cpp rayflow_finish)."""
+    batch_prep.cpp rayflow_finish).  ``cdict`` selects the dictionary wire
+    (256-entry packed-candidate dict + u8 indices: K instead of 4K B/ray);
+    requires len(region_keys) <= 255."""
     lib = get_lib()
+    region_keys = prep["region_keys"]
+    cand_bytes = 1024 + rpad * table_k if cdict else 4 * rpad * table_k
     nbytes = 32 + rpad * (28 + 12 + 4 + (4 if with_touch else 0)
-                          + (4 if with_intensity else 0) + 4 * table_k)
+                          + (4 if with_intensity else 0)) + cand_bytes
     wire = np.zeros(nbytes, np.uint8)
     ray_k = prep["ray_table"].shape[1]
     lib.rayflow_finish(
@@ -215,10 +221,13 @@ def rayflow_finish(prep: dict, n_rays: int, rpad: int, table_k: int,
         _ptr(prep["intens"], ctypes.c_float),
         _ptr(prep["ray_table"], ctypes.c_int32),
         _ptr(prep["ray_count"], ctypes.c_int32),
+        _ptr(prep["ray_cidx"], ctypes.c_uint16),
+        _ptr(region_keys, ctypes.c_int32), ctypes.c_int64(len(region_keys)),
         _ptr(table.ab, ctypes.c_int32), _ptr(table.z, ctypes.c_int32),
         _ptr(table.slot, ctypes.c_int32), ctypes.c_int32(table.table_size),
         ctypes.c_int(1 if with_touch else 0),
         ctypes.c_int(1 if with_intensity else 0),
+        ctypes.c_int(1 if cdict else 0),
         _ptr(wire, ctypes.c_uint8))
     return wire
 

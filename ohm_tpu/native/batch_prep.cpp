@@ -422,6 +422,7 @@ int64_t rayflow_build(const double* starts, const double* ends,
                       int32_t* regions_out, int64_t region_cap,
                       int32_t* bbox_out,
                       int32_t* ray_table, int32_t ray_k, int32_t* ray_count,
+                      uint16_t* ray_cidx,
                       float* floats, int32_t* abs_i32, uint32_t* meta,
                       uint32_t* touch, float* intens, int32_t* crossings,
                       int32_t* stats_out) {
@@ -430,6 +431,7 @@ int64_t rayflow_build(const double* starts, const double* ends,
   while (table_size < 4 * region_cap) table_size <<= 1;
   constexpr int64_t kEmpty = INT64_MAX;
   int64_t* table = new int64_t[table_size];
+  int32_t* table_ord = new int32_t[table_size];  // batch ordinal per entry
   for (int64_t i = 0; i < table_size; ++i) table[i] = kEmpty;
   const int64_t mask = table_size - 1;
   int64_t count = 0;
@@ -438,29 +440,30 @@ int64_t rayflow_build(const double* starts, const double* ends,
   int32_t max_axis = 0, max_cross = 0, max_k = 0;
 
   int32_t* cur_table = nullptr;
+  uint16_t* cur_cidx = nullptr;
   int32_t cur_count = 0;
-  auto ray_emit = [&](const int32_t r[3]) {
+  auto ray_emit = [&](const int32_t r[3], int32_t ord) {
     if (cur_count < 0) return;
     for (int32_t j = 0; j < cur_count; ++j) {
-      const int32_t* t = cur_table + 3 * j;
-      if (t[0] == r[0] && t[1] == r[1] && t[2] == r[2]) return;
+      if (cur_cidx[j] == (uint16_t)ord) return;
     }
     if (cur_count >= ray_k) { cur_count = -1; return; }
     int32_t* t = cur_table + 3 * cur_count;
     t[0] = r[0]; t[1] = r[1]; t[2] = r[2];
+    cur_cidx[cur_count] = (uint16_t)ord;
     ++cur_count;
   };
   auto emit = [&](const int32_t r[3]) -> bool {
-    ray_emit(r);
     const int64_t key = (int64_t)(uint16_t)r[0] | ((int64_t)(uint16_t)r[1] << 16)
                         | ((int64_t)(uint16_t)r[2] << 32);
     uint64_t h = (uint64_t)key * 0x9E3779B97F4A7C15ull;
     int64_t idx = (int64_t)(h >> 32) & mask;
     for (;;) {
-      if (table[idx] == key) return true;
+      if (table[idx] == key) break;
       if (table[idx] == kEmpty) {
         if (count >= region_cap) return false;
         table[idx] = key;
+        table_ord[idx] = (int32_t)count;
         int32_t* o = regions_out + 3 * count;
         o[0] = r[0]; o[1] = r[1]; o[2] = r[2];
         for (int a = 0; a < 3; ++a) {
@@ -468,14 +471,17 @@ int64_t rayflow_build(const double* starts, const double* ends,
           if (r[a] > bmax[a]) bmax[a] = r[a];
         }
         ++count;
-        return true;
+        break;
       }
       idx = (idx + 1) & mask;
     }
+    ray_emit(r, table_ord[idx]);
+    return true;
   };
 
   for (int64_t i = 0; i < n_rays; ++i) {
     cur_table = ray_table + (int64_t)3 * ray_k * i;
+    cur_cidx = ray_cidx + (int64_t)ray_k * i;
     cur_count = 0;
     const double* s = starts + 3 * i;
     const double* e = ends + 3 * i;
@@ -483,6 +489,7 @@ int64_t rayflow_build(const double* starts, const double* ends,
     double c0[3];
     if (!walk_ray_regions(p, s, e, abs0, abs1, c0, emit)) {
       delete[] table;
+      delete[] table_ord;
       return -1;
     }
     ray_count[i] = cur_count;
@@ -516,6 +523,7 @@ int64_t rayflow_build(const double* starts, const double* ends,
     intens[i] = intensities ? intensities[i] : 0.0f;
   }
   delete[] table;
+  delete[] table_ord;
   for (int a = 0; a < 3; ++a) {
     bbox_out[a] = count ? bmin[a] : 0;
     bbox_out[3 + a] = count ? bmax[a] : 0;
@@ -534,15 +542,24 @@ int64_t rayflow_build(const double* starts, const double* ends,
 // allocation set by rayflow_build, so lookups only miss if the caller
 // skipped ensure_regions (such entries pack slot bits <= 0 and never
 // resolve on device).
+// dict_mode == 1 replaces the per-ray i32 candidate block with a per-BATCH
+// 256-entry packed-candidate dictionary plus u8 indices (cidx) per ray —
+// 4K -> K bytes/ray on the wire (the tunnel runs ~40 MB/s, so candidate
+// bytes were ~60% of the transfer cost).  Requires n_regions <= 255; index
+// 255 is the null entry (dict[255] = 0, never resolves on device).  The
+// device reconstructs tcand = dict[cidx] bit-identically.
 void rayflow_finish(int64_t n_rays, int64_t rpad, int32_t ray_k, int32_t out_k,
                     const int32_t* bbox, const MapParams* params,
                     const float* floats, const int32_t* abs_i32,
                     const uint32_t* meta, const uint32_t* touch,
                     const float* intens,
                     const int32_t* ray_table, const int32_t* ray_count,
+                    const uint16_t* ray_cidx,
+                    const int32_t* regions, int64_t n_regions,
                     const int32_t* tab_ab, const int32_t* tab_z,
                     const int32_t* tab_slot, int32_t table_size,
-                    int with_touch, int with_intensity, uint8_t* wire_out) {
+                    int with_touch, int with_intensity, int dict_mode,
+                    uint8_t* wire_out) {
   const int32_t dim = params->region_dim;
   const int32_t bmin_vox[3] = {bbox[0] * dim, bbox[1] * dim, bbox[2] * dim};
   uint8_t* w = wire_out;
@@ -571,28 +588,44 @@ void rayflow_finish(int64_t n_rays, int64_t rpad, int32_t ray_k, int32_t out_k,
     std::memcpy(w, intens, (size_t)rpad * sizeof(float));
     w += (size_t)rpad * sizeof(float);
   }
-  int32_t* tcand = (int32_t*)w;
   const int32_t mask = table_size - 1;
+  auto pack_cand = [&](const int32_t* r) -> int32_t {
+    const int32_t x = r[0], y = r[1], z = r[2];
+    const int32_t ab = (x & 0xFFFF) | (int32_t)((uint32_t)y << 16);
+    int32_t h = (int32_t)((uint32_t)(x * 73856093) ^ (uint32_t)(y * 19349669)
+                          ^ (uint32_t)(z * 83492791)) & mask;
+    int32_t slot = -1;
+    for (int k = 0; k < 8; ++k) {
+      const int32_t idx = (h + k) & mask;
+      if (tab_slot[idx] >= 0 && tab_ab[idx] == ab && tab_z[idx] == z) {
+        slot = tab_slot[idx];
+        break;
+      }
+    }
+    return ((slot + 1) << 18)
+           | (x - bbox[0]) | ((y - bbox[1]) << 6) | ((z - bbox[2]) << 12);
+  };
+  if (dict_mode) {
+    int32_t* dict = (int32_t*)w;
+    for (int32_t j = 0; j < 256; ++j)
+      dict[j] = j < n_regions ? pack_cand(regions + 3 * j) : 0;
+    w += 256 * sizeof(int32_t);
+    uint8_t* cidx = w;
+    std::memset(cidx, 0xFF, (size_t)rpad * out_k);  // 255 -> null entry
+    for (int64_t i = 0; i < n_rays; ++i) {
+      const uint16_t* rc = ray_cidx + (int64_t)ray_k * i;
+      uint8_t* ci = cidx + (int64_t)out_k * i;
+      const int32_t kn = ray_count[i] < out_k ? ray_count[i] : out_k;
+      for (int32_t j = 0; j < kn; ++j) ci[j] = (uint8_t)rc[j];
+    }
+    return;
+  }
+  int32_t* tcand = (int32_t*)w;
   for (int64_t i = 0; i < n_rays; ++i) {
     const int32_t* rt = ray_table + (int64_t)3 * ray_k * i;
     int32_t* tc = tcand + (int64_t)out_k * i;
     const int32_t kn = ray_count[i] < out_k ? ray_count[i] : out_k;
-    for (int32_t j = 0; j < kn; ++j) {
-      const int32_t x = rt[3 * j + 0], y = rt[3 * j + 1], z = rt[3 * j + 2];
-      const int32_t ab = (x & 0xFFFF) | (int32_t)((uint32_t)y << 16);
-      int32_t h = (int32_t)((uint32_t)(x * 73856093) ^ (uint32_t)(y * 19349669)
-                            ^ (uint32_t)(z * 83492791)) & mask;
-      int32_t slot = -1;
-      for (int k = 0; k < 8; ++k) {
-        const int32_t idx = (h + k) & mask;
-        if (tab_slot[idx] >= 0 && tab_ab[idx] == ab && tab_z[idx] == z) {
-          slot = tab_slot[idx];
-          break;
-        }
-      }
-      tc[j] = ((slot + 1) << 18)
-              | (x - bbox[0]) | ((y - bbox[1]) << 6) | ((z - bbox[2]) << 12);
-    }
+    for (int32_t j = 0; j < kn; ++j) tc[j] = pack_cand(rt + 3 * j);
   }
 }
 

@@ -107,6 +107,14 @@ class IntegrateConfig:
     #: the batch uses the segmented wire.
     table_k: int = 0
 
+    #: Rayflow dictionary wire: the candidate block ships as a per-batch
+    #: 256-entry packed-candidate dictionary + u8 indices (K B/ray) instead
+    #: of i32 candidates (4K B/ray); the device reconstructs tcand =
+    #: dict[cidx] bit-identically.  Chosen per batch when the batch touches
+    #: <= 255 regions — the tunnel runs ~40 MB/s, so candidate bytes were
+    #: ~60% of the transfer cost.
+    rayw_cdict: bool = False
+
     #: Walk record-axis truncation cap.  0 = sqrt(3)*max_steps default,
     #: which is only valid when max_steps is a LENGTH bound (segmented
     #: path); rayflow sets this from the batch's exact max total crossings
@@ -207,8 +215,9 @@ def _unpack_batch(batch, cfg=None):
         K = cfg.table_k
         with_touch = cfg.with_touch_time if cfg is not None else True
         with_intens = getattr(cfg, "rayw_intensity", False) if cfg is not None else True
-        bpr = 44 + 4 * K + (4 if with_touch else 0) + (4 if with_intens else 0)
-        R = (buf.shape[0] - 32) // bpr
+        cdict = getattr(cfg, "rayw_cdict", False) if cfg is not None else False
+        bpr = 44 + (K if cdict else 4 * K) + (4 if with_touch else 0) + (4 if with_intens else 0)
+        R = (buf.shape[0] - 32 - (1024 if cdict else 0)) // bpr
         off = 0
 
         def take(nbytes):
@@ -227,7 +236,13 @@ def _unpack_batch(batch, cfg=None):
                  if with_touch else jnp.zeros((R,), jnp.uint32))
         intens = (jax.lax.bitcast_convert_type(take(4 * R).reshape(R, 4), jnp.float32)
                   if with_intens else jnp.zeros((R,), jnp.float32))
-        tcand = jax.lax.bitcast_convert_type(take(4 * K * R).reshape(R, K, 4), jnp.int32)
+        if cdict:
+            cand_dict = jax.lax.bitcast_convert_type(
+                take(1024).reshape(256, 4), jnp.int32)
+            cidx = take(K * R).reshape(R, K).astype(jnp.int32)
+            tcand = cand_dict[cidx]
+        else:
+            tcand = jax.lax.bitcast_convert_type(take(4 * K * R).reshape(R, K, 4), jnp.int32)
 
         dim = jnp.int32(1 << (cfg.region_shift if cfg is not None else 5))
         bbox_min_vox = gmeta[0:3] * dim

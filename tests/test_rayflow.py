@@ -184,3 +184,35 @@ def test_rayflow_fallback_outside_envelope():
     assert getattr(mp, "_k_cache_rf", 0) == 0
     assert m.voxel_value(point=[210.0, 0.5, 0.5]) > 0
     assert m.voxel_value(point=[100.0, 0.25, 0.25]) < 0
+
+
+def test_cdict_wire_bit_identical_tcand():
+    """The dictionary wire (256-entry packed-candidate dict + u8 indices)
+    must reconstruct tcand bit-identically to the full i32 candidate block
+    (native.rayflow_finish dict_mode; ops.integrate._unpack_batch cdict)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from ohm_tpu.mapping.batch import prepare_rayflow, rayflow_wire
+    from ohm_tpu.mapping.tpu_map import TpuRayMapper
+    from ohm_tpu.ops.integrate import _unpack_batch
+
+    rng = np.random.default_rng(11)
+    m = OccupancyMap(resolution=0.1, flags=MapFlag.NONE)
+    rays = _scene(512, rng)
+    mapper = TpuRayMapper(m, capacity=256)
+    rf = prepare_rayflow(m, rays)
+    assert rf is not None and len(rf.region_keys) <= 255
+    mapper.arena.ensure_regions(rf.region_keys, host_map=m)
+    w_full = rayflow_wire(rf, mapper.arena.table, with_touch=False,
+                          with_intensity=False, cdict=False)
+    w_dict = rayflow_wire(rf, mapper.arena.table, with_touch=False,
+                          with_intensity=False, cdict=True)
+    assert w_dict.nbytes < w_full.nbytes  # 4K -> K B/ray + 1KB dict
+    cfg = mapper._config(0, table_k=rf.table_k)
+    cfg_f = dataclasses.replace(cfg, with_touch_time=False, rayw_cdict=False)
+    cfg_d = dataclasses.replace(cfg, with_touch_time=False, rayw_cdict=True)
+    b_full = _unpack_batch({"rayw": jnp.asarray(w_full)}, cfg_f)
+    b_dict = _unpack_batch({"rayw": jnp.asarray(w_dict)}, cfg_d)
+    for k in b_full:
+        np.testing.assert_array_equal(np.asarray(b_full[k]), np.asarray(b_dict[k]),
+                                      err_msg=k)
