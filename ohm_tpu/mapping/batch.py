@@ -456,9 +456,33 @@ def prepare_rayflow(map_obj, rays, timestamps=None, intensities=None,
                            table_k=table_k, params=params)
 
 
+def snake_perm(crossings: np.ndarray, group_size: int) -> np.ndarray:
+    """Crossings-balanced wire-row permutation ("snake" ordering).
+
+    The expand phase's strided compaction groups put wire row i into group
+    i mod R (R = rpad // group_size; ops.integrate.group_rows), and the
+    group cap — hence the padded stream length — is the MAX group sum of
+    per-ray crossing counts.  Sorting rays by crossings and dealing them
+    boustrophedon across the R groups makes the group sums near-equal, so
+    the cap sits at the mean instead of the max (~18% less padding on the
+    box bench scene).  Returns perm with wire row i sourced from ray
+    perm[i]; order-sensitive consumers recover the original order from the
+    source index carried in meta bits 16+ (batch_prep.cpp rayflow_finish).
+    """
+    rpad = len(crossings)
+    R = rpad // group_size
+    order = np.argsort(-crossings, kind="stable").astype(np.int32)
+    ranks = np.arange(rpad, dtype=np.int32)
+    p, q = ranks // R, ranks % R
+    col = np.where(p % 2 == 0, q, R - 1 - q)
+    perm = np.empty(rpad, np.int32)
+    perm[p * R + col] = order
+    return perm
+
+
 def rayflow_wire(prepared: PreparedRayflow, table,
                  with_touch: bool = True, with_intensity: bool = True,
-                 cdict: bool = False) -> np.ndarray:
+                 cdict: bool = False, perm=None) -> np.ndarray:
     """Assemble the single rayflow transfer buffer (after region allocation):
     [gmeta i32[8] | floats f32[R,7] | abs16 u16[R,6] | meta u32[R] |
      [touch u32[R]] | [intens f32[R]] | tcand i32[R,K]] — touch/intensity
@@ -473,4 +497,5 @@ def rayflow_wire(prepared: PreparedRayflow, table,
 
     return native.rayflow_finish(
         prepared.bufs, prepared.n_rays, prepared.rpad, prepared.table_k,
-        prepared.params, table, with_touch, with_intensity, cdict=cdict)
+        prepared.params, table, with_touch, with_intensity, cdict=cdict,
+        perm=perm)

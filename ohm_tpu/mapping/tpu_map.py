@@ -100,7 +100,7 @@ class TpuRayMapper:
         #: sort, then one small sorted/unique/in-bounds scatter).  "auto"
         #: (default): the first batch runs the uncapped deposit, its
         #: touched-voxel count is read back once, and later batches use a
-        #: monotone power-of-two cap at >=4x that count; overflow surfaces
+        #: monotone power-of-two cap at >=2x that count; overflow surfaces
         #: in stats['dropped_updates'].  0 disables; an int pins the cap.
         #: ``delta_path=True`` additionally routes eligible flag sets to the
         #: -0.0-encoded scatter-ADD delta pipeline (apply_delta) — opt-in:
@@ -178,7 +178,12 @@ class TpuRayMapper:
             self._wcap_cache_rf = max(getattr(self, "_wcap_cache_rf", 0), wcap)
             G = 64 if rf.rpad % 64 == 0 else 8
             if rf.rpad % G == 0:
-                gmax = int(rf.crossings.reshape(G, -1).sum(axis=0).max())
+                import os as _os
+                from ohm_tpu.mapping.batch import snake_perm
+                snake = _os.environ.get("OHM_SNAKE", "1") != "0"
+                cr = (rf.crossings[snake_perm(rf.crossings, G)]
+                      if snake else rf.crossings)
+                gmax = int(cr.reshape(G, -1).sum(axis=0).max())
                 cap = max(512, -(-(gmax + max(256, gmax >> 4)) // 512) * 512) if gmax else 0
                 self._cap_cache_rf = max(getattr(self, "_cap_cache_rf", 0), cap)
 
@@ -186,7 +191,7 @@ class TpuRayMapper:
         """Try the full-ray wire path; returns (batch dict, cfg, n_rays) or
         None to fall back to the segmented path.  See
         mapping.batch.prepare_rayflow / ops.integrate rayflow branch."""
-        from ohm_tpu.mapping.batch import prepare_rayflow, rayflow_wire
+        from ohm_tpu.mapping.batch import prepare_rayflow, rayflow_wire, snake_perm
 
         if self.arena.capacity > 8191:
             # Candidate entries pack (slot+1) << 18 into an int32: slot+1 must
@@ -207,10 +212,6 @@ class TpuRayMapper:
         # scene crossing the boundary costs one extra warmup compile, not
         # mid-run jitter.
         cdict = len(rf.region_keys) <= 255
-        wire = rayflow_wire(rf, self.arena.table,
-                            with_touch=self.with_touch,
-                            with_intensity=getattr(self, "_rayflow_intensity", False),
-                            cdict=cdict)
         # Per-axis step bucket and candidate-table width K (monotone-cached;
         # each combination is a compiled program variant) and strided 8-ray
         # group cap, all exact from the host-quantised endpoint coords.
@@ -230,7 +231,16 @@ class TpuRayMapper:
         G = int(_os.environ.get("OHM_RAYFLOW_G", 64))
         if rf.rpad % G:
             G = 8
-        cr = rf.crossings
+        # Snake ordering: crossings-balanced wire-row permutation equalises
+        # the strided group sums so the cap sits at the mean, not the max
+        # (mapping.batch.snake_perm; OHM_SNAKE=0 disables for A/B).
+        snake = _os.environ.get("OHM_SNAKE", "1") != "0" and rf.rpad % G == 0
+        perm = snake_perm(rf.crossings, G) if snake else None
+        cr = rf.crossings[perm] if snake else rf.crossings
+        wire = rayflow_wire(rf, self.arena.table,
+                            with_touch=self.with_touch,
+                            with_intensity=getattr(self, "_rayflow_intensity", False),
+                            cdict=cdict, perm=perm)
         gmax = int(cr.reshape(G, -1).sum(axis=0).max()) if rf.rpad % G == 0 else 0
         # Cap with ~6% headroom, quantised to 512: stream length = rows * cap
         # drives the sort and the scatter (both ~linear), but at G=64 the
@@ -427,12 +437,16 @@ class TpuRayMapper:
             if self._auto_scatter and not stop and (
                     self.scatter_cap == 0
                     or n_rays > getattr(self, "_cap_rays", 0)):
-                # One-time readback: size the delta-path scatter window from
-                # the first batch's touched-voxel count with 4x headroom
+                # One-time readback: size the compacted-deposit scatter window
+                # from the first batch's touched-voxel count with 2x headroom
                 # (monotone pow2 so later batches reuse one compiled variant).
+                # The scatter costs ~5.5 ns per WINDOW element, so headroom is
+                # paid every batch; 2x + pow2 rounding still leaves >=2x slack
+                # for scene drift, and overflow is counted (dropped_updates,
+                # asserted under validate and by the benches).
                 t = int(touched)
                 cap = 1 << 16
-                while cap < 4 * t:
+                while cap < 2 * t:
                     cap *= 2
                 self.scatter_cap = max(self.scatter_cap,
                                        min(cap, self.arena.scatter_pad))

@@ -197,7 +197,8 @@ def rayflow_build(starts, ends, filter_flags, timestamps, time_base,
 
 def rayflow_finish(prep: dict, n_rays: int, rpad: int, table_k: int,
                    params: MapParamsStruct, table, with_touch: bool,
-                   with_intensity: bool, cdict: bool = False) -> np.ndarray:
+                   with_intensity: bool, cdict: bool = False,
+                   perm=None) -> np.ndarray:
     """Resolve candidate slots against the arena hash table and assemble the
     complete rayflow transfer buffer (one C pass; layout documented on
     batch_prep.cpp rayflow_finish).  ``cdict`` selects the dictionary wire
@@ -228,6 +229,8 @@ def rayflow_finish(prep: dict, n_rays: int, rpad: int, table_k: int,
         ctypes.c_int(1 if with_touch else 0),
         ctypes.c_int(1 if with_intensity else 0),
         ctypes.c_int(1 if cdict else 0),
+        _ptr(np.ascontiguousarray(perm, np.int32), ctypes.c_int32)
+        if perm is not None else None,
         _ptr(wire, ctypes.c_uint8))
     return wire
 

@@ -559,18 +559,31 @@ void rayflow_finish(int64_t n_rays, int64_t rpad, int32_t ray_k, int32_t out_k,
                     const int32_t* tab_ab, const int32_t* tab_z,
                     const int32_t* tab_slot, int32_t table_size,
                     int with_touch, int with_intensity, int dict_mode,
-                    uint8_t* wire_out) {
+                    const int32_t* perm, uint8_t* wire_out) {
+  // perm (optional, length rpad): wire row i is filled from source ray
+  // perm[i] — the crossings-balanced "snake" ordering that equalises the
+  // strided compaction groups' record sums (group cap ~= mean instead of
+  // max, ~18% less stream padding).  The source index rides in meta bits
+  // 16+ so order-sensitive consumers (TSDF per-visit sequence, NDT sample
+  // recursion) keep the ORIGINAL ray order regardless of the permutation.
   const int32_t dim = params->region_dim;
   const int32_t bmin_vox[3] = {bbox[0] * dim, bbox[1] * dim, bbox[2] * dim};
   uint8_t* w = wire_out;
   // gmeta i32[8]: bbox min region coords, rest zero.
   std::memcpy(w, bbox, 3 * sizeof(int32_t));
   w += 8 * sizeof(int32_t);
-  std::memcpy(w, floats, (size_t)rpad * 7 * sizeof(float));
+  float* fl = (float*)w;
+  for (int64_t i = 0; i < rpad; ++i) {
+    const int64_t s = perm ? perm[i] : i;
+    if (s >= n_rays) continue;  // wire pre-zeroed
+    std::memcpy(fl + 7 * i, floats + 7 * s, 7 * sizeof(float));
+  }
   w += (size_t)rpad * 7 * sizeof(float);
   uint16_t* a16 = (uint16_t*)w;
-  for (int64_t i = 0; i < n_rays; ++i) {
-    const int32_t* A = abs_i32 + 6 * i;
+  for (int64_t i = 0; i < rpad; ++i) {
+    const int64_t s = perm ? perm[i] : i;
+    if (s >= n_rays) continue;
+    const int32_t* A = abs_i32 + 6 * s;
     uint16_t* O = a16 + 6 * i;
     for (int a = 0; a < 3; ++a) {
       O[a] = (uint16_t)(A[a] - bmin_vox[a]);
@@ -578,14 +591,26 @@ void rayflow_finish(int64_t n_rays, int64_t rpad, int32_t ray_k, int32_t out_k,
     }
   }
   w += (size_t)rpad * 6 * sizeof(uint16_t);
-  std::memcpy(w, meta, (size_t)rpad * sizeof(uint32_t));
+  uint32_t* mo = (uint32_t*)w;
+  for (int64_t i = 0; i < rpad; ++i) {
+    const int64_t s = perm ? perm[i] : i;
+    mo[i] = s < n_rays ? (meta[s] | ((uint32_t)s << 16)) : 0u;
+  }
   w += (size_t)rpad * sizeof(uint32_t);
   if (with_touch) {
-    std::memcpy(w, touch, (size_t)rpad * sizeof(uint32_t));
+    uint32_t* to = (uint32_t*)w;
+    for (int64_t i = 0; i < rpad; ++i) {
+      const int64_t s = perm ? perm[i] : i;
+      to[i] = s < n_rays ? touch[s] : 0u;
+    }
     w += (size_t)rpad * sizeof(uint32_t);
   }
   if (with_intensity) {
-    std::memcpy(w, intens, (size_t)rpad * sizeof(float));
+    float* io = (float*)w;
+    for (int64_t i = 0; i < rpad; ++i) {
+      const int64_t s = perm ? perm[i] : i;
+      io[i] = s < n_rays ? intens[s] : 0.0f;
+    }
     w += (size_t)rpad * sizeof(float);
   }
   const int32_t mask = table_size - 1;
@@ -612,19 +637,23 @@ void rayflow_finish(int64_t n_rays, int64_t rpad, int32_t ray_k, int32_t out_k,
     w += 256 * sizeof(int32_t);
     uint8_t* cidx = w;
     std::memset(cidx, 0xFF, (size_t)rpad * out_k);  // 255 -> null entry
-    for (int64_t i = 0; i < n_rays; ++i) {
-      const uint16_t* rc = ray_cidx + (int64_t)ray_k * i;
+    for (int64_t i = 0; i < rpad; ++i) {
+      const int64_t s = perm ? perm[i] : i;
+      if (s >= n_rays) continue;
+      const uint16_t* rc = ray_cidx + (int64_t)ray_k * s;
       uint8_t* ci = cidx + (int64_t)out_k * i;
-      const int32_t kn = ray_count[i] < out_k ? ray_count[i] : out_k;
+      const int32_t kn = ray_count[s] < out_k ? ray_count[s] : out_k;
       for (int32_t j = 0; j < kn; ++j) ci[j] = (uint8_t)rc[j];
     }
     return;
   }
   int32_t* tcand = (int32_t*)w;
-  for (int64_t i = 0; i < n_rays; ++i) {
-    const int32_t* rt = ray_table + (int64_t)3 * ray_k * i;
+  for (int64_t i = 0; i < rpad; ++i) {
+    const int64_t s = perm ? perm[i] : i;
+    if (s >= n_rays) continue;
+    const int32_t* rt = ray_table + (int64_t)3 * ray_k * s;
     int32_t* tc = tcand + (int64_t)out_k * i;
-    const int32_t kn = ray_count[i] < out_k ? ray_count[i] : out_k;
+    const int32_t kn = ray_count[s] < out_k ? ray_count[s] : out_k;
     for (int32_t j = 0; j < kn; ++j) tc[j] = pack_cand(rt + 3 * j);
   }
 }

@@ -273,6 +273,11 @@ def _unpack_batch(batch, cfg=None):
             "full_length": length,
             "tcand": tcand,
             "gmeta": gmeta,
+            # Source ray index (meta bits 16+): the host may permute wire
+            # rows (snake ordering, mapping.batch.snake_perm); order-
+            # sensitive consumers (TSDF per-visit sequence) key on the
+            # ORIGINAL ray order via this field.
+            "ray_order": (meta >> 16).astype(jnp.int32),
         }
     if "wire" in batch:
         # Single-buffer packed layout (mapping.batch.pack_wire): one

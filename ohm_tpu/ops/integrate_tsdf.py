@@ -109,9 +109,13 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
     # Visit-order key: the oracle applies calculateTsdf in ray order (each
     # segment/ray contributes at most one visit per voxel), so a per-voxel
     # secondary sort on the segment index reproduces the reference's
-    # per-visit sequence exactly (segments are emitted ray-major).
-    ridx = jnp.broadcast_to(
-        jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0), (B, S)).reshape(-1)
+    # per-visit sequence exactly (segments are emitted ray-major).  Rayflow
+    # wires may be row-permuted (snake ordering) — the ORIGINAL ray index
+    # rides in the wire (b["ray_order"]) and keys the sequence instead.
+    row_order = b.get("ray_order")
+    if row_order is None:
+        row_order = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0).squeeze(-1)
+    ridx = jnp.broadcast_to(row_order[:, None], (B, S)).reshape(-1)
     compaction_dropped = jnp.int32(0)
     G = base.group_size
     if base.group_cap and B % G == 0 and base.group_cap < G * S:
@@ -132,7 +136,7 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
         walk_w = rw[:, :base.group_cap].reshape(-1)
         walk_wsdf = rwsdf[:, :base.group_cap].reshape(-1)
 
-    end_ridx = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0).squeeze(-1)
+    end_ridx = row_order
     ids = jnp.concatenate([walk_ids, end_flat_masked])
     ridx_all = jnp.concatenate([ridx, end_ridx])
     w_all = jnp.concatenate([walk_w, w_e])
