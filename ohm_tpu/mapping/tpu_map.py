@@ -184,7 +184,10 @@ class TpuRayMapper:
                 cr = (rf.crossings[snake_perm(rf.crossings, G)]
                       if snake else rf.crossings)
                 gmax = int(cr.reshape(G, -1).sum(axis=0).max())
-                cap = max(512, -(-(gmax + max(256, gmax >> 4)) // 512) * 512) if gmax else 0
+                if snake:
+                    cap = max(512, -(-(gmax + max(128, gmax >> 6)) // 256) * 256) if gmax else 0
+                else:
+                    cap = max(512, -(-(gmax + max(256, gmax >> 4)) // 512) * 512) if gmax else 0
                 self._cap_cache_rf = max(getattr(self, "_cap_cache_rf", 0), cap)
 
     def _rayflow_setup(self, rays, timestamps, intensities, ray_update_flags):
@@ -242,12 +245,15 @@ class TpuRayMapper:
                             with_intensity=getattr(self, "_rayflow_intensity", False),
                             cdict=cdict, perm=perm)
         gmax = int(cr.reshape(G, -1).sum(axis=0).max()) if rf.rpad % G == 0 else 0
-        # Cap with ~6% headroom, quantised to 512: stream length = rows * cap
-        # drives the sort and the scatter (both ~linear), but at G=64 the
-        # rows are few so modest headroom costs <1% stream while stopping
-        # batch-to-batch cap jitter from recompiling mid-run (each new
-        # high-water mark is a new compiled program variant).
-        cap = max(512, -(-(gmax + max(256, gmax >> 4)) // 512) * 512) if gmax else 0
+        # Cap headroom + quantisation: stream length = rows * cap drives the
+        # sort and the scatter (both ~linear).  Snake-balanced group sums sit
+        # within ~0.2% of the mean, so a 2% margin + 256-quantise suffices;
+        # the unbalanced path keeps ~6% + 512 against batch-to-batch jitter
+        # (each new high-water mark is a new compiled program variant).
+        if snake:
+            cap = max(512, -(-(gmax + max(128, gmax >> 6)) // 256) * 256) if gmax else 0
+        else:
+            cap = max(512, -(-(gmax + max(256, gmax >> 4)) // 512) * 512) if gmax else 0
         self._cap_cache_rf = max(getattr(self, "_cap_cache_rf", 0), cap)
         cfg = self._config(ray_update_flags, group_cap=self._cap_cache_rf,
                            max_steps=self._steps_cache_rf, group_size=G,
