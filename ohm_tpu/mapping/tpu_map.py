@@ -262,6 +262,22 @@ class TpuRayMapper:
         batch = {"rayw": jnp.asarray(wire)}
         return batch, cfg, rf.n_rays
 
+    def _auto_size_scatter_cap(self, stats, n_rays) -> None:
+        """One-time readback sizing the compacted-deposit scatter window
+        from the first batch's touched-voxel count (2x headroom, monotone
+        pow2; see the scatter_cap docstring).  Shared by the TSDF/NDT
+        mappers whose dispatch bypasses _dispatch."""
+        if not (self._auto_scatter and (
+                self.scatter_cap == 0 or n_rays > getattr(self, "_cap_rays", 0))):
+            return
+        t = int(stats["touched"])
+        cap = 1 << 16
+        while cap < 2 * t:
+            cap *= 2
+        self.scatter_cap = max(self.scatter_cap,
+                               min(cap, self.arena.scatter_pad))
+        self._cap_rays = n_rays
+
     def _config(self, ray_flags: int, group_cap: int = 0,
                 max_steps: int | None = None, group_size: int = 64,
                 table_k: int = 0, walk_cap: int = 0,

@@ -57,6 +57,7 @@ class TpuTsdfMap(TpuRayMapper):
                 )
                 new_state, stats = integrate_tsdf_jit(self.arena.device_state(), batch, cfg)
                 self.arena.update_state(new_state)
+                self._auto_size_scatter_cap(stats, n_rays)
                 self._stats["rays"] += n_rays
                 self._stats["segments"] += n_rays
                 self._stats["batches"] += 1
@@ -66,6 +67,7 @@ class TpuTsdfMap(TpuRayMapper):
                     assert self._stats["missed_updates"] == 0
                     assert self._stats["overflow"] == 0
                     assert self._stats["compaction_dropped"] == 0
+                    assert self._stats["dropped_updates"] == 0
                 return n_rays
         prepared = prepare_ray_batch(m, rays, timestamps=timestamps,
                                      segment_length=self.segment_length)
@@ -85,6 +87,7 @@ class TpuTsdfMap(TpuRayMapper):
         cfg = self._tsdf_config(group_cap=self._group_cap(prepared))
         new_state, stats = integrate_tsdf_jit(self.arena.device_state(), batch, cfg)
         self.arena.update_state(new_state)
+        self._auto_size_scatter_cap(stats, n_rays)
         self._stats["rays"] += n_rays
         self._stats["segments"] += prepared.n_segments
         self._stats["batches"] += 1

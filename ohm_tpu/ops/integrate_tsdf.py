@@ -149,7 +149,44 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
         sorted_all = jax.lax.sort((ids, w_all, wsdf_all), num_keys=1)
         ids_s, w_s, wsdf_s = sorted_all
     last, (w_sum, wsdf_sum) = _segment_reduce(ids_s, [(w_s, "sum"), (wsdf_s, "sum")], base)
-    idx = _unique_scatter_indices(ids_s, last, base)
+
+    n_rec = ids_s.shape[0]
+    cap = base.scatter_cap if 0 < base.scatter_cap < n_rec else 0
+    big = jnp.int32(2**31 - 2)
+    dropped = jnp.int32(0)
+
+    def compact_deposit(mask, payloads):
+        """Scatter per-voxel payloads from a sorted stream.
+
+        With a scatter window (cap) the voxel rows selected by ``mask`` are
+        pulled to the stream front by a payload-carrying sort and only the
+        window scatters (sorted + unique + in-bounds — the fast lowering);
+        the full-stream unique-scatter fallback mirrors the occupancy
+        deposit (ops.integrate._apply_occupancy_dense).  Returns
+        (pend arrays..., dropped)."""
+        shape = arena["tsdf_weight"].shape
+        if cap:
+            key = jnp.where(mask, ids_s, big)
+            ops = jax.lax.sort((key,) + tuple(payloads), num_keys=1)
+            kc = ops[0][:cap]
+            real = kc != big
+            drop = (jnp.sum(mask.astype(jnp.int32))
+                    - jnp.sum(real.astype(jnp.int32)))
+            cpos = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
+            tgt = jnp.where(real, kc, base.pad_base + cpos)
+            pends = tuple(
+                jnp.zeros(shape, p.dtype).at[tgt].set(
+                    jnp.where(real, o[:cap], jnp.zeros((), p.dtype)),
+                    indices_are_sorted=True, unique_indices=True,
+                    mode="promise_in_bounds")
+                for p, o in zip(payloads, ops[1:]))
+            return pends, drop
+        idx = _unique_scatter_indices(ids_s, mask, base)
+        pends = tuple(
+            jnp.zeros(shape, p.dtype).at[idx].set(
+                jnp.where(mask, p, jnp.zeros((), p.dtype)), unique_indices=True)
+            for p in payloads)
+        return pends, jnp.int32(0)
 
     arena = dict(arena)
     if cfg.per_visit:
@@ -166,36 +203,75 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
         # default) mid-batch.
         from ohm_tpu.ops import blocked
 
-        w0_s = arena["tsdf_weight"][ids_s]
-        d0_s = arena["tsdf_distance"][ids_s]
         first = jnp.concatenate([jnp.array([True]), ids_s[1:] != ids_s[:-1]])
+        real_seg = ids_s != base.sentinel
+        if cap:
+            # Compacted seed fetch: the batch-start (w0, d0) of each touched
+            # voxel is needed at every record, but a full-stream gather from
+            # the multi-hundred-MB arena runs ~25 ns/element (latency-bound;
+            # ~60 ms/batch at 1.2M records — the round-3 TSDF regression).
+            # Instead: compact the segment-FIRST stream positions (1-operand
+            # sort), gather the (w0, d0) pairs only for those <=cap rows,
+            # scatter them back to the first positions, and propagate along
+            # each segment with a blocked prefix sum (seeds live only at
+            # firsts, so the segment prefix sum IS the broadcast).
+            pos = jax.lax.broadcasted_iota(jnp.int32, (n_rec, 1), 0).squeeze(-1)
+            fpos = jnp.where(first & real_seg, pos, big)
+            fpos_c = jax.lax.sort((fpos,), num_keys=1)[0][:cap]
+            freal = fpos_c != big
+            safe_pos = jnp.where(freal, fpos_c, 0)
+            fids = ids_s[safe_pos]
+            wd = jnp.stack([arena["tsdf_weight"], arena["tsdf_distance"]], axis=-1)
+            seed = wd[jnp.where(freal, fids, 0)]
+            seed_w = jnp.where(freal, seed[:, 0], 0.0)
+            seed_dw = jnp.where(freal, seed[:, 0] * seed[:, 1], 0.0)
+            tgt = jnp.where(freal, safe_pos, n_rec)
+            w0_stream = jnp.zeros(n_rec + 1, jnp.float32).at[tgt].set(
+                seed_w, indices_are_sorted=True, unique_indices=True,
+                mode="drop")[:n_rec]
+            dw0_stream = jnp.zeros(n_rec + 1, jnp.float32).at[tgt].set(
+                seed_dw, indices_are_sorted=True, unique_indices=True,
+                mode="drop")[:n_rec]
+            # A segment whose seed missed the window must DROP its update
+            # (counted), not run from a zero seed: flag kept firsts and
+            # propagate like the seeds.
+            flag_stream = jnp.zeros(n_rec + 1, jnp.float32).at[tgt].set(
+                freal.astype(jnp.float32), indices_are_sorted=True,
+                unique_indices=True, mode="drop")[:n_rec]
+            w0_s = blocked.segment_sums(w0_stream, first)
+            d0w0_s = blocked.segment_sums(dw0_stream, first)
+            seeded = blocked.segment_sums(flag_stream, first) > 0
+            seed_dropped = (jnp.sum((first & real_seg).astype(jnp.int32))
+                            - jnp.sum(freal.astype(jnp.int32)))
+            dropped = dropped + seed_dropped
+        else:
+            w0_s = arena["tsdf_weight"][ids_s]
+            d0w0_s = w0_s * arena["tsdf_distance"][ids_s]
+            seeded = jnp.ones_like(first)
         s_w = blocked.segment_sums(w_s, first)
         w_run = w0_s + s_w
         alive = w_run >= jnp.float32(1e-5)
-        big = jnp.float32(3.0e38)
+        fbig = jnp.float32(3.0e38)
         c_map = jnp.where(alive, wsdf_s, 0.0)
-        lo_map = jnp.where(alive, -trunc * w_run, -big)
-        hi_map = jnp.where(alive, trunc * w_run, big)
+        lo_map = jnp.where(alive, -trunc * w_run, -fbig)
+        hi_map = jnp.where(alive, trunc * w_run, fbig)
         C, LO, HI = blocked.segment_compose_shift_clamp(c_map, lo_map, hi_map, first)
-        u_k = jnp.minimum(jnp.maximum(d0_s * w0_s + C, LO), HI)
+        u_k = jnp.minimum(jnp.maximum(d0w0_s + C, LO), HI)
         d_k = u_k / jnp.maximum(w_run, jnp.float32(1e-5))
         w_k = jnp.minimum(w_run, jnp.float32(cfg.max_weight))
-        upd = last & alive & (ids_s != base.sentinel)
-        pend_w = jnp.zeros(arena["tsdf_weight"].shape, jnp.float32).at[idx].set(
-            jnp.where(upd, w_k, 0.0), unique_indices=True)
-        pend_d = jnp.zeros(arena["tsdf_distance"].shape, jnp.float32).at[idx].set(
-            jnp.where(upd, d_k, 0.0), unique_indices=True)
-        pend_t = jnp.zeros(arena["tsdf_weight"].shape, jnp.bool_).at[idx].set(
-            upd, unique_indices=True)
+        upd = last & alive & real_seg & seeded
+        (pend_w, pend_d), drop2 = compact_deposit(upd, (w_k, d_k))
+        dropped = dropped + drop2
+        pend_t = pend_w > 0  # w_k >= 1e-5 whenever upd
         arena["tsdf_weight"] = jnp.where(pend_t, pend_w, arena["tsdf_weight"])
         arena["tsdf_distance"] = jnp.where(pend_t, pend_d, arena["tsdf_distance"])
     else:
         # Batch blend: one accumulate + one truncation per batch (faster;
         # diverges from per-visit truncation on voxels whose record sdfs
         # straddle the truncation band).
-        shape = arena["tsdf_weight"].shape
-        pending_w = jnp.zeros(shape, jnp.float32).at[idx].set(jnp.where(last, w_sum, 0.0), unique_indices=True)
-        pending_wsdf = jnp.zeros(shape, jnp.float32).at[idx].set(jnp.where(last, wsdf_sum, 0.0), unique_indices=True)
+        (pending_w, pending_wsdf), drop2 = compact_deposit(
+            last & (ids_s != base.sentinel), (w_sum, wsdf_sum))
+        dropped = dropped + drop2
 
         w0 = arena["tsdf_weight"]
         d0 = arena["tsdf_distance"]
@@ -214,6 +290,7 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
                      + walk["truncated"]).astype(jnp.int32),
         "touched": jnp.sum((last & (ids_s != base.sentinel)).astype(jnp.int32)),
         "compaction_dropped": compaction_dropped,
+        "dropped_updates": dropped,
     }
     return arena, stats
 
