@@ -264,11 +264,19 @@ class TpuRayMapper:
 
     def _auto_size_scatter_cap(self, stats, n_rays) -> None:
         """One-time readback sizing the compacted-deposit scatter window
-        from the first batch's touched-voxel count (2x headroom, monotone
-        pow2; see the scatter_cap docstring).  Shared by the TSDF/NDT
-        mappers whose dispatch bypasses _dispatch."""
+        (2x headroom, monotone pow2; see the scatter_cap docstring).
+
+        Sizes from the FOURTH batch, not the first: on an empty map nearly
+        every record is a fresh voxel, so first-batch touched overshoots the
+        steady state several-fold and the resulting cap lands past the
+        stream length, silently disabling compaction (observed: TSDF bench
+        auto-sized to 2M > the 1.3M stream).  Batches before sizing run the
+        uncapped (exact, slower) deposit.  Shared by the TSDF/NDT mappers
+        whose dispatch bypasses _dispatch."""
         if not (self._auto_scatter and (
                 self.scatter_cap == 0 or n_rays > getattr(self, "_cap_rays", 0))):
+            return
+        if self.scatter_cap == 0 and self._stats["batches"] < 3:
             return
         t = int(stats["touched"])
         cap = 1 << 16
@@ -456,23 +464,8 @@ class TpuRayMapper:
             stats = dict(stats)
             stats["touched"] = touched
             stats["dropped_updates"] = dropped
-            if self._auto_scatter and not stop and (
-                    self.scatter_cap == 0
-                    or n_rays > getattr(self, "_cap_rays", 0)):
-                # One-time readback: size the compacted-deposit scatter window
-                # from the first batch's touched-voxel count with 2x headroom
-                # (monotone pow2 so later batches reuse one compiled variant).
-                # The scatter costs ~5.5 ns per WINDOW element, so headroom is
-                # paid every batch; 2x + pow2 rounding still leaves >=2x slack
-                # for scene drift, and overflow is counted (dropped_updates,
-                # asserted under validate and by the benches).
-                t = int(touched)
-                cap = 1 << 16
-                while cap < 2 * t:
-                    cap *= 2
-                self.scatter_cap = max(self.scatter_cap,
-                                       min(cap, self.arena.scatter_pad))
-                self._cap_rays = n_rays
+            if not stop:
+                self._auto_size_scatter_cap({"touched": touched}, n_rays)
         self.arena.update_state(new_state)
 
         self._stats["rays"] += n_rays
