@@ -168,20 +168,24 @@ def test_compact_deposit_over_cap_surfaces():
     assert mapper.stats["dropped_updates"] > 0
 
 
-def test_auto_scatter_cap_sizes_from_first_batch():
+def test_auto_scatter_cap_sizes_from_fourth_batch():
+    """Auto cap sizing waits for the fourth batch: first-batch touched on an
+    empty map overshoots steady state several-fold, which sized the cap past
+    the stream length and silently disabled deposit compaction."""
     rng = np.random.default_rng(7)
     rays = box_room_rays(256, rng)
     m = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
     mapper = TpuRayMapper(m, capacity=128, validate=True)  # scatter_cap="auto"
-    mapper.integrate_rays(rays)
-    assert mapper.scatter_cap > 0  # sized from the first batch's touched
-    mapper.integrate_rays(rays)
+    m_u = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    mp_u = TpuRayMapper(m_u, capacity=128, scatter_cap=0)
+    for i in range(5):
+        mapper.integrate_rays(rays)
+        mp_u.integrate_rays(rays)
+        if i < 3:
+            assert mapper.scatter_cap == 0  # early batches run uncapped
+    assert mapper.scatter_cap > 0  # sized from the fourth batch's touched
     mapper.sync_voxels()
     assert mapper.stats["dropped_updates"] == 0
     # Exactness vs a fully uncapped mapper on the same stream.
-    m_u = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
-    mp_u = TpuRayMapper(m_u, capacity=128, scatter_cap=0)
-    mp_u.integrate_rays(rays)
-    mp_u.integrate_rays(rays)
     mp_u.sync_voxels()
     assert_same_maps(m, m_u)
