@@ -1,18 +1,24 @@
-"""Native LAS point-cloud reader (pure numpy, no external dependencies).
+"""Native LAS/LAZ point-cloud reader (no external dependencies).
 
 Reference parity: slamio/PointCloudReaderPdal.{h,cpp} reads LAS/LAZ (among
 other formats) through PDAL; PDAL is not available in this environment, so
-.las is parsed directly against the public ASPRS LAS 1.0-1.4 specification.
-Compressed .laz still requires laspy+lazrs when importable (the LAZ codec is
-out of scope for a from-scratch reader); io.slam gates it.
+.las is parsed directly against the public ASPRS LAS 1.0-1.4 specification
+and .laz through a from-scratch LASzip codec (ohm_tpu/native/laszip.cpp:
+pointwise-chunked compressor, record version 2 item codecs POINT10 /
+GPSTIME11 / RGB12 / BYTE — i.e. LAS 1.2 point formats 0-3 plus extra bytes,
+the formats robotics lidar clouds actually use).  LAS 1.4 layered point
+formats (6+) compress with the v3/v4 codecs and are rejected with a clear
+error.
 
-Covers point data record formats 0-10: scaled XYZ, intensity, GPS time,
-return number / number of returns (dual-return detection for the
+Covers point data record formats 0-10 uncompressed: scaled XYZ, intensity,
+GPS time, return number / number of returns (dual-return detection for the
 secondary-samples mapper — reference slamio/SlamCloudLoader.h dual return
 handling).
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 
@@ -21,37 +27,14 @@ _GPS_OFFSET = {1: 20, 3: 20, 4: 20, 5: 20, 6: 22, 7: 22, 8: 22, 9: 22, 10: 22}
 #: Formats whose return info lives in byte 14 as two 4-bit fields (1.4 era).
 _EXTENDED_RETURNS = {6, 7, 8, 9, 10}
 
+#: LASzip item type ids (laszip VLR item list).
+_LZ_BYTE, _LZ_POINT10, _LZ_GPSTIME11, _LZ_RGB12 = 0, 6, 7, 8
+_LZ_SUPPORTED = {_LZ_BYTE, _LZ_POINT10, _LZ_GPSTIME11, _LZ_RGB12}
 
-def read_las(filename: str) -> dict:
-    """Parse a .las file; returns dict with 'points' f64[N,3] and, when
-    present in the format, 'timestamps' f64[N], 'intensities' f32[N],
-    'return_numbers' u8[N], 'number_of_returns' u8[N]."""
-    with open(filename, "rb") as f:
-        header = f.read(375)
-        if len(header) < 227 or header[0:4] != b"LASF":
-            raise ValueError(f"{filename}: not a LAS file (missing LASF signature)")
-        ver_major, ver_minor = header[24], header[25]
-        point_offset = int(np.frombuffer(header, "<u4", 1, 96)[0])
-        fmt = header[104]
-        if fmt & 0x80:
-            raise ValueError(
-                f"{filename}: compressed LAZ data (format bit 7 set) — "
-                "decompress or install laspy+lazrs")
-        if fmt > 10:
-            raise ValueError(f"{filename}: unsupported point data format {fmt}")
-        rec_len = int(np.frombuffer(header, "<u2", 1, 105)[0])
-        n_points = int(np.frombuffer(header, "<u4", 1, 107)[0])
-        if n_points == 0 and ver_major == 1 and ver_minor >= 4 and len(header) >= 255:
-            n_points = int(np.frombuffer(header, "<u8", 1, 247)[0])
-        scale = np.frombuffer(header, "<f8", 3, 131).copy()
-        offset = np.frombuffer(header, "<f8", 3, 155).copy()
 
-        f.seek(point_offset)
-        raw = f.read(n_points * rec_len)
-    if len(raw) < n_points * rec_len:
-        n_points = len(raw) // rec_len
-        raw = raw[: n_points * rec_len]
-    rec = np.frombuffer(raw, np.uint8).reshape(n_points, rec_len)
+def _parse_records(rec: np.ndarray, fmt: int, scale, offset) -> dict:
+    """Field extraction from raw point records u8[N, rec_len]."""
+    n_points, rec_len = rec.shape
 
     def field(off, dtype, count=1):
         width = np.dtype(dtype).itemsize * count
@@ -77,6 +60,160 @@ def read_las(filename: str) -> dict:
     return out
 
 
+def _find_laszip_vlr(data: bytes, header_size: int, n_vlrs: int):
+    """Walk the VLR block; return the parsed laszip VLR payload or None."""
+    pos = header_size
+    for _ in range(n_vlrs):
+        if pos + 54 > len(data):
+            return None
+        user_id = data[pos + 2:pos + 18].rstrip(b"\0")
+        record_id = struct.unpack_from("<H", data, pos + 18)[0]
+        length = struct.unpack_from("<H", data, pos + 20)[0]
+        payload = data[pos + 54:pos + 54 + length]
+        pos += 54 + length
+        if user_id == b"laszip encoded" and record_id == 22204:
+            return _parse_laszip_vlr(payload)
+    return None
+
+
+def _parse_laszip_vlr(payload: bytes) -> dict:
+    (compressor, coder, vmaj, vmin, vrev, options, chunk_size,
+     n_evlrs, evlr_off, num_items) = struct.unpack_from("<HHBBHIIqqH", payload, 0)
+    items = []
+    for i in range(num_items):
+        t, s, v = struct.unpack_from("<HHH", payload, 34 + 6 * i)
+        items.append((t, s, v))
+    return {"compressor": compressor, "coder": coder,
+            "version": (vmaj, vmin, vrev), "chunk_size": chunk_size,
+            "items": items}
+
+
+def _read_laz_records(data: bytes, filename: str, point_offset: int,
+                      n_points: int, rec_len: int) -> np.ndarray:
+    """Decompress the LASzip point stream to raw records u8[N, rec_len]."""
+    from ohm_tpu import native
+
+    header_size = struct.unpack_from("<H", data, 94)[0]
+    n_vlrs = struct.unpack_from("<I", data, 100)[0]
+    vlr = _find_laszip_vlr(data, header_size, n_vlrs)
+    if vlr is None:
+        raise ValueError(f"{filename}: compressed LAZ without a laszip VLR")
+    if vlr["coder"] != 0:
+        raise ValueError(f"{filename}: unsupported LASzip coder {vlr['coder']}")
+    if vlr["compressor"] not in (1, 2):
+        raise NotImplementedError(
+            f"{filename}: LASzip compressor {vlr['compressor']} (layered "
+            "LAS 1.4 point formats) is not supported — rewrite as point "
+            "format 0-3")
+    for t, s, v in vlr["items"]:
+        if t not in _LZ_SUPPORTED or v != 2:
+            raise NotImplementedError(
+                f"{filename}: LASzip item type {t} v{v} not supported "
+                "(point formats 0-3 + extra bytes only)")
+    sizes = [s for _, s, _ in vlr["items"]]
+    if sum(sizes) != rec_len:
+        raise ValueError(f"{filename}: laszip item sizes {sizes} != record "
+                         f"length {rec_len}")
+
+    if vlr["compressor"] == 1:  # pointwise: one chunk, no table
+        stream = np.frombuffer(data, np.uint8, offset=point_offset)
+        chunk_size, starts = 0xFFFFFFFF, [0]
+    else:
+        table_off = struct.unpack_from("<q", data, point_offset)[0]
+        if table_off == -1:  # streaming writer: offset stored in last 8 bytes
+            table_off = struct.unpack_from("<q", data, len(data) - 8)[0]
+        if not point_offset + 8 <= table_off <= len(data) - 8:
+            raise ValueError(f"{filename}: bad LASzip chunk table offset")
+        stream = np.frombuffer(data, np.uint8,
+                               count=table_off - point_offset - 8,
+                               offset=point_offset + 8)
+        version, n_chunks = struct.unpack_from("<II", data, table_off)
+        if version != 0:
+            raise ValueError(f"{filename}: LASzip chunk table v{version}")
+        chunk_bytes = native.laz_read_chunk_table(
+            np.frombuffer(data, np.uint8, offset=table_off + 8), n_chunks)
+        starts = np.concatenate([[0], np.cumsum(chunk_bytes[:-1])])
+        chunk_size = vlr["chunk_size"]
+    types = [t for t, _, _ in vlr["items"]]
+    return native.laz_decompress(stream, types, sizes, n_points, chunk_size,
+                                 starts)
+
+
+def read_las(filename: str) -> dict:
+    """Parse a .las / .laz file; returns dict with 'points' f64[N,3] and,
+    when present in the format, 'timestamps' f64[N], 'intensities' f32[N],
+    'return_numbers' u8[N], 'number_of_returns' u8[N]."""
+    with open(filename, "rb") as f:
+        header = f.read(375)
+        if len(header) < 227 or header[0:4] != b"LASF":
+            raise ValueError(f"{filename}: not a LAS file (missing LASF signature)")
+        ver_major, ver_minor = header[24], header[25]
+        point_offset = int(np.frombuffer(header, "<u4", 1, 96)[0])
+        fmt = header[104]
+        compressed = bool(fmt & 0x80)
+        fmt = fmt & 0x7F
+        if fmt > 10:
+            raise ValueError(f"{filename}: unsupported point data format {fmt}")
+        rec_len = int(np.frombuffer(header, "<u2", 1, 105)[0])
+        n_points = int(np.frombuffer(header, "<u4", 1, 107)[0])
+        if n_points == 0 and ver_major == 1 and ver_minor >= 4 and len(header) >= 255:
+            n_points = int(np.frombuffer(header, "<u8", 1, 247)[0])
+        scale = np.frombuffer(header, "<f8", 3, 131).copy()
+        offset = np.frombuffer(header, "<f8", 3, 155).copy()
+
+        if compressed:
+            f.seek(0)
+            data = f.read()
+            rec = _read_laz_records(data, filename, point_offset, n_points,
+                                    rec_len)
+            return _parse_records(rec, fmt, scale, offset)
+
+        f.seek(point_offset)
+        raw = f.read(n_points * rec_len)
+    if len(raw) < n_points * rec_len:
+        n_points = len(raw) // rec_len
+        raw = raw[: n_points * rec_len]
+    rec = np.frombuffer(raw, np.uint8).reshape(n_points, rec_len)
+    return _parse_records(rec, fmt, scale, offset)
+
+
+def _build_records_fmt1(points, timestamps, intensities, return_numbers,
+                        number_of_returns, scale, offset):
+    """Raw LAS point format 1 records (28 B) from field arrays."""
+    n = len(points)
+    rec = np.zeros((n, 28), np.uint8)
+    xyz_i = np.round((points - offset[None, :]) / scale[None, :]).astype("<i4")
+    rec[:, 0:12] = np.ascontiguousarray(xyz_i).view(np.uint8).reshape(n, 12)
+    if intensities is not None:
+        rec[:, 12:14] = np.asarray(intensities, "<u2").view(np.uint8).reshape(n, 2)
+    rn = np.asarray(return_numbers, np.uint8) if return_numbers is not None else np.ones(n, np.uint8)
+    nr = np.asarray(number_of_returns, np.uint8) if number_of_returns is not None else np.ones(n, np.uint8)
+    rec[:, 14] = (rn & 0x07) | ((nr & 0x07) << 3)
+    if timestamps is not None:
+        rec[:, 20:28] = np.asarray(timestamps, "<f8").view(np.uint8).reshape(n, 8)
+    return rec
+
+
+def _las_header(n: int, fmt: int, rec_len: int, point_offset: int,
+                n_vlrs: int, scale, offset, points) -> bytearray:
+    header = bytearray(227)
+    header[0:4] = b"LASF"
+    header[24] = 1
+    header[25] = 2
+    header[94:96] = int(227).to_bytes(2, "little")  # header size
+    header[96:100] = int(point_offset).to_bytes(4, "little")
+    header[100:104] = int(n_vlrs).to_bytes(4, "little")
+    header[104] = fmt
+    header[105:107] = rec_len.to_bytes(2, "little")
+    header[107:111] = n.to_bytes(4, "little")
+    header[131:155] = np.asarray(scale, np.float64).tobytes()
+    header[155:179] = np.asarray(offset, np.float64).tobytes()
+    if n:
+        header[179:227] = np.concatenate(
+            [points.max(axis=0), points.min(axis=0)])[[0, 3, 1, 4, 2, 5]].tobytes()
+    return header
+
+
 def write_las(filename: str, points, timestamps=None, intensities=None,
               return_numbers=None, number_of_returns=None,
               scale=(1e-3, 1e-3, 1e-3)) -> None:
@@ -87,32 +224,54 @@ def write_las(filename: str, points, timestamps=None, intensities=None,
     n = len(points)
     scale = np.asarray(scale, np.float64)
     offset = points.min(axis=0) if n else np.zeros(3)
-    rec_len = 28  # format 1
-    header = bytearray(227)
-    header[0:4] = b"LASF"
-    header[24] = 1
-    header[25] = 2
-    header[94:96] = int(227).to_bytes(2, "little")  # header size
-    header[96:100] = int(227).to_bytes(4, "little")  # point data offset
-    header[104] = 1
-    header[105:107] = rec_len.to_bytes(2, "little")
-    header[107:111] = n.to_bytes(4, "little")
-    header[131:155] = scale.tobytes()
-    header[155:179] = offset.tobytes()
-    if n:
-        header[179:227] = np.concatenate(
-            [points.max(axis=0), points.min(axis=0)])[[0, 3, 1, 4, 2, 5]].tobytes()
-
-    rec = np.zeros((n, rec_len), np.uint8)
-    xyz_i = np.round((points - offset[None, :]) / scale[None, :]).astype("<i4")
-    rec[:, 0:12] = np.ascontiguousarray(xyz_i).view(np.uint8).reshape(n, 12)
-    if intensities is not None:
-        rec[:, 12:14] = np.asarray(intensities, "<u2").view(np.uint8).reshape(n, 2)
-    rn = np.asarray(return_numbers, np.uint8) if return_numbers is not None else np.ones(n, np.uint8)
-    nr = np.asarray(number_of_returns, np.uint8) if number_of_returns is not None else np.ones(n, np.uint8)
-    rec[:, 14] = (rn & 0x07) | ((nr & 0x07) << 3)
-    if timestamps is not None:
-        rec[:, 20:28] = np.asarray(timestamps, "<f8").view(np.uint8).reshape(n, 8)
+    rec = _build_records_fmt1(points, timestamps, intensities,
+                              return_numbers, number_of_returns, scale, offset)
+    header = _las_header(n, 1, 28, 227, 0, scale, offset, points)
     with open(filename, "wb") as f:
         f.write(bytes(header))
         f.write(rec.tobytes())
+
+
+def write_laz(filename: str, points, timestamps=None, intensities=None,
+              return_numbers=None, number_of_returns=None,
+              scale=(1e-3, 1e-3, 1e-3), chunk_size: int = 50000) -> None:
+    """Write a LASzip-compressed .laz (LAS 1.2, point format 1).
+
+    Pointwise-chunked compressor 2 with POINT10 + GPSTIME11 v2 item codecs
+    and a standard chunk table — the layout PDAL/LASzip readers expect."""
+    from ohm_tpu import native
+
+    points = np.asarray(points, np.float64).reshape(-1, 3)
+    n = len(points)
+    scale = np.asarray(scale, np.float64)
+    offset = points.min(axis=0) if n else np.zeros(3)
+    rec = _build_records_fmt1(points, timestamps, intensities,
+                              return_numbers, number_of_returns, scale, offset)
+
+    items = [(_LZ_POINT10, 20, 2), (_LZ_GPSTIME11, 8, 2)]
+    vlr_payload = struct.pack("<HHBBHIIqqH", 2, 0, 2, 2, 0, 0, chunk_size,
+                              0, 0, len(items))
+    for t, s, v in items:
+        vlr_payload += struct.pack("<HHH", t, s, v)
+    vlr = struct.pack("<H", 0) + b"laszip encoded".ljust(16, b"\0")
+    vlr += struct.pack("<HH", 22204, len(vlr_payload))
+    vlr += b"ohm_tpu laszip".ljust(32, b"\0")
+    vlr += vlr_payload
+
+    point_offset = 227 + len(vlr)
+    header = _las_header(n, 1 | 0x80, 28, point_offset, 1, scale, offset,
+                         points)
+    if n:
+        stream, chunk_bytes = native.laz_compress(
+            rec, [t for t, _, _ in items], [s for _, s, _ in items],
+            chunk_size)
+    else:
+        stream, chunk_bytes = b"", []
+    table_off = point_offset + 8 + len(stream)
+    with open(filename, "wb") as f:
+        f.write(bytes(header))
+        f.write(vlr)
+        f.write(struct.pack("<q", table_off))
+        f.write(stream)
+        f.write(struct.pack("<II", 0, len(chunk_bytes)))
+        f.write(native.laz_write_chunk_table(chunk_bytes))

@@ -74,21 +74,26 @@ def _read_las_cloud(filename):
 
 
 def _read_laz_cloud(filename):
+    # Native LASzip codec (io.las + native/laszip.cpp) — point formats 0-3.
+    # laspy (when importable) is the fallback for layered 1.4 formats.
+    from ohm_tpu.io.las import read_las
+
     try:
-        import laspy  # noqa: F401  (needs the lazrs/laszip codec too)
-    except ImportError as exc:
-        raise RuntimeError(
-            "compressed .laz requires laspy (unavailable in this environment); "
-            "decompress to .las — the native reader (io.las) handles it") from exc
-    las = laspy.read(filename)
-    out = {"points": np.column_stack([las.x, las.y, las.z])}
-    if hasattr(las, "gps_time"):
-        out["timestamps"] = np.asarray(las.gps_time, np.float64)
-    if hasattr(las, "intensity"):
-        out["intensities"] = np.asarray(las.intensity, np.float32)
-    if hasattr(las, "return_number"):
-        out["return_numbers"] = np.asarray(las.return_number, np.uint8)
-    return out
+        return read_las(filename)
+    except NotImplementedError:
+        try:
+            import laspy
+        except ImportError:
+            raise
+        las = laspy.read(filename)
+        out = {"points": np.column_stack([las.x, las.y, las.z])}
+        if hasattr(las, "gps_time"):
+            out["timestamps"] = np.asarray(las.gps_time, np.float64)
+        if hasattr(las, "intensity"):
+            out["intensities"] = np.asarray(las.intensity, np.float32)
+        if hasattr(las, "return_number"):
+            out["return_numbers"] = np.asarray(las.return_number, np.uint8)
+        return out
 
 
 def _read_text_cloud(filename):

@@ -247,3 +247,122 @@ def lookup_slots(regions, table):
         _ptr(table.slot, ctypes.c_int32), ctypes.c_int32(table.table_size),
         _ptr(out, ctypes.c_int32))
     return out.reshape(regions.shape[:-1])
+
+
+# --------------------------------------------------------------------------- #
+# LASzip (.laz) point codec — ohm_tpu/native/laszip.cpp.  Built as its own
+# shared library (independent of the batch-prep hot path).
+
+_LAZ_SRC = os.path.join(_HERE, "laszip.cpp")
+_LAZ_LIB = os.path.join(_HERE, "libohmlaz.so")
+_laz_lib = None
+
+
+def get_laz_lib():
+    """Load (building on first use) the LASzip codec library, or None."""
+    global _laz_lib
+    if _laz_lib is not None:
+        return _laz_lib
+    if not (os.path.exists(_LAZ_LIB)
+            and os.path.getmtime(_LAZ_LIB) >= os.path.getmtime(_LAZ_SRC)):
+        try:
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", _LAZ_SRC,
+                 "-o", _LAZ_LIB + ".tmp"],
+                check=True, capture_output=True, timeout=120)
+            os.replace(_LAZ_LIB + ".tmp", _LAZ_LIB)
+        except Exception:  # pragma: no cover - environment dependent
+            return None
+    lib = ctypes.CDLL(_LAZ_LIB)
+    for fn in ("laszip_decompress", "laszip_compress",
+               "laszip_read_chunk_table", "laszip_write_chunk_table"):
+        getattr(lib, fn).restype = ctypes.c_int64
+    _laz_lib = lib
+    return lib
+
+
+def laz_decompress(stream: np.ndarray, item_types, item_sizes, n_points: int,
+                   chunk_size: int, chunk_starts) -> np.ndarray:
+    """Decompress a pointwise-chunked LASzip point stream into raw point
+    records (u8[n_points, point_size]).  ``chunk_starts`` are byte offsets of
+    each chunk within ``stream``."""
+    lib = get_laz_lib()
+    if lib is None:
+        raise RuntimeError("LASzip codec unavailable (no C++ compiler)")
+    types = np.ascontiguousarray(item_types, np.int32)
+    sizes = np.ascontiguousarray(item_sizes, np.int32)
+    starts = np.ascontiguousarray(chunk_starts, np.int64)
+    point_size = int(sizes.sum())
+    stream = np.ascontiguousarray(stream, np.uint8)
+    out = np.zeros(n_points * point_size, np.uint8)
+    rc = lib.laszip_decompress(
+        _ptr(stream, ctypes.c_uint8), ctypes.c_int64(stream.size),
+        _ptr(types, ctypes.c_int32), _ptr(sizes, ctypes.c_int32),
+        ctypes.c_int32(len(types)), ctypes.c_int64(n_points),
+        ctypes.c_uint32(chunk_size & 0xFFFFFFFF),
+        _ptr(starts, ctypes.c_int64), ctypes.c_int32(len(starts)),
+        _ptr(out, ctypes.c_uint8))
+    if rc != 0:
+        raise ValueError(f"LASzip decompression failed (code {rc})")
+    return out.reshape(n_points, point_size)
+
+
+def laz_compress(records: np.ndarray, item_types, item_sizes,
+                 chunk_size: int = 50000):
+    """Compress raw point records (u8[n_points, point_size]) into a
+    pointwise-chunked LASzip stream.  Returns (stream bytes, chunk byte
+    lengths)."""
+    lib = get_laz_lib()
+    if lib is None:
+        raise RuntimeError("LASzip codec unavailable (no C++ compiler)")
+    records = np.ascontiguousarray(records, np.uint8)
+    n_points, point_size = records.shape
+    types = np.ascontiguousarray(item_types, np.int32)
+    sizes = np.ascontiguousarray(item_sizes, np.int32)
+    assert int(sizes.sum()) == point_size
+    eff_chunk = n_points if chunk_size == 0xFFFFFFFF else chunk_size
+    n_chunk_cap = max(1, -(-n_points // max(eff_chunk, 1)))
+    chunk_bytes = np.zeros(n_chunk_cap, np.int64)
+    n_chunks = np.zeros(1, np.int32)
+    cap = records.size + 4096 + 64 * n_chunk_cap
+    while True:
+        out = np.zeros(cap, np.uint8)
+        total = lib.laszip_compress(
+            _ptr(records, ctypes.c_uint8), ctypes.c_int64(n_points),
+            _ptr(types, ctypes.c_int32), _ptr(sizes, ctypes.c_int32),
+            ctypes.c_int32(len(types)), ctypes.c_uint32(chunk_size & 0xFFFFFFFF),
+            _ptr(out, ctypes.c_uint8), ctypes.c_int64(cap),
+            _ptr(chunk_bytes, ctypes.c_int64), _ptr(n_chunks, ctypes.c_int32))
+        if total == -1:  # incompressible input: retry with a larger buffer
+            cap *= 2
+            continue
+        if total < 0:
+            raise ValueError(f"LASzip compression failed (code {total})")
+        return bytes(out[:total]), chunk_bytes[: int(n_chunks[0])].tolist()
+
+
+def laz_read_chunk_table(payload: np.ndarray, n_chunks: int) -> np.ndarray:
+    """Decode the arithmetic-coded chunk-size list (after the u32 version /
+    u32 count words of the chunk table)."""
+    lib = get_laz_lib()
+    payload = np.ascontiguousarray(payload, np.uint8)
+    out = np.zeros(n_chunks, np.int64)
+    rc = lib.laszip_read_chunk_table(
+        _ptr(payload, ctypes.c_uint8), ctypes.c_int64(payload.size),
+        ctypes.c_int32(n_chunks), _ptr(out, ctypes.c_int64))
+    if rc != 0:
+        raise ValueError(f"LASzip chunk table decode failed (code {rc})")
+    return out
+
+
+def laz_write_chunk_table(chunk_bytes) -> bytes:
+    lib = get_laz_lib()
+    arr = np.ascontiguousarray(chunk_bytes, np.int64)
+    cap = 16 + 8 * max(len(arr), 1)
+    out = np.zeros(cap, np.uint8)
+    n = lib.laszip_write_chunk_table(
+        _ptr(arr, ctypes.c_int64), ctypes.c_int32(len(arr)),
+        _ptr(out, ctypes.c_uint8), ctypes.c_int64(cap))
+    if n < 0:
+        raise ValueError("LASzip chunk table encode overflow")
+    return bytes(out[:n])
