@@ -22,6 +22,14 @@ from ohm_tpu.core import layout as layoutmod
 from ohm_tpu.ops.regiontable import HostRegionTable
 
 
+class NeedsEviction(RuntimeError):
+    """Raised by ensure_regions(allow_evict=False) when allocation would
+    have to evict.  Used by the coalesced-transfer path: batches prepped
+    ahead of dispatch must not reassign slots that an already-prepped (but
+    not yet dispatched) batch's wire still references — the caller flushes
+    the pending group first, then retries with eviction allowed."""
+
+
 class CacheFull(RuntimeError):
     """A single batch demands more regions than the arena can hold.
 
@@ -122,7 +130,8 @@ class VoxelArena:
 
     # ------------------------------------------------------------------ #
 
-    def ensure_regions(self, region_keys: np.ndarray, host_map=None):
+    def ensure_regions(self, region_keys: np.ndarray, host_map=None,
+                       allow_evict: bool = True):
         """Allocate arena slots for every region in (R, 3); evict LRU on overflow.
 
         ``host_map`` receives spilled voxel data when eviction is required
@@ -151,6 +160,8 @@ class VoxelArena:
             return
         self.stats["misses"] += len(missing)
         need = len(missing) - len(self.free_slots)
+        if need > 0 and not allow_evict:
+            raise NeedsEviction(f"{need} evictions required")
         if need > 0:
             # Batched LRU eviction: regions touched THIS batch are pinned
             # (last_used == batch_counter); everything else is a candidate.

@@ -446,6 +446,8 @@ def prepare_rayflow(map_obj, rays, timestamps=None, intensities=None,
     bbox = bufs["bbox"]
     if np.any(bbox[3:6] - bbox[0:3] > 63):
         return None  # packed rel-region uses 6 bits per axis (one-i32 table)
+    if int(map_obj.region_voxel_dims[0]) > 32:
+        return None  # abs16 coords are 11-bit (63 regions x <=32 voxels)
     table_k = max(8, int(min_table_k))
     while table_k < max(bufs["max_ray_k"], 1):
         table_k += 8
@@ -484,9 +486,12 @@ def rayflow_wire(prepared: PreparedRayflow, table,
                  with_touch: bool = True, with_intensity: bool = True,
                  cdict: bool = False, perm=None) -> np.ndarray:
     """Assemble the single rayflow transfer buffer (after region allocation):
-    [gmeta i32[8] | floats f32[R,7] | abs16 u16[R,6] | meta u32[R] |
+    [gmeta i32[8] | floats f32[R,7] | abs16 u16[R,6] |
      [touch u32[R]] | [intens f32[R]] | tcand i32[R,K]] — touch/intensity
     blocks ride only when requested (8 B/ray off the occupancy/TSDF wire).
+    abs16 words hold 11-bit bbox-relative endpoint voxel coords; their 5
+    spare high bits carry the valid/end-as-miss flags and the 16-bit source
+    ray index (the former 4 B meta word).
     tcand packs a candidate as (slot+1) << 18 | rel-region (6 bits/axis);
     sentinel/unallocated entries have non-positive slot bits and never
     resolve.  ``table`` is the arena's host hash table (slot resolution +

@@ -71,6 +71,22 @@ class TpuNdtMap(TpuRayMapper):
             miss_k=self.miss_k,
         )
 
+    def _dispatch_rayflow(self, batch, base_cfg, n_rays, ray_update_flags) -> int:
+        cfg = self._ndt_config(ray_update_flags, base=base_cfg)
+        new_state, stats = integrate_ndt_jit(self.arena.device_state(), batch, cfg)
+        self.arena.update_state(new_state)
+        self._stats["rays"] += n_rays
+        self._stats["segments"] += n_rays
+        self._stats["batches"] += 1
+        self._pending_stats.append({k: v for k, v in stats.items()
+                                    if k in ("missed_updates", "overflow", "compaction_dropped")})
+        if self.validate:
+            self._drain_stats()
+            assert self._stats["missed_updates"] == 0, "device slot resolution missed"
+            assert self._stats["overflow"] == 0, "DDA step cap exceeded"
+            assert self._stats["compaction_dropped"] == 0
+        return n_rays
+
     def _integrate_batch(self, rays, intensities=None, timestamps=None, ray_update_flags: int = 0) -> int:
         m = self.map
         m.touch()
@@ -78,20 +94,7 @@ class TpuNdtMap(TpuRayMapper):
             setup = self._rayflow_setup(rays, timestamps, intensities, ray_update_flags)
             if setup is not None:
                 batch, base_cfg, n_rays = setup
-                cfg = self._ndt_config(ray_update_flags, base=base_cfg)
-                new_state, stats = integrate_ndt_jit(self.arena.device_state(), batch, cfg)
-                self.arena.update_state(new_state)
-                self._stats["rays"] += n_rays
-                self._stats["segments"] += n_rays
-                self._stats["batches"] += 1
-                self._pending_stats.append({k: v for k, v in stats.items()
-                                            if k in ("missed_updates", "overflow", "compaction_dropped")})
-                if self.validate:
-                    self._drain_stats()
-                    assert self._stats["missed_updates"] == 0, "device slot resolution missed"
-                    assert self._stats["overflow"] == 0, "DDA step cap exceeded"
-                    assert self._stats["compaction_dropped"] == 0
-                return n_rays
+                return self._dispatch_rayflow(batch, base_cfg, n_rays, ray_update_flags)
         prepared = prepare_ray_batch(
             m, rays, timestamps=timestamps, intensities=intensities,
             ray_update_flags=ray_update_flags, segment_length=self.segment_length,

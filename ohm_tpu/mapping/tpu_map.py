@@ -41,6 +41,13 @@ from ohm_tpu.ops.integrate import (
 from ohm_tpu.core.rayflags import RayFlag
 
 
+@jax.jit
+def _split_rows(stacked):
+    """Split a stacked multi-batch wire back into per-batch rows on device
+    (one compiled program per stack shape; one dispatch per group)."""
+    return tuple(stacked[k] for k in range(stacked.shape[0]))
+
+
 class TpuRayMapper:
     """Occupancy (+ mean/traversal/touch/incident) ray integrator on TPU."""
 
@@ -194,6 +201,19 @@ class TpuRayMapper:
         """Try the full-ray wire path; returns (batch dict, cfg, n_rays) or
         None to fall back to the segmented path.  See
         mapping.batch.prepare_rayflow / ops.integrate rayflow branch."""
+        setup = self._rayflow_setup_host(rays, timestamps, intensities,
+                                         ray_update_flags)
+        if setup is None:
+            return None
+        wire, cfg, n_rays = setup
+        return {"rayw": jnp.asarray(wire)}, cfg, n_rays
+
+    def _rayflow_setup_host(self, rays, timestamps, intensities,
+                            ray_update_flags, allow_evict: bool = True):
+        """Host half of _rayflow_setup: returns (numpy wire, cfg, n_rays) or
+        None, WITHOUT the device transfer — the coalesced submission path
+        stacks several wires into one transfer (mapping.arena.NeedsEviction
+        propagates when allow_evict=False and allocation would evict)."""
         from ohm_tpu.mapping.batch import prepare_rayflow, rayflow_wire, snake_perm
 
         if self.arena.capacity > 8191:
@@ -208,7 +228,8 @@ class TpuRayMapper:
         if rf is None:
             return None
         self._k_cache_rf = max(getattr(self, "_k_cache_rf", 8), rf.table_k)
-        self.arena.ensure_regions(rf.region_keys, host_map=self.map)
+        self.arena.ensure_regions(rf.region_keys, host_map=self.map,
+                                  allow_evict=allow_evict)
         # Dictionary wire when the batch fits 255 regions (the common case):
         # candidate bytes drop 4K -> K per ray (the tunnel is the steady-state
         # wall at ~40 MB/s).  Both variants are single compiled programs, so a
@@ -259,8 +280,7 @@ class TpuRayMapper:
                            max_steps=self._steps_cache_rf, group_size=G,
                            table_k=rf.table_k, walk_cap=self._wcap_cache_rf,
                            rayw_cdict=cdict)
-        batch = {"rayw": jnp.asarray(wire)}
-        return batch, cfg, rf.n_rays
+        return wire, cfg, rf.n_rays
 
     def _auto_size_scatter_cap(self, stats, n_rays) -> None:
         """One-time readback sizing the compacted-deposit scatter window
@@ -401,7 +421,7 @@ class TpuRayMapper:
             setup = self._rayflow_setup(rays, timestamps, intensities, ray_update_flags)
             if setup is not None:
                 batch, cfg, n_rays = setup
-                return self._dispatch(batch, cfg, n_rays, n_rays, ray_update_flags)
+                return self._dispatch_rayflow(batch, cfg, n_rays, ray_update_flags)
         prepared = prepare_ray_batch(
             m, rays, timestamps=timestamps, intensities=intensities,
             ray_update_flags=ray_update_flags, segment_length=self.segment_length,
@@ -426,6 +446,13 @@ class TpuRayMapper:
         cfg = self._config(ray_update_flags,
                            group_cap=0 if stop else self._group_cap(prepared))
         return self._dispatch(batch, cfg, n_rays, prepared.n_segments, ray_update_flags)
+
+    def _dispatch_rayflow(self, batch, cfg, n_rays, ray_update_flags) -> int:
+        """Dispatch one prepared rayflow batch (wire already on device).
+
+        The hook the coalesced submission path (_integrate_group) drives;
+        the NDT/TSDF mappers override it with their own program sets."""
+        return self._dispatch(batch, cfg, n_rays, n_rays, ray_update_flags)
 
     def _dispatch(self, batch, cfg, n_rays, n_segments, ray_update_flags) -> int:
         """Run the jitted integrate on a prepared device batch (segmented wire
@@ -488,34 +515,117 @@ class TpuRayMapper:
     # device crunches batch i — the analogue of the reference's
     # double-buffered uploads (ohmgpu/GpuMap.cpp:878, GpuMapDetail.h:80).
     # Ordering is preserved (one worker, FIFO queue); sync_voxels drains.
+    #
+    # Coalesced transfers: each tunnel transfer costs ~2-3 ms of fixed
+    # latency on top of the bandwidth term (docs/STATUS.md transfer model),
+    # so the worker drains up to OHM_COALESCE queued batches, preps their
+    # rayflow wires host-side, ships them as ONE stacked device_put and
+    # splits rows back out on device (one jit per stack shape).  Eviction
+    # is forbidden while a group is pending — a wire already packed for a
+    # pending batch references arena slots by number, and an eviction for
+    # a later batch could reassign them (arena.NeedsEviction flushes the
+    # group first).  Batches that cannot join (segmented fallback, STOP
+    # flag, stream-budget presplit, capacity pressure, shape change) flush
+    # the group and run the plain path, preserving order.
 
     def integrate_rays_async(self, rays, intensities=None, timestamps=None,
                              ray_update_flags: int = 0) -> int:
         """Queue a ray batch; host prep overlaps device execution."""
         if self._worker is None:
+            import os
             import queue
             import threading
 
-            self._queue = queue.Queue(maxsize=4)
+            coalesce = int(os.environ.get("OHM_COALESCE", "4"))
+            self._queue = queue.Queue(maxsize=max(4, coalesce))
             self._worker_error = None
 
             def _loop():
-                while True:
-                    item = self._queue.get()
-                    if item is None:
-                        self._queue.task_done()
-                        return
-                    try:
-                        self.integrate_rays(*item)
-                    except BaseException as e:  # surfaced on sync/drain
-                        self._worker_error = e
-                    finally:
-                        self._queue.task_done()
+                done = False
+                while not done:
+                    items = [self._queue.get()]
+                    while coalesce > 1 and len(items) < coalesce:
+                        try:
+                            items.append(self._queue.get_nowait())
+                        except queue.Empty:
+                            break
+                    if items[-1] is None:
+                        done = True
+                        items.pop()
+                    if items:
+                        try:
+                            self._integrate_group(items)
+                        except BaseException as e:  # surfaced on sync/drain
+                            self._worker_error = e
+                        for _ in items:
+                            self._queue.task_done()
+                if done:
+                    self._queue.task_done()  # the sentinel
 
             self._worker = threading.Thread(target=_loop, daemon=True)
             self._worker.start()
         self._queue.put((rays, intensities, timestamps, ray_update_flags))
         return np.asarray(rays).reshape(-1, 3).shape[0] // 2
+
+    def _integrate_group(self, items) -> None:
+        """Integrate a list of queued batches, coalescing consecutive
+        same-shape rayflow wires into single stacked transfers."""
+        from ohm_tpu.mapping.arena import CacheFull, NeedsEviction
+
+        pending = []  # (wire np.uint8[L], cfg, n_rays, flags)
+
+        def flush():
+            if not pending:
+                return
+            if len(pending) == 1:
+                wire, cfg, n_rays, fl = pending[0]
+                self._dispatch_rayflow({"rayw": jnp.asarray(wire)}, cfg,
+                                       n_rays, fl)
+            else:
+                stacked = np.stack([p[0] for p in pending])
+                rows = _split_rows(jnp.asarray(stacked))
+                for row, (_, cfg, n_rays, fl) in zip(rows, pending):
+                    self._dispatch_rayflow({"rayw": row}, cfg, n_rays, fl)
+            pending.clear()
+
+        for rays, intensities, timestamps, fl in items:
+            r = np.asarray(rays, dtype=np.float64).reshape(-1, 3)
+            n = r.shape[0] // 2
+            presplit = False
+            if self.stream_budget and n > 256:
+                est = int(np.abs(r[1::2] - r[0::2]).sum() / self.map.resolution) + 3 * n
+                presplit = est > self.stream_budget
+            if (not self.rayflow or presplit
+                    or (fl & RayFlag.STOP_ON_FIRST_OCCUPIED)):
+                flush()
+                self._integrate_with_retry(r, intensities, timestamps, fl)
+                continue
+            self.map.touch()
+            try:
+                setup = self._rayflow_setup_host(
+                    r, timestamps, intensities, fl,
+                    allow_evict=not pending)
+            except NeedsEviction:
+                flush()
+                try:
+                    setup = self._rayflow_setup_host(r, timestamps,
+                                                     intensities, fl)
+                except CacheFull:
+                    self._split_and_integrate(r, intensities, timestamps, fl)
+                    continue
+            except CacheFull:
+                flush()
+                self._split_and_integrate(r, intensities, timestamps, fl)
+                continue
+            if setup is None:  # segmented/filtered fallback path
+                flush()
+                self._integrate_with_retry(r, intensities, timestamps, fl)
+                continue
+            wire, cfg, n_rays = setup
+            if pending and wire.shape != pending[0][0].shape:
+                flush()
+            pending.append((wire, cfg, n_rays, fl))
+        flush()
 
     def flush(self):
         """Wait for all queued batches to be submitted to the device."""

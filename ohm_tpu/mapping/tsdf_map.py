@@ -41,6 +41,29 @@ class TpuTsdfMap(TpuRayMapper):
             sparsity_compensation_factor=float(o.sparsity_compensation_factor),
         )
 
+    def _dispatch_rayflow(self, batch, base_cfg, n_rays, ray_update_flags) -> int:
+        cfg = TsdfConfig(
+            base=base_cfg,
+            max_weight=float(self.options.max_weight),
+            default_truncation_distance=float(self.options.default_truncation_distance),
+            dropoff_epsilon=float(self.options.dropoff_epsilon),
+            sparsity_compensation_factor=float(self.options.sparsity_compensation_factor),
+        )
+        new_state, stats = integrate_tsdf_jit(self.arena.device_state(), batch, cfg)
+        self.arena.update_state(new_state)
+        self._auto_size_scatter_cap(stats, n_rays)
+        self._stats["rays"] += n_rays
+        self._stats["segments"] += n_rays
+        self._stats["batches"] += 1
+        self._pending_stats.append(stats)
+        if self.validate:
+            self._drain_stats()
+            assert self._stats["missed_updates"] == 0
+            assert self._stats["overflow"] == 0
+            assert self._stats["compaction_dropped"] == 0
+            assert self._stats["dropped_updates"] == 0
+        return n_rays
+
     def _integrate_batch(self, rays, intensities=None, timestamps=None, ray_update_flags: int = 0) -> int:
         m = self.map
         m.touch()
@@ -48,27 +71,7 @@ class TpuTsdfMap(TpuRayMapper):
             setup = self._rayflow_setup(rays, timestamps, None, ray_update_flags)
             if setup is not None:
                 batch, base_cfg, n_rays = setup
-                cfg = TsdfConfig(
-                    base=base_cfg,
-                    max_weight=float(self.options.max_weight),
-                    default_truncation_distance=float(self.options.default_truncation_distance),
-                    dropoff_epsilon=float(self.options.dropoff_epsilon),
-                    sparsity_compensation_factor=float(self.options.sparsity_compensation_factor),
-                )
-                new_state, stats = integrate_tsdf_jit(self.arena.device_state(), batch, cfg)
-                self.arena.update_state(new_state)
-                self._auto_size_scatter_cap(stats, n_rays)
-                self._stats["rays"] += n_rays
-                self._stats["segments"] += n_rays
-                self._stats["batches"] += 1
-                self._pending_stats.append(stats)
-                if self.validate:
-                    self._drain_stats()
-                    assert self._stats["missed_updates"] == 0
-                    assert self._stats["overflow"] == 0
-                    assert self._stats["compaction_dropped"] == 0
-                    assert self._stats["dropped_updates"] == 0
-                return n_rays
+                return self._dispatch_rayflow(batch, base_cfg, n_rays, ray_update_flags)
         prepared = prepare_ray_batch(m, rays, timestamps=timestamps,
                                      segment_length=self.segment_length)
         n_rays = np.asarray(rays).reshape(-1, 3).shape[0] // 2

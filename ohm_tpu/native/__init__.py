@@ -207,7 +207,7 @@ def rayflow_finish(prep: dict, n_rays: int, rpad: int, table_k: int,
     lib = get_lib()
     region_keys = prep["region_keys"]
     cand_bytes = 1024 + rpad * table_k if cdict else 4 * rpad * table_k
-    nbytes = 32 + rpad * (28 + 12 + 4 + (4 if with_touch else 0)
+    nbytes = 32 + rpad * (28 + 12 + (4 if with_touch else 0)
                           + (4 if with_intensity else 0)) + cand_bytes
     wire = np.zeros(nbytes, np.uint8)
     ray_k = prep["ray_table"].shape[1]

@@ -579,6 +579,11 @@ void rayflow_finish(int64_t n_rays, int64_t rpad, int32_t ray_k, int32_t out_k,
     std::memcpy(fl + 7 * i, floats + 7 * s, 7 * sizeof(float));
   }
   w += (size_t)rpad * 7 * sizeof(float);
+  // abs16 words carry the endpoint voxel coords (bbox-relative, <= 2047 =
+  // 63 regions x 32 voxels, 11 bits) in their low bits and the former meta
+  // word in the 4x5 spare high bits: word0 gets valid|fold (bits 11-12) +
+  // source-ray-index bits 0-2, words 1-3 get index bits 3-15.  Saves the
+  // 4 B/ray meta block off the wire (the tunnel is bandwidth-bound).
   uint16_t* a16 = (uint16_t*)w;
   for (int64_t i = 0; i < rpad; ++i) {
     const int64_t s = perm ? perm[i] : i;
@@ -589,14 +594,13 @@ void rayflow_finish(int64_t n_rays, int64_t rpad, int32_t ray_k, int32_t out_k,
       O[a] = (uint16_t)(A[a] - bmin_vox[a]);
       O[3 + a] = (uint16_t)(A[3 + a] - bmin_vox[a]);
     }
+    const uint32_t order = (uint32_t)s;
+    O[0] |= (uint16_t)(((meta[s] & 3u) | ((order & 7u) << 2)) << 11);
+    O[1] |= (uint16_t)(((order >> 3) & 31u) << 11);
+    O[2] |= (uint16_t)(((order >> 8) & 31u) << 11);
+    O[3] |= (uint16_t)(((order >> 13) & 7u) << 11);
   }
   w += (size_t)rpad * 6 * sizeof(uint16_t);
-  uint32_t* mo = (uint32_t*)w;
-  for (int64_t i = 0; i < rpad; ++i) {
-    const int64_t s = perm ? perm[i] : i;
-    mo[i] = s < n_rays ? (meta[s] | ((uint32_t)s << 16)) : 0u;
-  }
-  w += (size_t)rpad * sizeof(uint32_t);
   if (with_touch) {
     uint32_t* to = (uint32_t*)w;
     for (int64_t i = 0; i < rpad; ++i) {

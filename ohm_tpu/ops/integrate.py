@@ -203,10 +203,12 @@ def group_rows(flat, B, S, G):
 def _unpack_batch(batch, cfg=None):
     if "rayw" in batch:
         # Full-ray wire (mapping.batch.prepare_rayflow / rayflow_wire):
-        # per-RAY records, 44 + 4K (+4 touch when with_touch_time, +4
+        # per-RAY records, 40 + 4K (+4 touch when with_touch_time, +4
         # intensity when rayw_intensity) B/ray — gmeta i32[8] | floats
         # f32[R,7] (start_frac, dir, length) | abs16 u16[R,6] (endpoint
-        # voxels, bbox-relative) | meta u32 | [touch u32] | [intens f32] |
+        # voxels, bbox-relative, 11 bits; the 5 spare high bits carry
+        # valid/fold + the 16-bit source ray index — batch_prep.cpp
+        # rayflow_finish) | [touch u32] | [intens f32] |
         # tcand i32[R,K] (packed candidates: (slot+1)<<18 | bbox-rel region).
         # Endpoints were quantised on the host in f64, so the exact reference
         # crossing counts are preserved; every per-segment quantity of the
@@ -216,7 +218,7 @@ def _unpack_batch(batch, cfg=None):
         with_touch = cfg.with_touch_time if cfg is not None else True
         with_intens = getattr(cfg, "rayw_intensity", False) if cfg is not None else True
         cdict = getattr(cfg, "rayw_cdict", False) if cfg is not None else False
-        bpr = 44 + (K if cdict else 4 * K) + (4 if with_touch else 0) + (4 if with_intens else 0)
+        bpr = 40 + (K if cdict else 4 * K) + (4 if with_touch else 0) + (4 if with_intens else 0)
         R = (buf.shape[0] - 32 - (1024 if cdict else 0)) // bpr
         off = 0
 
@@ -229,9 +231,10 @@ def _unpack_batch(batch, cfg=None):
         gmeta = jax.lax.bitcast_convert_type(take(32).reshape(8, 4), jnp.int32)
         floats = jax.lax.bitcast_convert_type(
             take(28 * R).reshape(R, 7, 4), jnp.float32)
-        a16 = jax.lax.bitcast_convert_type(
+        a16raw = jax.lax.bitcast_convert_type(
             take(12 * R).reshape(R, 6, 2), jnp.uint16).astype(jnp.int32)
-        meta = jax.lax.bitcast_convert_type(take(4 * R).reshape(R, 4), jnp.uint32)
+        a16 = a16raw & 0x7FF
+        hi = a16raw >> 11
         touch = (jax.lax.bitcast_convert_type(take(4 * R).reshape(R, 4), jnp.uint32)
                  if with_touch else jnp.zeros((R,), jnp.uint32))
         intens = (jax.lax.bitcast_convert_type(take(4 * R).reshape(R, 4), jnp.float32)
@@ -248,8 +251,10 @@ def _unpack_batch(batch, cfg=None):
         bbox_min_vox = gmeta[0:3] * dim
         start_abs = a16[:, 0:3] + bbox_min_vox[None, :]
         end_abs = a16[:, 3:6] + bbox_min_vox[None, :]
-        valid = (meta & 1) != 0
-        fold = (meta & 2) != 0
+        valid = (hi[:, 0] & 1) != 0
+        fold = (hi[:, 0] & 2) != 0
+        ray_order = ((hi[:, 0] >> 2) | (hi[:, 1] << 3)
+                     | (hi[:, 2] << 8) | (hi[:, 3] << 13))
         direction = floats[:, 3:6]
         length = floats[:, 6]
         start_frac = floats[:, 0:3]
@@ -273,11 +278,11 @@ def _unpack_batch(batch, cfg=None):
             "full_length": length,
             "tcand": tcand,
             "gmeta": gmeta,
-            # Source ray index (meta bits 16+): the host may permute wire
+            # Source ray index (abs16 spare bits): the host may permute wire
             # rows (snake ordering, mapping.batch.snake_perm); order-
             # sensitive consumers (TSDF per-visit sequence) key on the
             # ORIGINAL ray order via this field.
-            "ray_order": (meta >> 16).astype(jnp.int32),
+            "ray_order": ray_order.astype(jnp.int32),
         }
     if "wire" in batch:
         # Single-buffer packed layout (mapping.batch.pack_wire): one

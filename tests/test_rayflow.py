@@ -216,3 +216,100 @@ def test_cdict_wire_bit_identical_tcand():
     for k in b_full:
         np.testing.assert_array_equal(np.asarray(b_full[k]), np.asarray(b_dict[k]),
                                       err_msg=k)
+
+
+def test_coalesced_async_matches_sequential():
+    """The coalesced multi-batch transfer (TpuRayMapper._integrate_group:
+    one stacked device_put per OHM_COALESCE batches, device-side row split)
+    must be bit-identical to sequential synchronous integration — including
+    when a mid-stream batch forces eviction (the group must flush before
+    slots are reassigned) and when batch shapes differ."""
+    rng = np.random.default_rng(17)
+    batches = [_scene(n=96, rng=rng) for _ in range(7)]
+    batches[3] = _scene(n=64, rng=rng)  # shape change mid-group
+
+    m_seq = OccupancyMap(resolution=0.2, flags=MapFlag.TRAVERSAL)
+    mp_seq = TpuRayMapper(m_seq, capacity=64, validate=True, rayflow=True)
+    for b in batches:
+        mp_seq.integrate_rays(b)
+    mp_seq.sync_voxels()
+    occ_s, trav_s = _voxel_maps(m_seq)
+
+    m_co = OccupancyMap(resolution=0.2, flags=MapFlag.TRAVERSAL)
+    mp_co = TpuRayMapper(m_co, capacity=64, validate=False, rayflow=True)
+    for b in batches:
+        mp_co.integrate_rays_async(b)
+    mp_co.sync_voxels()
+    assert mp_co.stats["missed_updates"] == 0
+    occ_c, trav_c = _voxel_maps(m_co)
+
+    assert occ_c == occ_s
+    assert trav_c == trav_s
+
+
+def test_coalesced_async_with_eviction_pressure():
+    """A tiny arena forces evictions between queued batches: NeedsEviction
+    must flush the pending group (never reassigning a slot a pending wire
+    references) and the result must still match sequential integration."""
+    rng = np.random.default_rng(23)
+    # Three spatially disjoint clusters so consecutive batches demand
+    # different region sets and the 24-slot arena has to evict.
+    centres = [np.array(c) for c in ((0.0, 0.0, 0.0), (40.0, 0.0, 0.0),
+                                     (0.0, 40.0, 0.0))]
+    batches = []
+    for i in range(6):
+        c = centres[i % 3]
+        pts = c + rng.uniform(-5, 5, (48, 3))
+        rays = np.empty((96, 3))
+        rays[0::2] = c
+        rays[1::2] = pts
+        batches.append(rays)
+
+    m_seq = OccupancyMap(resolution=0.2, flags=MapFlag.NONE)
+    mp_seq = TpuRayMapper(m_seq, capacity=12, rayflow=True)
+    for b in batches:
+        mp_seq.integrate_rays(b)
+    mp_seq.sync_voxels()
+    occ_s, _ = _voxel_maps(m_seq)
+
+    m_co = OccupancyMap(resolution=0.2, flags=MapFlag.NONE)
+    mp_co = TpuRayMapper(m_co, capacity=12, rayflow=True)
+    for b in batches:
+        mp_co.integrate_rays_async(b)
+    mp_co.sync_voxels()
+    occ_c, _ = _voxel_maps(m_co)
+
+    assert mp_co.arena.stats["evictions"] > 0
+    assert occ_c == occ_s
+
+
+def test_coalesced_async_ndt_and_tsdf_match_sequential():
+    """NDT/TSDF mappers ride the coalesced path through their
+    _dispatch_rayflow overrides."""
+    from ohm_tpu.mapping.ndt_map import TpuNdtMap
+    from ohm_tpu.mapping.tsdf_map import TpuTsdfMap
+    from ohm_tpu.core.layout import COVARIANCE_LAYER, TSDF_LAYER
+
+    rng = np.random.default_rng(31)
+    batches = [_scene(n=64, rng=rng) for _ in range(5)]
+
+    def run(cls, async_mode):
+        m = OccupancyMap(resolution=0.2, flags=MapFlag.NONE)
+        mp = cls(m, capacity=64)
+        for b in batches:
+            if async_mode:
+                mp.integrate_rays_async(b)
+            else:
+                mp.integrate_rays(b)
+        mp.sync_voxels()
+        return m
+
+    for cls, layer, member in ((TpuNdtMap, COVARIANCE_LAYER, "P22"),
+                               (TpuTsdfMap, TSDF_LAYER, "distance")):
+        m_a, m_b = run(cls, False), run(cls, True)
+        li = m_a.layer_index(layer)
+        assert set(m_a.chunks) == set(m_b.chunks)
+        for key, chunk in m_a.chunks.items():
+            a = chunk.layers[li][member]
+            b = m_b.chunks[key].layers[li][member]
+            np.testing.assert_array_equal(a, b)
