@@ -34,6 +34,7 @@ from ohm_tpu.ops.integrate import (
     integrate_occupancy_jit,
     expand_records_jit,
     apply_records_jit,
+    apply_records_fused_jit,
     apply_delta_jit,
     apply_samples_jit,
     delta_path_ok,
@@ -116,6 +117,18 @@ class TpuRayMapper:
         self._auto_scatter = scatter_cap == "auto"
         self.scatter_cap = 0 if self._auto_scatter else int(scatter_cap)
         self.delta_path = bool(delta_path)
+        #: Fused row-local apply (ops.integrate.apply_records_fused_jit):
+        #: replaces the apply phase's two GLOBAL record sorts with one ROW
+        #: sort over the expand phase's already-sorted compaction rows plus
+        #: a duplicate-index integer scatter-add.  row_cap auto-sizes from
+        #: the 'row_lasts_max' expand stat (readback on the sizing batch,
+        #: 2x headroom, monotone pow2); batches before sizing — and batches
+        #: whose segment count exceeds the 16-bit count-width gate — run the
+        #: split-phase apply.  OHM_FUSED=0 disables.
+        import os as _os
+        self.fused = _os.environ.get("OHM_FUSED", "1") != "0"
+        self.row_cap = 0
+        self._row_cap_rays = 0
         #: Full-ray wire path (mapping.batch.prepare_rayflow): per-RAY
         #: records + device-side segmentation + per-ray candidate-region
         #: tables.  Falls back to the segmented wire when the native lib is
@@ -306,6 +319,26 @@ class TpuRayMapper:
                                min(cap, self.arena.scatter_pad))
         self._cap_rays = n_rays
 
+    def _auto_size_row_cap(self, stats, n_rays) -> None:
+        """Size the fused apply's per-row unique-voxel budget from the
+        expand phase's 'row_lasts_max' stat (same policy as the scatter cap:
+        skip the first three batches — an empty map overshoots the steady
+        state — then 2x headroom, pow2, monotone).  The readback happens
+        only on sizing batches; afterwards the stat stays on device."""
+        if not (self.fused and (
+                self.row_cap == 0 or n_rays > self._row_cap_rays)):
+            return
+        if self.row_cap == 0 and self._stats["batches"] < 3:
+            return
+        m = int(stats.get("row_lasts_max", -1))
+        if m < 0:
+            return
+        cap = 256
+        while cap < 2 * m:
+            cap *= 2
+        self.row_cap = max(self.row_cap, cap)
+        self._row_cap_rays = n_rays
+
     def _config(self, ray_flags: int, group_cap: int = 0,
                 max_steps: int | None = None, group_size: int = 64,
                 table_k: int = 0, walk_cap: int = 0,
@@ -487,7 +520,19 @@ class TpuRayMapper:
             # Split-phase: two smaller XLA programs compile reliably through
             # the remote TPU compile service and hit the persistent cache.
             records, stats = expand_records_jit(batch, cfg)
-            new_state, touched, dropped = apply_records_jit(state, records, batch, cfg)
+            self._auto_size_row_cap(stats, n_rays)
+            # 16-bit packed-count gate: per-voxel totals are bounded by one
+            # walk record per SEGMENT + one end record per segment.
+            fused_ok = (self.fused and cfg.group_cap > 0 and self.row_cap > 0
+                        and n_segments <= 16384
+                        and n_rays <= self._row_cap_rays)
+            if fused_ok:
+                import dataclasses as _dc
+                fcfg = _dc.replace(cfg, row_cap=self.row_cap)
+                new_state, touched, dropped = apply_records_fused_jit(
+                    state, records, batch, fcfg)
+            else:
+                new_state, touched, dropped = apply_records_jit(state, records, batch, cfg)
             stats = dict(stats)
             stats["touched"] = touched
             stats["dropped_updates"] = dropped

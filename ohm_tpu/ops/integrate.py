@@ -134,6 +134,16 @@ class IntegrateConfig:
     #: never with kRfStopOnFirstOccupied (which needs time order).
     unordered_walk: bool = False
 
+    #: Fused row-local apply (apply_records_fused_jit): per-compaction-row
+    #: unique-voxel budget.  Each expand row is already sorted, so per-row
+    #: counts come from position diffs and per-row voxel-lasts compact into
+    #: [rows, row_cap] by ONE row sort — no global record sort at all; the
+    #: per-row partial counts meet in a duplicate-index scatter-ADD (integer
+    #: adds: exact and deterministic).  Sized like scatter_cap (readback +
+    #: 2x headroom, monotone); over-budget rows drop lasts into
+    #: stats['dropped_updates'].  0 disables the fused path.
+    row_cap: int = 0
+
     def __post_init__(self):
         # Flat arena addresses and split-phase sort keys are int32; the key
         # packs (flat << 1 | hit_bit), so the sentinel itself needs headroom:
@@ -557,6 +567,16 @@ def _apply_occupancy_dense(occupancy, ids_sorted, last, n_hit, n_miss, cfg: Inte
             new_traversal = traversal_arena.at[idx].add(
                 jnp.where(last, trav, 0.0), unique_indices=True)
 
+    return _occupancy_sweep(occupancy, pending, cfg), new_traversal, dropped
+
+
+def _occupancy_sweep(occupancy, pending, cfg: IntegrateConfig):
+    """Dense elementwise occupancy sweep over the arena from packed per-voxel
+    batch counts (hit << 16 | miss in a uint32 plane).  Reads the batch-start
+    occupancy, matching the reference GPU's CAS-race semantics, and encodes
+    the full kRfExclude*/clamp/saturation matrix
+    (ohm/VoxelOccupancyCompute.h + ohm/RayMapperOccupancy.cpp:154-183)."""
+    flags = cfg.ray_flags
     n_hit_d = (pending >> 16).astype(jnp.float32)
     n_miss_d = (pending & jnp.uint32(0xFFFF)).astype(jnp.float32)
 
@@ -588,7 +608,7 @@ def _apply_occupancy_dense(occupancy, ids_sorted, last, n_hit, n_miss, cfg: Inte
     keep = ~touched | saturated
     if flags & RayFlag.EXCLUDE_UNOBSERVED:
         keep = keep | unobs
-    return jnp.where(keep, initial, value), new_traversal, dropped
+    return jnp.where(keep, initial, value)
 
 
 def integrate_occupancy(arena: dict, batch: dict, cfg: IntegrateConfig):
@@ -868,6 +888,7 @@ def expand_records_jit(batch, cfg: IntegrateConfig):
     if cfg.with_traversal:
         walk_trav = jnp.where(rec_valid, walk["exits"] - walk["enters"], 0.0).reshape(-1)
     compaction_dropped = jnp.int32(0)
+    row_lasts_max = jnp.int32(-1)  # only meaningful under group compaction
 
     G = cfg.group_size
     if cfg.group_cap and B % G == 0 and cfg.group_cap < G * S:
@@ -886,6 +907,15 @@ def expand_records_jit(batch, cfg: IntegrateConfig):
         rows = rows[:, :cfg.group_cap]
         n_kept = jnp.sum(jnp.where(rows < (cfg.sentinel << 1), 1, 0))
         compaction_dropped = (n_valid - n_kept).astype(jnp.int32)
+        # Per-row unique-voxel high-water mark: sizes the fused row-local
+        # apply's row_cap (apply_records_fused_jit) the same way 'touched'
+        # sizes scatter_cap — rows are sorted, so uniques = in-row lasts.
+        ids_r = rows >> 1
+        last_r = jnp.concatenate(
+            [ids_r[:, 1:] != ids_r[:, :-1],
+             jnp.ones((ids_r.shape[0], 1), bool)], axis=1)
+        row_lasts_max = jnp.max(jnp.sum(
+            (last_r & (ids_r != cfg.sentinel)).astype(jnp.int32), axis=1))
         walk_keys = rows.reshape(-1)
 
     key = jnp.concatenate([
@@ -902,6 +932,7 @@ def expand_records_jit(batch, cfg: IntegrateConfig):
         "overflow": (jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0))
                      + walk["truncated"]).astype(jnp.int32),
         "compaction_dropped": compaction_dropped,
+        "row_lasts_max": row_lasts_max,
     }
     return out, stats
 
@@ -984,6 +1015,125 @@ def apply_records_jit(arena, records, batch, cfg: IntegrateConfig):
         arena = _apply_sample_layers(arena, records, batch, cfg)
 
     touched = jnp.sum((last & (ids_s != cfg.sentinel)).astype(jnp.int32))
+    return arena, touched, dropped
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("arena",))
+def apply_records_fused_jit(arena, records, batch, cfg: IntegrateConfig):
+    """Phase 2, fused row-local variant: NO global record sort.
+
+    Exploits the structure expand_records_jit already produces under group
+    compaction: the walk stream is [R, group_cap] rows, EACH ROW SORTED
+    (the compaction row-sort), with same-voxel records contiguous within a
+    row.  Per-row hit/miss counts then come from position diffs (one blocked
+    cummax with forced resets at row starts), per-row voxel-lasts compact
+    into [R, row_cap] by a single ROW sort (bitonic depth log^2(group_cap)
+    instead of log^2(N) — ~2.3x cheaper per element at bench shapes), and
+    the per-row PARTIAL counts meet in one duplicate-index scatter-ADD into
+    the packed pending plane.  Integer adds are exact and order-free, so the
+    result is bit-identical to the global-sort path's occupancy; traversal
+    sums differ only by f32 reassociation across rows.
+
+    The occupancy sweep math is linear in the per-voxel hit/miss counts
+    (total = n_hit*hit_eff + n_miss*miss_eff), which is what makes partial
+    counts per row legal — clamping/saturation/exclusion apply once in the
+    dense sweep over batch-start state, exactly as in the split-phase path.
+
+    Count-width guard: packed counts are 16+16 bits and per-voxel totals are
+    bounded by one record per ray per voxel (walk) + one end record per ray,
+    so callers gate this path at <= 16384 wire rows (TpuRayMapper does).
+
+    Requires cfg.group_cap > 0 (rows exist) and cfg.row_cap > 0 (sized like
+    scatter_cap from the 'row_lasts_max' expand stat); over-budget rows drop
+    their highest-address voxels into the dropped count (validate asserts).
+    """
+    from ohm_tpu.ops import blocked
+
+    key = records["key"]
+    n_end = records["end_flat"].shape[0]
+    n_walk = key.shape[0] - n_end
+    cap = cfg.group_cap
+    cap2 = cfg.row_cap
+    if cap <= 0 or cap2 <= 0 or n_walk % cap:
+        raise ValueError("fused apply requires group-compacted rows and row_cap > 0")
+    if cap >= 1 << 16:
+        raise ValueError("group_cap must fit 16-bit per-row run counts")
+    R = n_walk // cap
+    cap2 = min(cap2, cap)
+    if R * cap2 + n_end > cfg.scatter_pad:
+        raise ValueError(f"row_cap window {R}x{cap2}+{n_end} exceeds scatter_pad {cfg.scatter_pad}")
+    big = jnp.int32(2**31 - 2)
+
+    # --- walk rows: per-row run lengths at in-row voxel-lasts -------------
+    rows = key[:n_walk].reshape(R, cap)
+    ids2 = rows >> 1  # hit bit is 0 on all walk records
+    first2 = jnp.concatenate(
+        [jnp.ones((R, 1), bool), ids2[:, 1:] != ids2[:, :-1]], axis=1)
+    last2 = jnp.concatenate(
+        [ids2[:, 1:] != ids2[:, :-1], jnp.ones((R, 1), bool)], axis=1)
+    real_last2 = last2 & (ids2 != cfg.sentinel)
+
+    first_f = first2.reshape(-1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n_walk, 1), 0).squeeze(-1)
+    neg = jnp.int32(-(1 << 30))
+    p_first = blocked.cummax(jnp.where(first_f, pos, neg), lowest=neg)
+    n_miss_w = (pos - p_first + 1).astype(jnp.uint32).reshape(R, cap)
+    packed_w = jnp.where(real_last2, n_miss_w, jnp.uint32(0))
+
+    trav_w2 = None
+    if cfg.with_traversal:
+        trav_sums = blocked.segment_sums(records["trav"][:n_walk], first_f)
+        trav_w2 = jnp.where(real_last2, trav_sums.reshape(R, cap), 0.0)
+
+    # --- per-row compaction of voxel-lasts into [R, row_cap] --------------
+    key2 = jnp.where(real_last2, ids2, big)
+    ops_w = (key2, packed_w) + ((trav_w2,) if cfg.with_traversal else ())
+    sorted_w = jax.lax.sort(ops_w, num_keys=1, dimension=1)
+    kc = sorted_w[0][:, :cap2]
+    pc = sorted_w[1][:, :cap2]
+    realc = kc != big
+    dropped = (jnp.sum(real_last2.astype(jnp.int32))
+               - jnp.sum(realc.astype(jnp.int32)))
+
+    cpos = jax.lax.broadcasted_iota(jnp.int32, (R * cap2, 1), 0).squeeze(-1)
+    idx_w = jnp.where(realc.reshape(-1), kc.reshape(-1), cfg.pad_base + cpos)
+    pending = jnp.zeros(arena["occupancy"].shape, jnp.uint32).at[idx_w].add(
+        jnp.where(realc, pc, jnp.uint32(0)).reshape(-1),
+        mode="promise_in_bounds")
+
+    # --- end records: one small sort over the B-sized stream --------------
+    ek = key[n_walk:]
+    ops_e = (ek,) + ((records["trav"][n_walk:],) if cfg.with_traversal else ())
+    sorted_e = jax.lax.sort(ops_e, num_keys=1)
+    ids_e, first_e, last_e, n_hit_e, n_miss_e = sorted_hit_miss_counts(sorted_e[0])
+    real_e = last_e & (ids_e != cfg.sentinel)
+    packed_e = jnp.where(
+        real_e,
+        (jnp.minimum(n_hit_e, 65535.0).astype(jnp.uint32) << 16)
+        | jnp.minimum(n_miss_e, 65535.0).astype(jnp.uint32),
+        jnp.uint32(0))
+    epos = jax.lax.broadcasted_iota(jnp.int32, (n_end, 1), 0).squeeze(-1)
+    idx_e = jnp.where(real_e, ids_e, cfg.pad_base + R * cap2 + epos)
+    pending = pending.at[idx_e].add(packed_e, mode="promise_in_bounds")
+
+    arena = dict(arena)
+    arena["occupancy"] = _occupancy_sweep(arena["occupancy"], pending, cfg)
+    if cfg.with_traversal:
+        tc = sorted_w[2][:, :cap2]
+        trav_e = jnp.where(real_e, sorted_nonneg_sums(sorted_e[1], first_e), 0.0)
+        arena["traversal"] = (
+            arena["traversal"]
+            .at[idx_w].add(jnp.where(realc, tc, 0.0).reshape(-1),
+                           mode="promise_in_bounds")
+            .at[idx_e].add(trav_e, mode="promise_in_bounds"))
+
+    if cfg.with_mean or cfg.with_touch_time or cfg.with_incident:
+        arena = _apply_sample_layers(arena, records, batch, cfg)
+
+    # Upper bound on touched voxels (a voxel counts once per row it appears
+    # in); exact enough for monitoring — cap sizing uses row_lasts_max.
+    touched = (jnp.sum(realc.astype(jnp.int32))
+               + jnp.sum(real_e.astype(jnp.int32)))
     return arena, touched, dropped
 
 
