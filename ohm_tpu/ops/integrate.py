@@ -1020,28 +1020,30 @@ def apply_records_jit(arena, records, batch, cfg: IntegrateConfig):
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("arena",))
 def apply_records_fused_jit(arena, records, batch, cfg: IntegrateConfig):
-    """Phase 2, fused row-local variant: NO global record sort.
+    """Phase 2, two-level row-local variant: no full-stream global sort.
 
     Exploits the structure expand_records_jit already produces under group
     compaction: the walk stream is [R, group_cap] rows, EACH ROW SORTED
     (the compaction row-sort), with same-voxel records contiguous within a
-    row.  Per-row hit/miss counts then come from position diffs (one blocked
-    cummax with forced resets at row starts), per-row voxel-lasts compact
-    into [R, row_cap] by a single ROW sort (bitonic depth log^2(group_cap)
-    instead of log^2(N) — ~2.3x cheaper per element at bench shapes), and
-    the per-row PARTIAL counts meet in one duplicate-index scatter-ADD into
-    the packed pending plane.  Integer adds are exact and order-free, so the
-    result is bit-identical to the global-sort path's occupancy; traversal
-    sums differ only by f32 reassociation across rows.
+    row.  Level 1 (row-local): per-row run-length counts via one blocked
+    cummax (forced resets at row starts), per-row voxel-lasts compacted
+    into [R, row_cap] by a single ROW sort — bitonic depth log^2(group_cap)
+    instead of log^2(N), and downstream work shrinks to the unique-per-row
+    voxel count (~5x at bench shapes).  Level 2 (global, small): the
+    compacted (voxel, partial-count) entries merge with the raw END records
+    (each a single-count entry) in ONE small sort; f32 segment sums combine
+    the partial hit/miss counts exactly (integer-valued, < 2^24), and one
+    unique-index scatter deposits the packed totals for the dense sweep.
 
     The occupancy sweep math is linear in the per-voxel hit/miss counts
     (total = n_hit*hit_eff + n_miss*miss_eff), which is what makes partial
     counts per row legal — clamping/saturation/exclusion apply once in the
-    dense sweep over batch-start state, exactly as in the split-phase path.
+    dense sweep over batch-start state, so occupancy is BIT-IDENTICAL to
+    the split-phase pipeline; traversal differs only by f32 reassociation.
 
     Count-width guard: packed counts are 16+16 bits and per-voxel totals are
-    bounded by one record per ray per voxel (walk) + one end record per ray,
-    so callers gate this path at <= 16384 wire rows (TpuRayMapper does).
+    bounded by one record per segment per voxel (walk) + one end record per
+    segment, so callers gate this path at <= 16384 segments (TpuRayMapper).
 
     Requires cfg.group_cap > 0 (rows exist) and cfg.row_cap > 0 (sized like
     scatter_cap from the 'row_lasts_max' expand stat); over-budget rows drop
@@ -1060,80 +1062,85 @@ def apply_records_fused_jit(arena, records, batch, cfg: IntegrateConfig):
         raise ValueError("group_cap must fit 16-bit per-row run counts")
     R = n_walk // cap
     cap2 = min(cap2, cap)
-    if R * cap2 + n_end > cfg.scatter_pad:
-        raise ValueError(f"row_cap window {R}x{cap2}+{n_end} exceeds scatter_pad {cfg.scatter_pad}")
-    big = jnp.int32(2**31 - 2)
+    M = R * cap2 + n_end  # level-2 stream length
+    if M > cfg.scatter_pad:
+        raise ValueError(f"fused stream {M} exceeds scatter_pad {cfg.scatter_pad}")
+    sent = jnp.int32(cfg.sentinel)
 
-    # --- walk rows: per-row run lengths at in-row voxel-lasts -------------
+    # --- level 1: per-row run lengths at in-row voxel-lasts ---------------
     rows = key[:n_walk].reshape(R, cap)
     ids2 = rows >> 1  # hit bit is 0 on all walk records
     first2 = jnp.concatenate(
         [jnp.ones((R, 1), bool), ids2[:, 1:] != ids2[:, :-1]], axis=1)
     last2 = jnp.concatenate(
         [ids2[:, 1:] != ids2[:, :-1], jnp.ones((R, 1), bool)], axis=1)
-    real_last2 = last2 & (ids2 != cfg.sentinel)
+    real_last2 = last2 & (ids2 != sent)
 
     first_f = first2.reshape(-1)
     pos = jax.lax.broadcasted_iota(jnp.int32, (n_walk, 1), 0).squeeze(-1)
     neg = jnp.int32(-(1 << 30))
     p_first = blocked.cummax(jnp.where(first_f, pos, neg), lowest=neg)
     n_miss_w = (pos - p_first + 1).astype(jnp.uint32).reshape(R, cap)
-    packed_w = jnp.where(real_last2, n_miss_w, jnp.uint32(0))
+    packed_w = jnp.where(real_last2, n_miss_w, jnp.uint32(0))  # misses only
 
     trav_w2 = None
     if cfg.with_traversal:
         trav_sums = blocked.segment_sums(records["trav"][:n_walk], first_f)
         trav_w2 = jnp.where(real_last2, trav_sums.reshape(R, cap), 0.0)
 
-    # --- per-row compaction of voxel-lasts into [R, row_cap] --------------
-    key2 = jnp.where(real_last2, ids2, big)
+    # --- level 1: per-row compaction of voxel-lasts into [R, row_cap] -----
+    key2 = jnp.where(real_last2, ids2, sent)
     ops_w = (key2, packed_w) + ((trav_w2,) if cfg.with_traversal else ())
     sorted_w = jax.lax.sort(ops_w, num_keys=1, dimension=1)
     kc = sorted_w[0][:, :cap2]
     pc = sorted_w[1][:, :cap2]
-    realc = kc != big
+    realc = kc != sent
     dropped = (jnp.sum(real_last2.astype(jnp.int32))
                - jnp.sum(realc.astype(jnp.int32)))
 
-    cpos = jax.lax.broadcasted_iota(jnp.int32, (R * cap2, 1), 0).squeeze(-1)
-    idx_w = jnp.where(realc.reshape(-1), kc.reshape(-1), cfg.pad_base + cpos)
-    pending = jnp.zeros(arena["occupancy"].shape, jnp.uint32).at[idx_w].add(
-        jnp.where(realc, pc, jnp.uint32(0)).reshape(-1),
-        mode="promise_in_bounds")
-
-    # --- end records: one small sort over the B-sized stream --------------
+    # --- level 2: merge row partials + raw end records in one small sort --
     ek = key[n_walk:]
-    ops_e = (ek,) + ((records["trav"][n_walk:],) if cfg.with_traversal else ())
-    sorted_e = jax.lax.sort(ops_e, num_keys=1)
-    ids_e, first_e, last_e, n_hit_e, n_miss_e = sorted_hit_miss_counts(sorted_e[0])
-    real_e = last_e & (ids_e != cfg.sentinel)
-    packed_e = jnp.where(
-        real_e,
-        (jnp.minimum(n_hit_e, 65535.0).astype(jnp.uint32) << 16)
-        | jnp.minimum(n_miss_e, 65535.0).astype(jnp.uint32),
-        jnp.uint32(0))
-    epos = jax.lax.broadcasted_iota(jnp.int32, (n_end, 1), 0).squeeze(-1)
-    idx_e = jnp.where(real_e, ids_e, cfg.pad_base + R * cap2 + epos)
-    pending = pending.at[idx_e].add(packed_e, mode="promise_in_bounds")
+    ids_e = ek >> 1
+    hit_e = (ek & 1).astype(jnp.uint32)
+    real_e = ids_e != sent
+    packed_e = jnp.where(real_e, (hit_e << 16) | (1 - hit_e), jnp.uint32(0))
+    ids_m = jnp.concatenate([kc.reshape(-1), ids_e])
+    packed_m = jnp.concatenate([jnp.where(realc, pc, jnp.uint32(0)).reshape(-1),
+                                packed_e])
+    ops_m = (ids_m, packed_m)
+    if cfg.with_traversal:
+        tc = jnp.where(realc, sorted_w[2][:, :cap2], 0.0)
+        end_trav = jnp.where(real_e, records["trav"][n_walk:], 0.0)
+        ops_m += (jnp.concatenate([tc.reshape(-1), end_trav]),)
+    sorted_m = jax.lax.sort(ops_m, num_keys=1)
+    ids_s = sorted_m[0]
+    first_s = jnp.concatenate([jnp.array([True]), ids_s[1:] != ids_s[:-1]])
+    last_s = jnp.concatenate([ids_s[1:] != ids_s[:-1], jnp.array([True])])
+    # Partial hit/miss sums combine exactly in f32 (integer-valued < 2^24).
+    h_tot = blocked.segment_sums((sorted_m[1] >> 16).astype(jnp.float32), first_s)
+    m_tot = blocked.segment_sums((sorted_m[1] & jnp.uint32(0xFFFF)).astype(jnp.float32), first_s)
+    capf = jnp.float32(65535.0)
+    packed = (jnp.minimum(h_tot, capf).astype(jnp.uint32) << 16) \
+        | jnp.minimum(m_tot, capf).astype(jnp.uint32)
+    real_last = last_s & (ids_s != sent)
+    packed = jnp.where(real_last, packed, jnp.uint32(0))
+    mpos = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0).squeeze(-1)
+    idx = jnp.where(real_last, ids_s, cfg.pad_base + mpos)
+    pending = jnp.zeros(arena["occupancy"].shape, jnp.uint32).at[idx].set(
+        packed, unique_indices=True, mode="promise_in_bounds")
 
     arena = dict(arena)
     arena["occupancy"] = _occupancy_sweep(arena["occupancy"], pending, cfg)
     if cfg.with_traversal:
-        tc = sorted_w[2][:, :cap2]
-        trav_e = jnp.where(real_e, sorted_nonneg_sums(sorted_e[1], first_e), 0.0)
-        arena["traversal"] = (
-            arena["traversal"]
-            .at[idx_w].add(jnp.where(realc, tc, 0.0).reshape(-1),
-                           mode="promise_in_bounds")
-            .at[idx_e].add(trav_e, mode="promise_in_bounds"))
+        trav_tot = blocked.segment_sums(sorted_m[2], first_s)
+        arena["traversal"] = arena["traversal"].at[idx].add(
+            jnp.where(real_last, trav_tot, 0.0), unique_indices=True,
+            mode="promise_in_bounds")
 
     if cfg.with_mean or cfg.with_touch_time or cfg.with_incident:
         arena = _apply_sample_layers(arena, records, batch, cfg)
 
-    # Upper bound on touched voxels (a voxel counts once per row it appears
-    # in); exact enough for monitoring — cap sizing uses row_lasts_max.
-    touched = (jnp.sum(realc.astype(jnp.int32))
-               + jnp.sum(real_e.astype(jnp.int32)))
+    touched = jnp.sum(real_last.astype(jnp.int32))
     return arena, touched, dropped
 
 

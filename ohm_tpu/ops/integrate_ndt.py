@@ -256,7 +256,17 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
     z = jnp.where(end_is_hit[:, None], b["end_frac"], 0.0)
     zz = jnp.where(end_is_hit[:, None], ndtops._outer6(b["end_frac"]), 0.0)
 
-    flat_ops = [s_ids, end_is_hit.astype(jnp.float32)]
+    # Secondary sort key: ORIGINAL batch ray index.  The intensity merge
+    # below is a sequential recursion (order-dependent); rayflow wires may be
+    # snake-permuted (mapping.batch.snake_perm), so same-voxel samples must
+    # be re-ordered by their source position to match the reference's
+    # sequential processing.  Segmented wires are already in batch order
+    # (iota keeps the sort a stable no-op within voxels).
+    order_key = b.get("ray_order")
+    if order_key is None:
+        order_key = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0).squeeze(-1)
+
+    flat_ops = [s_ids, order_key, end_is_hit.astype(jnp.float32)]
     flat_ops += [z[:, c] for c in range(3)]
     flat_ops += [zz[:, c] for c in range(6)]
     extra_payload_start = len(flat_ops)
@@ -290,11 +300,11 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
         inc_vec = jnp.where(end_is_hit[:, None], -b["direction"], 0.0)
         flat_ops += [inc_vec[:, c] for c in range(3)]
 
-    sorted_s = jax.lax.sort(tuple(flat_ops), num_keys=1)
+    sorted_s = jax.lax.sort(tuple(flat_ops), num_keys=2)
     s_sorted = sorted_s[0]
-    payloads = [(sorted_s[1], "sum")]  # k
-    payloads += [(sorted_s[2 + c], "sum") for c in range(3)]  # z sums
-    payloads += [(sorted_s[5 + c], "sum") for c in range(6)]  # zz sums
+    payloads = [(sorted_s[2], "sum")]  # k
+    payloads += [(sorted_s[3 + c], "sum") for c in range(3)]  # z sums
+    payloads += [(sorted_s[6 + c], "sum") for c in range(6)]  # zz sums
     j = extra_payload_start
     if cfg.ndt_tm:
         payloads += [(sorted_s[j], "sum"), (sorted_s[j + 1], "sum"),
@@ -356,7 +366,7 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
         from ohm_tpu.ops import blocked as _blocked
 
         int_sorted = sorted_s[extra_payload_start + 2]
-        hit_sorted = sorted_s[1]  # 1.0 at hit records, 0.0 at padding
+        hit_sorted = sorted_s[2]  # 1.0 at hit records, 0.0 at padding
         im_old = arena["intensity"][s_sorted, 0]
         ic_old = arena["intensity"][s_sorted, 1]
         n0 = jnp.where(reset, 0.0, count_old.astype(jnp.float32))

@@ -83,6 +83,7 @@ def test_fused_row_cap_overflow_counts_drops():
     """An undersized row_cap must surface in dropped_updates, not corrupt."""
     rng = np.random.default_rng(3)
     batches = [_box_rays(512, rng) for _ in range(5)]
+    old_f, old_r = os.environ.get("OHM_FUSED"), os.environ.get("OHM_RAYFLOW")
     os.environ["OHM_FUSED"] = "1"
     os.environ["OHM_RAYFLOW"] = "0"
     try:
@@ -95,5 +96,8 @@ def test_fused_row_cap_overflow_counts_drops():
         mapper.integrate_rays(batches[4])
         assert mapper.stats["dropped_updates"] > 0
     finally:
-        os.environ.pop("OHM_FUSED", None)
-        os.environ.pop("OHM_RAYFLOW", None)
+        for k, v in (("OHM_FUSED", old_f), ("OHM_RAYFLOW", old_r)):
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v

@@ -143,6 +143,57 @@ def test_rayflow_ndt_matches_segmented():
     assert checked > 0
 
 
+def test_rayflow_ndt_tm_intensity_multiplicity_matches_oracle():
+    """Regression: the NDT-TM intensity merge is a SEQUENTIAL recursion, and
+    the rayflow wire's snake permutation reorders same-voxel samples — the
+    hit sort must re-order by the original batch ray index (integrate_ndt
+    order_key) or high-multiplicity voxels diverge ~20% from the reference
+    recursion (observed before the fix; CI pins OHM_RAYFLOW=0 elsewhere,
+    so this is the only rayflow coverage of the k>=8 regime)."""
+    from ohm_tpu.mapping.ndt_map import TpuNdtMap
+    from ohm_tpu.oracle.ndt import NdtParams, RayMapperNdt
+    from ohm_tpu.core.layout import INTENSITY_LAYER
+
+    rng = np.random.default_rng(21)
+    n, k = 16, 8  # k samples per voxel, shuffled so snake reorders them
+    base = np.column_stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                            np.zeros(n)])
+    samples = np.repeat(base, k, axis=0) + rng.normal(0, 0.004, (n * k, 3))
+    perm = rng.permutation(n * k)
+    samples = samples[perm]
+    intens = rng.uniform(10.0, 200.0, n * k)[perm.argsort()][perm]
+    rays = np.empty((2 * n * k, 3))
+    rays[0::2] = (0.0, 0.0, 2.0)
+    rays[1::2] = samples
+
+    params = NdtParams(ndt_tm=True)
+    m_dev = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    mp = TpuNdtMap(m_dev, params, capacity=64, validate=True)
+    mp.rayflow = True
+    mp.integrate_rays(rays, intensities=intens)
+    mp.sync_voxels()
+    assert bool(getattr(mp, "_k_cache_rf", 0))  # rayflow path actually taken
+
+    m_cpu = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    RayMapperNdt(m_cpu, NdtParams(ndt_tm=True,
+                                  adaptation_rate=params.adaptation_rate)
+                 ).integrate_rays(rays, intensities=intens)
+
+    ii = m_dev.layer_index(INTENSITY_LAYER)
+    checked = 0
+    for key, a in m_cpu.chunks.items():
+        b = m_dev.region(key)
+        if b is None:
+            continue
+        mask = a.layers[ii]["mean"] != 0
+        for f in ("mean", "cov"):
+            np.testing.assert_allclose(
+                a.layers[ii][f][mask], b.layers[ii][f][mask],
+                rtol=1e-3, atol=1e-3)
+        checked += int(mask.sum())
+    assert checked > 0
+
+
 def test_rayflow_tsdf_matches_segmented():
     from ohm_tpu.mapping.tsdf_map import TpuTsdfMap
     from ohm_tpu.core.layout import TSDF_LAYER
