@@ -6,7 +6,8 @@ pose interpolation of local samples into global rays, here vectorised with
 searchsorted + lerp/slerp instead of a per-sample GPU binary search).
 
 Supported cloud inputs: .ply (binary LE / ascii, via io.ply), .xyz / .txt
-text tables (time x y z [intensity]), .laz/.las when laspy is importable
+text tables (time x y z [intensity]), .pcd (ascii / binary /
+binary_compressed, via io.pcd), .laz/.las when laspy is importable
 (gated — not part of the baked environment).
 Trajectory inputs: text tables `time x y z [qx qy qz qw]` or a cloud file
 with per-point timestamps.
@@ -96,6 +97,14 @@ def _read_laz_cloud(filename):
         return out
 
 
+def _read_pcd_cloud(filename):
+    from ohm_tpu.io.pcd import read_pcd
+
+    out = read_pcd(filename)
+    out.pop("fields", None)
+    return out
+
+
 def _read_text_cloud(filename):
     # Text table: [time] x y z [intensity]
     table = _load_text_table(filename)
@@ -112,6 +121,7 @@ _CLOUD_READERS = {
     ".ply": _read_ply_cloud,
     ".las": _read_las_cloud,
     ".laz": _read_laz_cloud,
+    ".pcd": _read_pcd_cloud,
     ".xyz": _read_text_cloud,
     ".txt": _read_text_cloud,
 }
