@@ -57,10 +57,18 @@ class TpuNdtMap(TpuRayMapper):
                                 scatter_pad=self.arena.scatter_pad)
 
     def _ndt_config(self, ray_flags: int, group_cap: int = 0,
-                    base=None) -> NdtConfig:
+                    base=None, n_segments: int = 0) -> NdtConfig:
         p = self.params
+        base = base if base is not None else self._config(ray_flags, group_cap=group_cap)
+        # Fused two-level std-count deposit (integrate_ndt fused branch):
+        # active once row_cap is sized and the 16-bit count-width gate holds
+        # (per-voxel std-miss totals bounded by one record per segment).
+        if (self.fused and self.row_cap > 0 and 0 < n_segments <= 16384
+                and n_segments <= self._row_cap_rays and base.group_cap > 0):
+            import dataclasses as _dc
+            base = _dc.replace(base, row_cap=self.row_cap)
         return NdtConfig(
-            base=base if base is not None else self._config(ray_flags, group_cap=group_cap),
+            base=base,
             sensor_noise=float(p.sensor_noise),
             sample_threshold=int(p.sample_threshold),
             adaptation_rate=float(p.adaptation_rate),
@@ -72,19 +80,23 @@ class TpuNdtMap(TpuRayMapper):
         )
 
     def _dispatch_rayflow(self, batch, base_cfg, n_rays, ray_update_flags) -> int:
-        cfg = self._ndt_config(ray_update_flags, base=base_cfg)
+        cfg = self._ndt_config(ray_update_flags, base=base_cfg, n_segments=n_rays)
         new_state, stats = integrate_ndt_jit(self.arena.device_state(), batch, cfg)
         self.arena.update_state(new_state)
+        self._auto_size_row_cap(stats, n_rays)
         self._stats["rays"] += n_rays
         self._stats["segments"] += n_rays
         self._stats["batches"] += 1
         self._pending_stats.append({k: v for k, v in stats.items()
-                                    if k in ("missed_updates", "overflow", "compaction_dropped")})
+                                    if k in ("missed_updates", "overflow",
+                                             "compaction_dropped", "dropped_updates")})
         if self.validate:
             self._drain_stats()
             assert self._stats["missed_updates"] == 0, "device slot resolution missed"
             assert self._stats["overflow"] == 0, "DDA step cap exceeded"
             assert self._stats["compaction_dropped"] == 0
+            assert self._stats["dropped_updates"] == 0, \
+                "fused row_cap exceeded — deposit dropped voxel-lasts"
         return n_rays
 
     def _integrate_batch(self, rays, intensities=None, timestamps=None, ray_update_flags: int = 0) -> int:
@@ -117,20 +129,25 @@ class TpuNdtMap(TpuRayMapper):
         batch["intensity"] = jnp.asarray(
             prepared.intensities if prepared.intensities is not None
             else np.zeros(prepared.size, dtype=np.float32))
-        cfg = self._ndt_config(ray_update_flags, group_cap=self._group_cap(prepared))
+        cfg = self._ndt_config(ray_update_flags, group_cap=self._group_cap(prepared),
+                               n_segments=prepared.n_segments)
         state = self.arena.device_state()
         new_state, stats = integrate_ndt_jit(state, batch, cfg)
         self.arena.update_state(new_state)
+        self._auto_size_row_cap(stats, prepared.n_segments)
 
         self._stats["rays"] += n_rays
         self._stats["segments"] += prepared.n_segments
         self._stats["batches"] += 1
         self._pending_stats.append({k: v for k, v in stats.items()
-                                    if k in ("missed_updates", "overflow", "compaction_dropped")})
+                                    if k in ("missed_updates", "overflow",
+                                             "compaction_dropped", "dropped_updates")})
         if self.validate:
             self._drain_stats()
             assert self._stats["missed_updates"] == 0, "device slot resolution missed"
             assert self._stats["overflow"] == 0, "DDA step cap exceeded"
             assert self._stats["compaction_dropped"] == 0, \
                 "group compaction dropped live records — host group_cap bug"
+            assert self._stats["dropped_updates"] == 0, \
+                "fused row_cap exceeded — deposit dropped voxel-lasts"
         return n_rays

@@ -1067,36 +1067,12 @@ def apply_records_fused_jit(arena, records, batch, cfg: IntegrateConfig):
         raise ValueError(f"fused stream {M} exceeds scatter_pad {cfg.scatter_pad}")
     sent = jnp.int32(cfg.sentinel)
 
-    # --- level 1: per-row run lengths at in-row voxel-lasts ---------------
+    # --- level 1: per-row partials, compacted into [R, row_cap] -----------
     rows = key[:n_walk].reshape(R, cap)
     ids2 = rows >> 1  # hit bit is 0 on all walk records
-    first2 = jnp.concatenate(
-        [jnp.ones((R, 1), bool), ids2[:, 1:] != ids2[:, :-1]], axis=1)
-    last2 = jnp.concatenate(
-        [ids2[:, 1:] != ids2[:, :-1], jnp.ones((R, 1), bool)], axis=1)
-    real_last2 = last2 & (ids2 != sent)
-
-    first_f = first2.reshape(-1)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (n_walk, 1), 0).squeeze(-1)
-    neg = jnp.int32(-(1 << 30))
-    p_first = blocked.cummax(jnp.where(first_f, pos, neg), lowest=neg)
-    n_miss_w = (pos - p_first + 1).astype(jnp.uint32).reshape(R, cap)
-    packed_w = jnp.where(real_last2, n_miss_w, jnp.uint32(0))  # misses only
-
-    trav_w2 = None
-    if cfg.with_traversal:
-        trav_sums = blocked.segment_sums(records["trav"][:n_walk], first_f)
-        trav_w2 = jnp.where(real_last2, trav_sums.reshape(R, cap), 0.0)
-
-    # --- level 1: per-row compaction of voxel-lasts into [R, row_cap] -----
-    key2 = jnp.where(real_last2, ids2, sent)
-    ops_w = (key2, packed_w) + ((trav_w2,) if cfg.with_traversal else ())
-    sorted_w = jax.lax.sort(ops_w, num_keys=1, dimension=1)
-    kc = sorted_w[0][:, :cap2]
-    pc = sorted_w[1][:, :cap2]
-    realc = kc != sent
-    dropped = (jnp.sum(real_last2.astype(jnp.int32))
-               - jnp.sum(realc.astype(jnp.int32)))
+    weight = (ids2 != sent).astype(jnp.float32).reshape(-1)
+    trav_w = records["trav"][:n_walk] if cfg.with_traversal else None
+    kc, pc, tc, dropped = _fused_row_partials(ids2, weight, trav_w, cap2, cfg)
 
     # --- level 2: merge row partials + raw end records in one small sort --
     ek = key[n_walk:]
@@ -1104,14 +1080,89 @@ def apply_records_fused_jit(arena, records, batch, cfg: IntegrateConfig):
     hit_e = (ek & 1).astype(jnp.uint32)
     real_e = ids_e != sent
     packed_e = jnp.where(real_e, (hit_e << 16) | (1 - hit_e), jnp.uint32(0))
-    ids_m = jnp.concatenate([kc.reshape(-1), ids_e])
-    packed_m = jnp.concatenate([jnp.where(realc, pc, jnp.uint32(0)).reshape(-1),
-                                packed_e])
-    ops_m = (ids_m, packed_m)
+    trav_e = (jnp.where(real_e, records["trav"][n_walk:], 0.0)
+              if cfg.with_traversal else None)
+    pending, idx, real_last, trav_tot = _fused_merge_deposit(
+        arena["occupancy"].shape, kc, pc, tc, ids_e, packed_e, trav_e, cfg)
+
+    arena = dict(arena)
+    arena["occupancy"] = _occupancy_sweep(arena["occupancy"], pending, cfg)
     if cfg.with_traversal:
-        tc = jnp.where(realc, sorted_w[2][:, :cap2], 0.0)
-        end_trav = jnp.where(real_e, records["trav"][n_walk:], 0.0)
-        ops_m += (jnp.concatenate([tc.reshape(-1), end_trav]),)
+        arena["traversal"] = arena["traversal"].at[idx].add(
+            jnp.where(real_last, trav_tot, 0.0), unique_indices=True,
+            mode="promise_in_bounds")
+
+    if cfg.with_mean or cfg.with_touch_time or cfg.with_incident:
+        arena = _apply_sample_layers(arena, records, batch, cfg)
+
+    touched = jnp.sum(real_last.astype(jnp.int32))
+    return arena, touched, dropped
+
+
+def _fused_row_partials(ids2, weight_f, trav_f, cap2, cfg):
+    """Fused-apply level 1: per-row partial miss counts + traversal sums at
+    in-row voxel-lasts, compacted into [R, cap2] by one row sort.
+
+    ids2 [R, cap] must be row-sorted (the expand compaction guarantees it);
+    weight_f/trav_f are flattened [R*cap] aligned with ids2 (weight 1.0 per
+    counted record — callers mask records that must not count, e.g. the NDT
+    pipeline's Gaussian-handled misses).  Partial counts are exact integer
+    sums in f32 (< 2^24).  Returns (kc, pc(u32 miss counts), tc|None,
+    dropped) where dropped counts voxel-lasts lost to the cap2 truncation.
+    """
+    from ohm_tpu.ops import blocked
+
+    R, cap = ids2.shape
+    sent = jnp.int32(cfg.sentinel)
+    first2 = jnp.concatenate(
+        [jnp.ones((R, 1), bool), ids2[:, 1:] != ids2[:, :-1]], axis=1)
+    last2 = jnp.concatenate(
+        [ids2[:, 1:] != ids2[:, :-1], jnp.ones((R, 1), bool)], axis=1)
+    real_last2 = last2 & (ids2 != sent)
+    first_f = first2.reshape(-1)
+
+    cnt = blocked.segment_sums(weight_f, first_f).reshape(R, cap)
+    packed_w = jnp.where(real_last2, cnt.astype(jnp.uint32), jnp.uint32(0))
+    trav_w2 = None
+    if trav_f is not None:
+        trav_sums = blocked.segment_sums(trav_f, first_f)
+        trav_w2 = jnp.where(real_last2, trav_sums.reshape(R, cap), 0.0)
+
+    key2 = jnp.where(real_last2, ids2, sent)
+    ops_w = (key2, packed_w) + ((trav_w2,) if trav_f is not None else ())
+    sorted_w = jax.lax.sort(ops_w, num_keys=1, dimension=1)
+    kc = sorted_w[0][:, :cap2]
+    pc = sorted_w[1][:, :cap2]
+    realc = kc != sent
+    pc = jnp.where(realc, pc, jnp.uint32(0))
+    tc = (jnp.where(realc, sorted_w[2][:, :cap2], 0.0)
+          if trav_f is not None else None)
+    dropped = (jnp.sum(real_last2.astype(jnp.int32))
+               - jnp.sum(realc.astype(jnp.int32)))
+    return kc, pc, tc, dropped
+
+
+def _fused_merge_deposit(shape, kc, pc, tc, ids_e, packed_e, trav_e, cfg):
+    """Fused-apply level 2: one SMALL global sort over the compacted row
+    partials + per-end-record entries, exact f32 segment sums of the packed
+    (hit << 16 | miss) partials, and a unique-index scatter of the totals
+    into a fresh packed pending plane.
+
+    Returns (pending u32 plane, scatter idx, real_last mask, trav totals) —
+    idx/real_last/trav align with the sorted merge stream so callers can
+    scatter additional per-voxel payloads (traversal) at the same targets.
+    """
+    from ohm_tpu.ops import blocked
+
+    sent = jnp.int32(cfg.sentinel)
+    ids_m = jnp.concatenate([kc.reshape(-1), ids_e])
+    packed_m = jnp.concatenate([pc.reshape(-1), packed_e])
+    M = ids_m.shape[0]
+    if M > cfg.scatter_pad:
+        raise ValueError(f"fused merge stream {M} exceeds scatter_pad {cfg.scatter_pad}")
+    ops_m = (ids_m, packed_m)
+    if trav_e is not None:
+        ops_m += (jnp.concatenate([tc.reshape(-1), trav_e]),)
     sorted_m = jax.lax.sort(ops_m, num_keys=1)
     ids_s = sorted_m[0]
     first_s = jnp.concatenate([jnp.array([True]), ids_s[1:] != ids_s[:-1]])
@@ -1126,22 +1177,10 @@ def apply_records_fused_jit(arena, records, batch, cfg: IntegrateConfig):
     packed = jnp.where(real_last, packed, jnp.uint32(0))
     mpos = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0).squeeze(-1)
     idx = jnp.where(real_last, ids_s, cfg.pad_base + mpos)
-    pending = jnp.zeros(arena["occupancy"].shape, jnp.uint32).at[idx].set(
+    pending = jnp.zeros(shape, jnp.uint32).at[idx].set(
         packed, unique_indices=True, mode="promise_in_bounds")
-
-    arena = dict(arena)
-    arena["occupancy"] = _occupancy_sweep(arena["occupancy"], pending, cfg)
-    if cfg.with_traversal:
-        trav_tot = blocked.segment_sums(sorted_m[2], first_s)
-        arena["traversal"] = arena["traversal"].at[idx].add(
-            jnp.where(real_last, trav_tot, 0.0), unique_indices=True,
-            mode="promise_in_bounds")
-
-    if cfg.with_mean or cfg.with_touch_time or cfg.with_incident:
-        arena = _apply_sample_layers(arena, records, batch, cfg)
-
-    touched = jnp.sum(real_last.astype(jnp.int32))
-    return arena, touched, dropped
+    trav_tot = blocked.segment_sums(sorted_m[2], first_s) if trav_e is not None else None
+    return pending, idx, real_last, trav_tot
 
 
 def _apply_sample_layers(arena, records, batch, cfg: IntegrateConfig):

@@ -201,31 +201,65 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
     # ---------------------------------------------------------------- #
     # Standard (non-Gaussian) miss + hit counts via the occupancy machinery.
     std_miss = (ids_c != base.sentinel) & ~ndt_applied
-    key = jnp.concatenate([
-        (jnp.where(std_miss, ids_c, base.sentinel) << 1),
-        (jnp.where(end_is_hit | end_is_miss, end_flat, base.sentinel) << 1) | end_is_hit.astype(jnp.int32),
-    ])
-    trav_payloads = []
-    if base.with_traversal:
-        end_trav = jnp.where(end_is_hit | end_is_miss, b["length"] - walk["end_enter"], 0.0)
-        trav_payloads.append(jnp.concatenate([walk_trav_flat, end_trav]).astype(jnp.float32))
-
-    sorted_all = jax.lax.sort((key,) + tuple(trav_payloads), num_keys=1)
-    key_s = sorted_all[0]
-    # Position-diff reduce (no scan): see integrate.sorted_hit_miss_counts.
-    ids_s, first_s, last, n_hit, n_miss = sorted_hit_miss_counts(key_s)
-
-    idx_s = _unique_scatter_indices(ids_s, last, base)
-    cap = jnp.float32(65535.0)
-    packed = (jnp.minimum(n_hit, cap).astype(jnp.uint32) << 16) | jnp.minimum(n_miss, cap).astype(jnp.uint32)
-    packed = jnp.where(last, packed, jnp.uint32(0))
-    pending_counts = jnp.zeros(arena["occupancy"].shape, jnp.uint32).at[idx_s].set(packed, unique_indices=True)
-
+    end_any = end_is_hit | end_is_miss
+    end_trav = (jnp.where(end_any, b["length"] - walk["end_enter"], 0.0)
+                if base.with_traversal else None)
+    fused_dropped = jnp.int32(0)
+    compacted = bool(base.group_cap) and B % G == 0 and base.group_cap < G * S
     arena = dict(arena)
-    if base.with_traversal:
-        trav_tot = sorted_nonneg_sums(sorted_all[1], first_s)
-        arena["traversal"] = arena["traversal"].at[idx_s].add(
-            jnp.where(last, trav_tot, 0.0), unique_indices=True)
+    if base.row_cap > 0 and compacted:
+        # Fused two-level deposit (integrate.apply_records_fused_jit):
+        # compaction rows are already sorted, so per-row PARTIAL std-miss
+        # counts come from segment sums (weight masks out Gaussian-handled
+        # records), per-row voxel-lasts compact by one row sort, and the
+        # merge with raw end records happens in one SMALL global sort —
+        # replacing this phase's full-stream sort.
+        from ohm_tpu.ops.integrate import _fused_row_partials, _fused_merge_deposit
+        cap_r = base.group_cap
+        cap2 = min(base.row_cap, cap_r)
+        ids2 = ids_c.reshape(-1, cap_r)
+        kc, pcw, tcw, fused_dropped = _fused_row_partials(
+            ids2, std_miss.astype(jnp.float32),
+            walk_trav_flat if base.with_traversal else None, cap2, base)
+        ids_e2 = jnp.where(end_any, end_flat, base.sentinel)
+        packed_e = jnp.where(
+            end_any,
+            (end_is_hit.astype(jnp.uint32) << 16) | end_is_miss.astype(jnp.uint32),
+            jnp.uint32(0))
+        trav_e = (jnp.where(end_any, end_trav, 0.0)
+                  if base.with_traversal else None)
+        pending_counts, idx_s, real_last_m, trav_tot_m = _fused_merge_deposit(
+            arena["occupancy"].shape, kc, pcw, tcw, ids_e2, packed_e, trav_e, base)
+        if base.with_traversal:
+            arena["traversal"] = arena["traversal"].at[idx_s].add(
+                jnp.where(real_last_m, trav_tot_m, 0.0), unique_indices=True,
+                mode="promise_in_bounds")
+        touched_std = jnp.sum(real_last_m.astype(jnp.int32))
+    else:
+        key = jnp.concatenate([
+            (jnp.where(std_miss, ids_c, base.sentinel) << 1),
+            (jnp.where(end_any, end_flat, base.sentinel) << 1) | end_is_hit.astype(jnp.int32),
+        ])
+        trav_payloads = []
+        if base.with_traversal:
+            trav_payloads.append(jnp.concatenate([walk_trav_flat, end_trav]).astype(jnp.float32))
+
+        sorted_all = jax.lax.sort((key,) + tuple(trav_payloads), num_keys=1)
+        key_s = sorted_all[0]
+        # Position-diff reduce (no scan): see integrate.sorted_hit_miss_counts.
+        ids_s, first_s, last, n_hit, n_miss = sorted_hit_miss_counts(key_s)
+
+        idx_s = _unique_scatter_indices(ids_s, last, base)
+        cap = jnp.float32(65535.0)
+        packed = (jnp.minimum(n_hit, cap).astype(jnp.uint32) << 16) | jnp.minimum(n_miss, cap).astype(jnp.uint32)
+        packed = jnp.where(last, packed, jnp.uint32(0))
+        pending_counts = jnp.zeros(arena["occupancy"].shape, jnp.uint32).at[idx_s].set(packed, unique_indices=True)
+
+        if base.with_traversal:
+            trav_tot = sorted_nonneg_sums(sorted_all[1], first_s)
+            arena["traversal"] = arena["traversal"].at[idx_s].add(
+                jnp.where(last, trav_tot, 0.0), unique_indices=True)
+        touched_std = jnp.sum((last & (ids_s != base.sentinel)).astype(jnp.int32))
 
     # ---------------------------------------------------------------- #
     # Dense occupancy apply: standard counts + NDT miss deltas.
@@ -438,13 +472,27 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
         jnp.sum(jnp.where(rec_valid.reshape(-1) & walk_missed.reshape(-1), 1, 0))
         + jnp.sum(jnp.where((end_is_hit | end_is_miss) & end_missed, 1, 0))
     ).astype(jnp.int32)
+    # Per-row unique-voxel high-water mark (sizes the fused deposit's
+    # row_cap, as in expand_records_jit).
+    if compacted:
+        ids_r = ids_c.reshape(-1, base.group_cap)
+        last_r = jnp.concatenate(
+            [ids_r[:, 1:] != ids_r[:, :-1],
+             jnp.ones((ids_r.shape[0], 1), bool)], axis=1)
+        row_lasts_max = jnp.max(jnp.sum(
+            (last_r & (ids_r != base.sentinel)).astype(jnp.int32), axis=1))
+    else:
+        row_lasts_max = jnp.int32(-1)
+
     stats = {
         "missed_updates": missed_updates,
         "overflow": (jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0))
                      + walk["truncated"]).astype(jnp.int32),
-        "touched": jnp.sum((last & (ids_s != base.sentinel)).astype(jnp.int32)),
+        "touched": touched_std,
         "ndt_overflow": overflow_ndt,
         "compaction_dropped": compaction_dropped,
+        "dropped_updates": fused_dropped,
+        "row_lasts_max": row_lasts_max,
     }
     return arena, stats
 

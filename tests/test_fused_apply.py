@@ -79,6 +79,44 @@ def test_fused_traversal_reassociation_only():
         assert np.abs(ta - tb).max() < 2e-4
 
 
+def test_fused_ndt_bit_identical_occupancy():
+    """The NDT std-count fused deposit must reproduce the unfused pipeline's
+    occupancy bit-exactly (integer partial counts; the NDT miss deltas are
+    untouched by the deposit restructure)."""
+    from ohm_tpu.mapping.ndt_map import TpuNdtMap
+    from ohm_tpu.oracle.ndt import NdtParams
+
+    rng = np.random.default_rng(13)
+    batches = [_box_rays(512, rng, half=(4.0, 4.0, 2.0)) for _ in range(6)]
+
+    maps = []
+    for fused in (False, True):
+        old = os.environ.get("OHM_FUSED")
+        os.environ["OHM_FUSED"] = "1" if fused else "0"
+        try:
+            m = OccupancyMap(resolution=0.2, flags=MapFlag.NONE)
+            mp = TpuNdtMap(m, NdtParams(), capacity=256, validate=True)
+            for b in batches:
+                mp.integrate_rays(b)
+            mp.sync_voxels()
+            if fused:
+                assert mp.row_cap > 0, "fused NDT deposit never activated"
+        finally:
+            if old is None:
+                os.environ.pop("OHM_FUSED", None)
+            else:
+                os.environ["OHM_FUSED"] = old
+        maps.append(m)
+    m0, m1 = maps
+    assert set(m0.chunks) == set(m1.chunks)
+    for k in m0.chunks:
+        a = _layer(m0, k, OCCUPANCY_LAYER)
+        b = _layer(m1, k, OCCUPANCY_LAYER)
+        ia, ib = np.isinf(a), np.isinf(b)
+        assert (ia == ib).all()
+        assert (a[~ia] == b[~ib]).all()
+
+
 def test_fused_row_cap_overflow_counts_drops():
     """An undersized row_cap must surface in dropped_updates, not corrupt."""
     rng = np.random.default_rng(3)
