@@ -383,7 +383,7 @@ class PreparedRayflow:
 
 def prepare_rayflow(map_obj, rays, timestamps=None, intensities=None,
                     ray_update_flags: int = 0, min_bucket: int = 256,
-                    min_table_k: int = 8) -> PreparedRayflow | None:
+                    min_table_k: int = 4) -> PreparedRayflow | None:
     """Build the full-ray wire; returns None when unavailable (no native lib,
     >65535 rays, >63-region bbox extent, >32 regions on one ray) — the
     caller falls back to the segmented path.
@@ -448,9 +448,9 @@ def prepare_rayflow(map_obj, rays, timestamps=None, intensities=None,
         return None  # packed rel-region uses 6 bits per axis (one-i32 table)
     if int(map_obj.region_voxel_dims[0]) > 32:
         return None  # abs16 coords are 11-bit (63 regions x <=32 voxels)
-    table_k = max(8, int(min_table_k))
+    table_k = max(4, int(min_table_k))
     while table_k < max(bufs["max_ray_k"], 1):
-        table_k += 8
+        table_k += 4
     return PreparedRayflow(rpad=rpad, n_rays=n_rays, bufs=bufs,
                            region_keys=bufs["region_keys"], bbox=bbox,
                            crossings=bufs["crossings"],

@@ -191,7 +191,7 @@ class TpuRayMapper:
             rf = prepare_rayflow(self.map, rays)
             if rf is None:
                 continue
-            self._k_cache_rf = max(getattr(self, "_k_cache_rf", 8), rf.table_k)
+            self._k_cache_rf = max(getattr(self, "_k_cache_rf", 4), rf.table_k)
             steps = -(-(rf.max_axis_steps + 1) // 32) * 32
             self._steps_cache_rf = max(getattr(self, "_steps_cache_rf", 0), steps)
             wcap = -(-(int(rf.crossings.max()) + 2) // 64) * 64 if rf.n_rays else 64
@@ -237,10 +237,10 @@ class TpuRayMapper:
         rf = prepare_rayflow(self.map, rays, timestamps=timestamps,
                              intensities=intensities,
                              ray_update_flags=ray_update_flags,
-                             min_table_k=getattr(self, "_k_cache_rf", 8))
+                             min_table_k=getattr(self, "_k_cache_rf", 4))
         if rf is None:
             return None
-        self._k_cache_rf = max(getattr(self, "_k_cache_rf", 8), rf.table_k)
+        self._k_cache_rf = max(getattr(self, "_k_cache_rf", 4), rf.table_k)
         self.arena.ensure_regions(rf.region_keys, host_map=self.map,
                                   allow_evict=allow_evict)
         # Dictionary wire when the batch fits 255 regions (the common case):
