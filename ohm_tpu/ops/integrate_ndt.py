@@ -152,12 +152,15 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
     is_ndt = gauss_plane[ids_c] & (ids_c != base.sentinel)
 
     # Compact: flagged records first, original order preserved within groups.
+    # The key encodes the position (flagged keep pos, unflagged get pos + M),
+    # so ONE sort operand suffices — position and flaggedness both decode
+    # from the sorted key, and the is_ndt gather disappears.
     mpos = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0).squeeze(-1)
     sort_key = jnp.where(is_ndt, mpos, mpos + M)  # flagged sort below unflagged
-    order = jax.lax.sort((sort_key, mpos), num_keys=1)[1]
     K = min(cfg.miss_k, M)
-    sel_k = order[:K]
-    active_k = is_ndt[sel_k]
+    skey = jax.lax.sort((sort_key,), num_keys=1)[0][:K]
+    active_k = skey < M
+    sel_k = jnp.where(active_k, skey, skey - M)
     # Graceful overflow: flagged records beyond K revert to standard misses.
     from ohm_tpu.ops import blocked
     ndt_rank = blocked.cumsum(is_ndt.astype(jnp.int32)) - is_ndt.astype(jnp.int32)
