@@ -447,7 +447,10 @@ class Heightmap:
         abs_v = np.asarray(region, np.int64) * src.region_voxel_dims + local
         su = int(np.clip(abs_v[plane_axes[0]] - dense.vmin[plane_axes[0]], 0, U - 1))
         sv = int(np.clip(abs_v[plane_axes[1]] - dense.vmin[plane_axes[1]], 0, V - 1))
-        sz = int(np.clip((abs_v[axis] - dense.vmin[axis]) * (1 if up_sign > 0 else -1), 0, W - 1))
+        # The dense arrays are REVERSED along up when up_sign < 0
+        # (_densify's kind[..., ::-1]), so the up index mirrors to W-1-i.
+        iz = int(abs_v[axis] - dense.vmin[axis])
+        sz = int(np.clip(iz if up_sign > 0 else W - 1 - iz, 0, W - 1))
 
         visited_h = np.zeros((U, V, W), bool)   # (column, height) touched
         visited_col = np.zeros((U, V), bool)    # column touched (fruitless mode)

@@ -81,11 +81,16 @@ def _read_laz_cloud(filename):
 
     try:
         return read_las(filename)
-    except NotImplementedError:
+    except NotImplementedError as unsupported:
         try:
             import laspy
         except ImportError:
-            raise
+            # Keep the codec's actionable message (it names the unsupported
+            # LASzip compressor / point format and how to convert the file)
+            # instead of a context-free "No module named 'laspy'".
+            raise NotImplementedError(
+                f"{unsupported} (laspy is not installed as a fallback)"
+            ) from unsupported
         las = laspy.read(filename)
         out = {"points": np.column_stack([las.x, las.y, las.z])}
         if hasattr(las, "gps_time"):

@@ -64,7 +64,8 @@ class TpuNdtMap(TpuRayMapper):
         # active once row_cap is sized and the 16-bit count-width gate holds
         # (per-voxel std-miss totals bounded by one record per segment).
         if (self.fused and self.row_cap > 0 and 0 < n_segments <= 16384
-                and n_segments <= self._row_cap_rays and base.group_cap > 0):
+                and n_segments <= self._row_cap_rays
+                and 0 < base.group_cap < (1 << 16)):
             import dataclasses as _dc
             base = _dc.replace(base, row_cap=self.row_cap)
         return NdtConfig(

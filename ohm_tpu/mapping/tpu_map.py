@@ -196,19 +196,42 @@ class TpuRayMapper:
             self._steps_cache_rf = max(getattr(self, "_steps_cache_rf", 0), steps)
             wcap = -(-(int(rf.crossings.max()) + 2) // 64) * 64 if rf.n_rays else 64
             self._wcap_cache_rf = max(getattr(self, "_wcap_cache_rf", 0), wcap)
-            G = 64 if rf.rpad % 64 == 0 else 8
-            if rf.rpad % G == 0:
-                import os as _os
-                from ohm_tpu.mapping.batch import snake_perm
-                snake = _os.environ.get("OHM_SNAKE", "1") != "0"
-                cr = (rf.crossings[snake_perm(rf.crossings, G)]
-                      if snake else rf.crossings)
-                gmax = int(cr.reshape(G, -1).sum(axis=0).max())
-                if snake:
-                    cap = max(512, -(-(gmax + max(128, gmax >> 6)) // 256) * 256) if gmax else 0
-                else:
-                    cap = max(512, -(-(gmax + max(256, gmax >> 4)) // 512) * 512) if gmax else 0
-                self._cap_cache_rf = max(getattr(self, "_cap_cache_rf", 0), cap)
+            G, snake = self._rayflow_grouping(rf.rpad)
+            cap = self._rayflow_group_cap(rf.crossings, G, snake)
+            self._cap_cache_rf = max(getattr(self, "_cap_cache_rf", 0), cap)
+
+    @staticmethod
+    def _rayflow_grouping(rpad: int) -> tuple[int, bool]:
+        """Strided group size G (OHM_RAYFLOW_G override; 8 when rpad doesn't
+        divide) and snake-ordering flag — ONE source of truth shared by
+        prime_caps and dispatch so priming seeds the caps the run will use."""
+        import os
+        G = int(os.environ.get("OHM_RAYFLOW_G", 64))
+        if rpad % G:
+            G = 8
+        snake = os.environ.get("OHM_SNAKE", "1") != "0" and rpad % G == 0
+        return G, snake
+
+    @staticmethod
+    def _rayflow_group_cap(crossings, G: int, snake: bool) -> int:
+        """Quantised per-group record cap for the strided compaction.
+
+        Stream length = rows * cap drives the sort and the scatter (both
+        ~linear).  Snake-balanced group sums sit within ~0.2% of the mean, so
+        a 2% margin + 256-quantise suffices; the unbalanced path keeps ~6% +
+        512 against batch-to-batch jitter (each new high-water mark is a new
+        compiled program variant)."""
+        from ohm_tpu.mapping.batch import snake_perm
+
+        if len(crossings) % G:
+            return 0
+        cr = crossings[snake_perm(crossings, G)] if snake else crossings
+        gmax = int(cr.reshape(G, -1).sum(axis=0).max())
+        if not gmax:
+            return 0
+        if snake:
+            return max(512, -(-(gmax + max(128, gmax >> 6)) // 256) * 256)
+        return max(512, -(-(gmax + max(256, gmax >> 4)) // 512) * 512)
 
     def _rayflow_setup(self, rays, timestamps, intensities, ray_update_flags):
         """Try the full-ray wire path; returns (batch dict, cfg, n_rays) or
@@ -262,32 +285,17 @@ class TpuRayMapper:
         # sum of G near-iid per-ray crossing counts, so relative padding
         # shrinks ~1/sqrt(G).  Measured on the box bench scene: G=8 carried
         # 64% padding (224 rec/ray vs 137 true); G=64 cuts the stream ~1.4x
-        # for a slightly wider (G*walk_cap) row sort.  OHM_RAYFLOW_G
-        # overrides for A/B measurement.
-        import os as _os
-        G = int(_os.environ.get("OHM_RAYFLOW_G", 64))
-        if rf.rpad % G:
-            G = 8
-        # Snake ordering: crossings-balanced wire-row permutation equalises
-        # the strided group sums so the cap sits at the mean, not the max
-        # (mapping.batch.snake_perm; OHM_SNAKE=0 disables for A/B).
-        snake = _os.environ.get("OHM_SNAKE", "1") != "0" and rf.rpad % G == 0
+        # for a slightly wider (G*walk_cap) row sort.  Snake ordering
+        # (crossings-balanced row permutation, mapping.batch.snake_perm)
+        # puts the cap at the mean group sum, not the max.  G/snake/cap all
+        # come from the shared helpers so prime_caps seeds what runs use.
+        G, snake = self._rayflow_grouping(rf.rpad)
         perm = snake_perm(rf.crossings, G) if snake else None
-        cr = rf.crossings[perm] if snake else rf.crossings
         wire = rayflow_wire(rf, self.arena.table,
                             with_touch=self.with_touch,
                             with_intensity=getattr(self, "_rayflow_intensity", False),
                             cdict=cdict, perm=perm)
-        gmax = int(cr.reshape(G, -1).sum(axis=0).max()) if rf.rpad % G == 0 else 0
-        # Cap headroom + quantisation: stream length = rows * cap drives the
-        # sort and the scatter (both ~linear).  Snake-balanced group sums sit
-        # within ~0.2% of the mean, so a 2% margin + 256-quantise suffices;
-        # the unbalanced path keeps ~6% + 512 against batch-to-batch jitter
-        # (each new high-water mark is a new compiled program variant).
-        if snake:
-            cap = max(512, -(-(gmax + max(128, gmax >> 6)) // 256) * 256) if gmax else 0
-        else:
-            cap = max(512, -(-(gmax + max(256, gmax >> 4)) // 512) * 512) if gmax else 0
+        cap = self._rayflow_group_cap(rf.crossings, G, snake)
         self._cap_cache_rf = max(getattr(self, "_cap_cache_rf", 0), cap)
         cfg = self._config(ray_update_flags, group_cap=self._cap_cache_rf,
                            max_steps=self._steps_cache_rf, group_size=G,
@@ -523,8 +531,8 @@ class TpuRayMapper:
             self._auto_size_row_cap(stats, n_rays)
             # 16-bit packed-count gate: per-voxel totals are bounded by one
             # walk record per SEGMENT + one end record per segment.
-            fused_ok = (self.fused and cfg.group_cap > 0 and self.row_cap > 0
-                        and n_segments <= 16384
+            fused_ok = (self.fused and 0 < cfg.group_cap < (1 << 16)
+                        and self.row_cap > 0 and n_segments <= 16384
                         and n_rays <= self._row_cap_rays)
             if fused_ok:
                 import dataclasses as _dc
@@ -681,14 +689,35 @@ class TpuRayMapper:
                 raise err
 
     def _drain_stats(self):
+        new_drops = 0
         for stats in self._pending_stats:
             self._stats["missed_updates"] += int(stats["missed_updates"])
             self._stats["overflow"] += int(stats["overflow"])
             if "dropped_updates" in stats:
-                self._stats["dropped_updates"] += int(stats["dropped_updates"])
+                d = int(stats["dropped_updates"])
+                self._stats["dropped_updates"] += d
+                new_drops += d
             if "compaction_dropped" in stats:
                 self._stats["compaction_dropped"] += int(stats["compaction_dropped"])
         self._pending_stats.clear()
+        if new_drops:
+            # Scene drift past the auto-sized windows (same-size batches with
+            # more touched voxels, e.g. moving indoors -> outdoors).  The
+            # dropped batches lost their over-window voxel-lasts (reference
+            # GpuLayerCache degrades the same way under pressure); escalate
+            # the windows so SUBSEQUENT batches stop dropping, and say so —
+            # silence was the round-3 review finding.
+            import logging
+            esc = []
+            if self._auto_scatter and 0 < self.scatter_cap < self.arena.scatter_pad:
+                self.scatter_cap = min(self.scatter_cap * 2, self.arena.scatter_pad)
+                esc.append(f"scatter_cap->{self.scatter_cap}")
+            if self.row_cap:
+                self.row_cap *= 2
+                esc.append(f"row_cap->{self.row_cap}")
+            logging.getLogger("ohm_tpu").warning(
+                "integrate dropped %d voxel updates (deposit window exceeded); "
+                "escalating %s", new_drops, ", ".join(esc) or "nothing (pinned caps)")
 
     def sync_voxels(self):
         """Flush device voxel state into the host OccupancyMap (GpuMap::syncVoxels)."""

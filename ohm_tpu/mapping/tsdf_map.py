@@ -21,10 +21,12 @@ class TpuTsdfMap(TpuRayMapper):
     reference RayMapperTsdf)."""
 
     def __init__(self, map_obj, options: TsdfOptions | None = None, capacity: int = 1024,
-                 segment_length: float | None = None, validate: bool = False):
+                 segment_length: float | None = None, validate: bool = False,
+                 scatter_cap: int | str = "auto"):
         self.options = options or TsdfOptions()
         map_obj.layout.add_tsdf()
-        super().__init__(map_obj, capacity=capacity, segment_length=segment_length, validate=validate)
+        super().__init__(map_obj, capacity=capacity, segment_length=segment_length,
+                         validate=validate, scatter_cap=scatter_cap)
         layer_names = ["occupancy", "tsdf_weight", "tsdf_distance"]
         self.arena = VoxelArena(self.arena.capacity, self.region_shift, layer_names,
                                 scatter_pad=self.arena.scatter_pad)

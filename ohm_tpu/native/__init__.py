@@ -259,10 +259,13 @@ _laz_lib = None
 
 
 def get_laz_lib():
-    """Load (building on first use) the LASzip codec library, or None."""
+    """Load (building on first use) the LASzip codec library, or None.
+
+    A failed build is cached (as False) so a toolchain-less machine fails
+    fast instead of re-running the 120 s g++ attempt on every .laz read."""
     global _laz_lib
     if _laz_lib is not None:
-        return _laz_lib
+        return _laz_lib or None
     if not (os.path.exists(_LAZ_LIB)
             and os.path.getmtime(_LAZ_LIB) >= os.path.getmtime(_LAZ_SRC)):
         try:
@@ -272,6 +275,7 @@ def get_laz_lib():
                 check=True, capture_output=True, timeout=120)
             os.replace(_LAZ_LIB + ".tmp", _LAZ_LIB)
         except Exception:  # pragma: no cover - environment dependent
+            _laz_lib = False
             return None
     lib = ctypes.CDLL(_LAZ_LIB)
     for fn in ("laszip_decompress", "laszip_compress",

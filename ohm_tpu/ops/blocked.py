@@ -85,6 +85,13 @@ def segment_sums(vals, first):
     base loses ~0.01-0.03 absolute — comparable to one record's value.
     Rounding error in this form scales with the SEGMENT magnitude instead.
 
+    CONTRACT: ``vals`` must be NON-NEGATIVE.  The in-row segment base is
+    propagated with a cumulative MAX over exclusive prefix sums, which picks
+    the most recent base only while the prefix sums are non-decreasing — a
+    negative value anywhere in a 1024-wide row corrupts every later segment
+    in that row (this bit the capped per-visit TSDF seed path, which now
+    scatters signed seeds at segment-last positions instead).
+
     Decomposition per [rows, 1024] block: in-row cumsum ``c`` + in-row base
     propagation give in-row-started segment sums; a (value, reset) segmented
     combine over the per-row open-segment tails provides the carry for

@@ -1113,6 +1113,12 @@ def _fused_row_partials(ids2, weight_f, trav_f, cap2, cfg):
     from ohm_tpu.ops import blocked
 
     R, cap = ids2.shape
+    if cap >= 1 << 16:
+        # Per-row counts pack into the low 16 bits of the merge entries; a
+        # row wider than 65535 records could overflow a single voxel's
+        # count into the hit half (silently, on the NDT path — review
+        # finding).  Callers must fall back to the unfused deposit.
+        raise ValueError("fused row width must fit 16-bit per-row run counts")
     sent = jnp.int32(cfg.sentinel)
     first2 = jnp.concatenate(
         [jnp.ones((R, 1), bool), ids2[:, 1:] != ids2[:, :-1]], axis=1)

@@ -217,7 +217,8 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
             # firsts, so the segment prefix sum IS the broadcast).
             pos = jax.lax.broadcasted_iota(jnp.int32, (n_rec, 1), 0).squeeze(-1)
             fpos = jnp.where(first & real_seg, pos, big)
-            fpos_c = jax.lax.sort((fpos,), num_keys=1)[0][:cap]
+            fpos_all = jax.lax.sort((fpos,), num_keys=1)[0][:cap + 1]
+            fpos_c = fpos_all[:cap]
             freal = fpos_c != big
             safe_pos = jnp.where(freal, fpos_c, 0)
             fids = ids_s[safe_pos]
@@ -229,18 +230,33 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
             w0_stream = jnp.zeros(n_rec + 1, jnp.float32).at[tgt].set(
                 seed_w, indices_are_sorted=True, unique_indices=True,
                 mode="drop")[:n_rec]
-            dw0_stream = jnp.zeros(n_rec + 1, jnp.float32).at[tgt].set(
+            # w0 >= 0 always, so the segment prefix sum (seeds live only at
+            # firsts) IS the broadcast — blocked.segment_sums requires
+            # NON-NEGATIVE values (its base propagation is a cummax).
+            w0_s = blocked.segment_sums(w0_stream, first)
+            # d0*w0 can be NEGATIVE (stored distance sign), which the cummax
+            # base propagation corrupts — but it is only consumed at segment
+            # LASTS (u_k below), so scatter it AT the last positions instead
+            # of broadcasting.  Sorted segment structure gives the lasts for
+            # free: last_k = first_{k+1} - 1, and the final real segment
+            # ends at total_real - 1 (sentinels sort to the stream tail).
+            # next_f[cap-1] = fpos_all[cap]: when the window truncated, the
+            # first DROPPED segment's first bounds the last kept segment.
+            total_real = jnp.sum(real_seg.astype(jnp.int32))
+            next_f = fpos_all[1:]
+            lpos_c = jnp.where(freal,
+                               jnp.where(next_f != big, next_f - 1, total_real - 1),
+                               big)
+            ltgt = jnp.where(freal, lpos_c, n_rec)
+            d0w0_s = jnp.zeros(n_rec + 1, jnp.float32).at[ltgt].set(
                 seed_dw, indices_are_sorted=True, unique_indices=True,
                 mode="drop")[:n_rec]
             # A segment whose seed missed the window must DROP its update
-            # (counted), not run from a zero seed: flag kept firsts and
-            # propagate like the seeds.
-            flag_stream = jnp.zeros(n_rec + 1, jnp.float32).at[tgt].set(
-                freal.astype(jnp.float32), indices_are_sorted=True,
-                unique_indices=True, mode="drop")[:n_rec]
-            w0_s = blocked.segment_sums(w0_stream, first)
-            d0w0_s = blocked.segment_sums(dw0_stream, first)
-            seeded = blocked.segment_sums(flag_stream, first) > 0
+            # (counted), not run from a zero seed; 'seeded' is also read
+            # only at lasts, so it rides the same last-position scatter.
+            seeded = jnp.zeros(n_rec + 1, jnp.bool_).at[ltgt].set(
+                freal, indices_are_sorted=True, unique_indices=True,
+                mode="drop")[:n_rec]
             seed_dropped = (jnp.sum((first & real_seg).astype(jnp.int32))
                             - jnp.sum(freal.astype(jnp.int32)))
             dropped = dropped + seed_dropped

@@ -172,7 +172,7 @@ def main():
     # fresh state dict handles - donation invalidates, so re-make state)
     def run_apply():
         st = {k: v for k, v in state.items()}
-        new_state, touched = apply_records_jit(st, records, batch, cfg)
+        new_state, touched, _dropped = apply_records_jit(st, records, batch, cfg)
         return touched
 
     # donation: state arrays get donated; keep an undonated master copy

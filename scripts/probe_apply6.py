@@ -265,7 +265,7 @@ def main():
         records = jax.block_until_ready(records)
 
         def app_step(st):
-            st2, _ = apply_records_jit(st, records, batch, cfg)
+            st2, _, _ = apply_records_jit(st, records, batch, cfg)
             return st2
 
         print(f"apply phase slope: {slope_time(app_step, state, n1=2, n2=8):8.3f} ms", flush=True)

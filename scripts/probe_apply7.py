@@ -236,7 +236,7 @@ def main():
         records = jax.block_until_ready(records)
 
         def app_step(st):
-            st2, _ = apply_records_jit(st, records, batch, cfg)
+            st2, _, _ = apply_records_jit(st, records, batch, cfg)
             return st2["occupancy"]
 
         def init_state():
@@ -246,7 +246,7 @@ def main():
         def app_wrap(occ):
             st = dict(state)
             st["occupancy"] = occ
-            st2, _ = apply_records_jit(st, records, batch, cfg)
+            st2, _, _ = apply_records_jit(st, records, batch, cfg)
             return st2["occupancy"]
 
         print(f"apply phase slope: {slope_time(app_wrap, lambda: jnp.asarray(np.asarray(state['occupancy'])), n1=2, n2=8):8.3f} ms", flush=True)

@@ -68,7 +68,7 @@ def main():
 
     def split_step(occ):
         st = {"occupancy": occ}
-        st2, _ = apply_records_jit(st, records, batch, cfg0)
+        st2, _, _ = apply_records_jit(st, records, batch, cfg0)
         return st2["occupancy"]
 
     def delta_step(occ):

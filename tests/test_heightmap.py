@@ -491,3 +491,44 @@ def test_layered_seeded_discovery_excludes_unreachable_shelf():
     assert n_banded > 0 and n_free > n_banded
     assert max(h_banded) < 2.0, "shelf leaked into banded layered build"
     assert max(h_free) > 2.5, "unbanded build must include the shelf"
+
+
+def test_layered_seeded_discovery_negative_up_axis():
+    """Regression: _discover_layered computed the BFS seed height index as
+    -(abs - vmin) for negative up axes (always clipped to 0) instead of the
+    reversed index W-1-(abs-vmin) matching _densify's up-axis flip — banded
+    layered builds on NEG_Z seeded at the column's far end and missed the
+    terrain around the reference height."""
+    from ohm_tpu.heightmap.heightmap import Heightmap, HeightmapMode, UpAxis
+
+    m = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    from ohm_tpu.oracle.occupancy import RayMapperOccupancy
+
+    mapper = RayMapperOccupancy(m)
+    # The shelf scene mirrored in z: up = NEG_Z, terrain at z~0, a
+    # disconnected "shelf" at z=-3 (i.e. 3 m UP in NEG_Z terms).
+    xs, ys = np.meshgrid(np.arange(0.1, 4.0, 0.25), np.arange(0.1, 2.0, 0.25))
+    ground = np.column_stack([xs.ravel(), ys.ravel(), np.full(xs.size, -0.1)])
+    sx, sy = np.meshgrid(np.arange(2.6, 4.0, 0.25), np.arange(0.1, 2.0, 0.25))
+    shelf = np.column_stack([sx.ravel(), sy.ravel(), np.full(sx.size, -3.1)])
+    pts = np.vstack([ground, shelf])
+    rays = np.empty((2 * len(pts), 3))
+    rays[0::2] = pts + np.array([0.0, 0.0, -0.9])  # sensors "above" (-z)
+    rays[1::2] = pts
+    mapper.integrate_rays(rays)
+
+    def build(ceiling):
+        hm = Heightmap(min_clearance=0.0, up_axis=UpAxis.NEG_Z)
+        hm.mode = HeightmapMode.LAYERED_FILL
+        hm.ceiling = ceiling
+        hm.floor = ceiling
+        n = hm.build_heightmap(m, reference_pos=(0.2, 0.2, -0.1))
+        spts, _ = hm.surface_points()
+        return n, (spts[:, 2] if len(spts) else np.zeros(0))
+
+    n_banded, h_banded = build(ceiling=1.0)
+    n_free, h_free = build(ceiling=0.0)
+    assert n_banded > 0, "banded NEG_Z build discovered nothing (seed off-band)"
+    assert n_free > n_banded
+    assert min(h_banded) > -2.0, "shelf leaked into banded NEG_Z layered build"
+    assert min(h_free) < -2.5, "unbanded build must include the shelf"

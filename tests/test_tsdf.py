@@ -121,3 +121,47 @@ def test_tsdf_per_visit_truncation_parity_mixed_ranges():
         tpu.integrate_rays(rays)
     tpu.sync_voxels()
     compare_tsdf(cpu_map, dev_map, atol=2e-5)
+
+
+def test_tsdf_capped_seed_matches_uncapped_with_negative_distances():
+    """Regression: the capped per-visit seed path broadcast d0*w0 through
+    blocked.segment_sums, whose cummax base propagation silently corrupts
+    NEGATIVE seeds (any voxel whose batch-start distance is negative poisons
+    later segments in its 1024-record block).  Seeds now scatter at segment-
+    LAST positions.  Run >3 batches against a map holding negative distances
+    and pin the capped deposit against the exact uncapped one."""
+    maps = []
+    caps_seen = []
+    for cap in (0, 4096):
+        rng = np.random.default_rng(17)
+        m = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+        tpu = TpuTsdfMap(m, TsdfOptions(default_truncation_distance=0.3),
+                         capacity=64, validate=True, scatter_cap=cap)
+        # Mixed radii: later batches revisit voxels whose stored distance
+        # went negative (behind an earlier batch's surface).  1024-ray
+        # batches keep the record stream (>10k) ABOVE the 4096 window so the
+        # capped branch actually engages (0 < cap < n_rec).
+        for k in range(6):
+            rays = sphere_rays(1024, rng, radius=1.2 + 0.3 * (k % 3))
+            tpu.integrate_rays(rays)
+        tpu.sync_voxels()
+        assert tpu.stats["dropped_updates"] == 0
+        caps_seen.append(tpu.scatter_cap)
+        maps.append(m)
+    assert caps_seen == [0, 4096]
+    m0, m1 = maps
+    idx = m0.layer_index(TSDF_LAYER)
+    checked = 0
+    saw_negative = False
+    for key, a in m0.chunks.items():
+        b = m1.region(key)
+        assert b is not None
+        da, db = a.layers[idx]["distance"], b.layers[idx]["distance"]
+        wa, wb = a.layers[idx]["weight"], b.layers[idx]["weight"]
+        active = (wa > 0) | (wb > 0)
+        saw_negative |= bool((da[active] < -1e-3).any())
+        np.testing.assert_allclose(wa[active], wb[active], rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(da[active], db[active], atol=1e-4)
+        checked += int(active.sum())
+    assert checked > 0
+    assert saw_negative, "scene never produced negative distances — weak test"
