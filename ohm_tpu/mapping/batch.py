@@ -482,16 +482,37 @@ def snake_perm(crossings: np.ndarray, group_size: int) -> np.ndarray:
     return perm
 
 
+def frac_dict_of(prepared: PreparedRayflow):
+    """Dictionary-encode start_frac when the batch has <= 255 distinct
+    triples; returns (dict f32[256,3], idx u8[n_rays]) or None.
+
+    Rays sharing a sensor pose quantise to BIT-IDENTICAL (start voxel,
+    start_frac) pairs, so static-scan batches collapse to a handful of
+    entries (12 -> 1 B/ray on the wire); trajectory scans with continuously
+    moving origins exceed 255 and fall back to the full float block."""
+    fr = np.ascontiguousarray(prepared.bufs["floats"][:prepared.n_rays, 0:3],
+                              np.float32)
+    rows = fr.view([("", np.uint8, 12)]).reshape(-1)
+    uniq, inv = np.unique(rows, return_inverse=True)
+    if len(uniq) > 255:
+        return None
+    table = np.zeros((256, 3), np.float32)
+    table[:len(uniq)] = uniq.view(np.float32).reshape(-1, 3)
+    return table, inv.astype(np.uint8)
+
+
 def rayflow_wire(prepared: PreparedRayflow, table,
                  with_touch: bool = True, with_intensity: bool = True,
-                 cdict: bool = False, perm=None) -> np.ndarray:
+                 cdict: bool = False, fdict=None, perm=None) -> np.ndarray:
     """Assemble the single rayflow transfer buffer (after region allocation):
-    [gmeta i32[8] | floats f32[R,7] | abs16 u16[R,6] |
-     [touch u32[R]] | [intens f32[R]] | tcand i32[R,K]] — touch/intensity
+    [gmeta i32[8] | floats f32[R,7] (or f32[R,4] dir/len under fdict) |
+     abs16 u16[R,6] | [touch u32[R]] | [intens f32[R]] |
+     [fdict f32[256,3] + fidx u8[R]] | tcand i32[R,K]] — touch/intensity
     blocks ride only when requested (8 B/ray off the occupancy/TSDF wire).
     abs16 words hold 11-bit bbox-relative endpoint voxel coords; their 5
     spare high bits carry the valid/end-as-miss flags and the 16-bit source
-    ray index (the former 4 B meta word).
+    ray index (the former 4 B meta word).  ``fdict`` (frac_dict_of)
+    dictionary-encodes start_frac (12 -> 1 B/ray).
     tcand packs a candidate as (slot+1) << 18 | rel-region (6 bits/axis);
     sentinel/unallocated entries have non-positive slot bits and never
     resolve.  ``table`` is the arena's host hash table (slot resolution +
@@ -503,4 +524,4 @@ def rayflow_wire(prepared: PreparedRayflow, table,
     return native.rayflow_finish(
         prepared.bufs, prepared.n_rays, prepared.rpad, prepared.table_k,
         prepared.params, table, with_touch, with_intensity, cdict=cdict,
-        perm=perm)
+        fdict=fdict, perm=perm)

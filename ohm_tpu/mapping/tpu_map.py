@@ -250,7 +250,8 @@ class TpuRayMapper:
         None, WITHOUT the device transfer — the coalesced submission path
         stacks several wires into one transfer (mapping.arena.NeedsEviction
         propagates when allow_evict=False and allocation would evict)."""
-        from ohm_tpu.mapping.batch import prepare_rayflow, rayflow_wire, snake_perm
+        from ohm_tpu.mapping.batch import (
+            prepare_rayflow, rayflow_wire, snake_perm, frac_dict_of)
 
         if self.arena.capacity > 8191:
             # Candidate entries pack (slot+1) << 18 into an int32: slot+1 must
@@ -291,16 +292,20 @@ class TpuRayMapper:
         # come from the shared helpers so prime_caps seeds what runs use.
         G, snake = self._rayflow_grouping(rf.rpad)
         perm = snake_perm(rf.crossings, G) if snake else None
+        # start_frac dictionary (12 -> 1 B/ray): static-scan batches share
+        # bit-identical start_frac triples; moving origins fall back to the
+        # full float block (frac_dict_of returns None past 255 distinct).
+        fdict = frac_dict_of(rf)
         wire = rayflow_wire(rf, self.arena.table,
                             with_touch=self.with_touch,
                             with_intensity=getattr(self, "_rayflow_intensity", False),
-                            cdict=cdict, perm=perm)
+                            cdict=cdict, fdict=fdict, perm=perm)
         cap = self._rayflow_group_cap(rf.crossings, G, snake)
         self._cap_cache_rf = max(getattr(self, "_cap_cache_rf", 0), cap)
         cfg = self._config(ray_update_flags, group_cap=self._cap_cache_rf,
                            max_steps=self._steps_cache_rf, group_size=G,
                            table_k=rf.table_k, walk_cap=self._wcap_cache_rf,
-                           rayw_cdict=cdict)
+                           rayw_cdict=cdict, rayw_fdict=fdict is not None)
         return wire, cfg, rf.n_rays
 
     def _auto_size_scatter_cap(self, stats, n_rays) -> None:
@@ -350,7 +355,8 @@ class TpuRayMapper:
     def _config(self, ray_flags: int, group_cap: int = 0,
                 max_steps: int | None = None, group_size: int = 64,
                 table_k: int = 0, walk_cap: int = 0,
-                rayw_cdict: bool = False) -> IntegrateConfig:
+                rayw_cdict: bool = False,
+                rayw_fdict: bool = False) -> IntegrateConfig:
         rayw_intensity = getattr(self, "_rayflow_intensity", False)
         m = self.map
         return IntegrateConfig(
@@ -379,6 +385,7 @@ class TpuRayMapper:
             walk_cap=walk_cap,
             rayw_intensity=rayw_intensity,
             rayw_cdict=rayw_cdict,
+            rayw_fdict=rayw_fdict,
             unordered_walk=bool(group_cap) and not (
                 int(ray_flags) & RayFlag.STOP_ON_FIRST_OCCUPIED),
         )

@@ -559,6 +559,8 @@ void rayflow_finish(int64_t n_rays, int64_t rpad, int32_t ray_k, int32_t out_k,
                     const int32_t* tab_ab, const int32_t* tab_z,
                     const int32_t* tab_slot, int32_t table_size,
                     int with_touch, int with_intensity, int dict_mode,
+                    int frac_mode, const float* frac_dict,
+                    const uint8_t* frac_idx,
                     const int32_t* perm, uint8_t* wire_out) {
   // perm (optional, length rpad): wire row i is filled from source ray
   // perm[i] — the crossings-balanced "snake" ordering that equalises the
@@ -572,13 +574,18 @@ void rayflow_finish(int64_t n_rays, int64_t rpad, int32_t ray_k, int32_t out_k,
   // gmeta i32[8]: bbox min region coords, rest zero.
   std::memcpy(w, bbox, 3 * sizeof(int32_t));
   w += 8 * sizeof(int32_t);
+  // Float block: full (start_frac, dir, len) f32[R,7], or — frac_mode —
+  // just (dir, len) f32[R,4] with start_frac dictionary-encoded (rays from
+  // one sensor pose share a bit-identical start_frac triple; the caller
+  // deduplicates and passes dict + per-ray u8 index when <= 255 distinct).
   float* fl = (float*)w;
+  const int fw = frac_mode ? 4 : 7;
   for (int64_t i = 0; i < rpad; ++i) {
     const int64_t s = perm ? perm[i] : i;
     if (s >= n_rays) continue;  // wire pre-zeroed
-    std::memcpy(fl + 7 * i, floats + 7 * s, 7 * sizeof(float));
+    std::memcpy(fl + fw * i, floats + 7 * s + (7 - fw), fw * sizeof(float));
   }
-  w += (size_t)rpad * 7 * sizeof(float);
+  w += (size_t)rpad * fw * sizeof(float);
   // abs16 words carry the endpoint voxel coords (bbox-relative, <= 2047 =
   // 63 regions x 32 voxels, 11 bits) in their low bits and the former meta
   // word in the 4x5 spare high bits: word0 gets valid|fold (bits 11-12) +
@@ -616,6 +623,16 @@ void rayflow_finish(int64_t n_rays, int64_t rpad, int32_t ray_k, int32_t out_k,
       io[i] = s < n_rays ? intens[s] : 0.0f;
     }
     w += (size_t)rpad * sizeof(float);
+  }
+  if (frac_mode) {
+    std::memcpy(w, frac_dict, 256 * 3 * sizeof(float));
+    w += 256 * 3 * sizeof(float);
+    uint8_t* fo = w;
+    for (int64_t i = 0; i < rpad; ++i) {
+      const int64_t s = perm ? perm[i] : i;
+      fo[i] = s < n_rays ? frac_idx[s] : 0u;
+    }
+    w += (size_t)rpad;
   }
   const int32_t mask = table_size - 1;
   auto pack_cand = [&](const int32_t* r) -> int32_t {

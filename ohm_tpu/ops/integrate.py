@@ -115,6 +115,13 @@ class IntegrateConfig:
     #: ~60% of the transfer cost.
     rayw_cdict: bool = False
 
+    #: Rayflow start_frac dictionary: rays sharing a sensor pose quantise to
+    #: bit-identical start_frac triples, so static-scan batches ship a
+    #: 256-entry f32[,3] dict + u8 index (12 -> 1 B/ray); reconstruction is
+    #: an exact table gather.  Chosen per batch when <= 255 distinct triples
+    #: (mapping.batch.frac_dict_of); moving-origin scans fall back.
+    rayw_fdict: bool = False
+
     #: Walk record-axis truncation cap.  0 = sqrt(3)*max_steps default,
     #: which is only valid when max_steps is a LENGTH bound (segmented
     #: path); rayflow sets this from the batch's exact max total crossings
@@ -228,8 +235,13 @@ def _unpack_batch(batch, cfg=None):
         with_touch = cfg.with_touch_time if cfg is not None else True
         with_intens = getattr(cfg, "rayw_intensity", False) if cfg is not None else True
         cdict = getattr(cfg, "rayw_cdict", False) if cfg is not None else False
-        bpr = 40 + (K if cdict else 4 * K) + (4 if with_touch else 0) + (4 if with_intens else 0)
-        R = (buf.shape[0] - 32 - (1024 if cdict else 0)) // bpr
+        fdict = getattr(cfg, "rayw_fdict", False) if cfg is not None else False
+        fw = 4 if fdict else 7
+        bpr = (4 * fw + 12 + (1 if fdict else 0)
+               + (K if cdict else 4 * K)
+               + (4 if with_touch else 0) + (4 if with_intens else 0))
+        R = (buf.shape[0] - 32 - (1024 if cdict else 0)
+             - (3072 if fdict else 0)) // bpr
         off = 0
 
         def take(nbytes):
@@ -240,7 +252,7 @@ def _unpack_batch(batch, cfg=None):
 
         gmeta = jax.lax.bitcast_convert_type(take(32).reshape(8, 4), jnp.int32)
         floats = jax.lax.bitcast_convert_type(
-            take(28 * R).reshape(R, 7, 4), jnp.float32)
+            take(4 * fw * R).reshape(R, fw, 4), jnp.float32)
         a16raw = jax.lax.bitcast_convert_type(
             take(12 * R).reshape(R, 6, 2), jnp.uint16).astype(jnp.int32)
         a16 = a16raw & 0x7FF
@@ -249,6 +261,11 @@ def _unpack_batch(batch, cfg=None):
                  if with_touch else jnp.zeros((R,), jnp.uint32))
         intens = (jax.lax.bitcast_convert_type(take(4 * R).reshape(R, 4), jnp.float32)
                   if with_intens else jnp.zeros((R,), jnp.float32))
+        frac_tab = fidx = None
+        if fdict:
+            frac_tab = jax.lax.bitcast_convert_type(
+                take(3072).reshape(256, 3, 4), jnp.float32)
+            fidx = take(R).astype(jnp.int32)
         if cdict:
             cand_dict = jax.lax.bitcast_convert_type(
                 take(1024).reshape(256, 4), jnp.int32)
@@ -265,9 +282,14 @@ def _unpack_batch(batch, cfg=None):
         fold = (hi[:, 0] & 2) != 0
         ray_order = ((hi[:, 0] >> 2) | (hi[:, 1] << 3)
                      | (hi[:, 2] << 8) | (hi[:, 3] << 13))
-        direction = floats[:, 3:6]
-        length = floats[:, 6]
-        start_frac = floats[:, 0:3]
+        if fdict:
+            direction = floats[:, 0:3]
+            length = floats[:, 3]
+            start_frac = frac_tab[fidx]  # exact table gather (bit-identical)
+        else:
+            direction = floats[:, 3:6]
+            length = floats[:, 6]
+            start_frac = floats[:, 0:3]
         res = jnp.float32(cfg.resolution if cfg is not None else 0.1)
         end_frac = (start_frac + (start_abs - end_abs).astype(jnp.float32) * res
                     + length[:, None] * direction)

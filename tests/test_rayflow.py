@@ -269,6 +269,77 @@ def test_cdict_wire_bit_identical_tcand():
                                       err_msg=k)
 
 
+def test_fdict_wire_bit_identical_start_frac():
+    """The start_frac dictionary wire (256-entry f32[,3] dict + u8 indices)
+    must reconstruct every unpacked field bit-identically to the full float
+    block, and moving-origin batches (>255 distinct triples) must fall back
+    (frac_dict_of -> None)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from ohm_tpu.mapping.batch import prepare_rayflow, rayflow_wire, frac_dict_of
+    from ohm_tpu.mapping.tpu_map import TpuRayMapper
+    from ohm_tpu.ops.integrate import _unpack_batch
+
+    rng = np.random.default_rng(11)
+    m = OccupancyMap(resolution=0.1, flags=MapFlag.NONE)
+    rays = _scene(512, rng)  # shared sensor origin -> 1 distinct triple
+    mapper = TpuRayMapper(m, capacity=256)
+    rf = prepare_rayflow(m, rays)
+    fd = frac_dict_of(rf)
+    assert fd is not None
+    mapper.arena.ensure_regions(rf.region_keys, host_map=m)
+    w_full = rayflow_wire(rf, mapper.arena.table, with_touch=False,
+                          with_intensity=False)
+    w_fd = rayflow_wire(rf, mapper.arena.table, with_touch=False,
+                        with_intensity=False, fdict=fd)
+    assert w_fd.nbytes < w_full.nbytes  # 12 -> 1 B/ray + 3KB dict
+    cfg = mapper._config(0, table_k=rf.table_k)
+    cfg_f = dataclasses.replace(cfg, with_touch_time=False)
+    cfg_d = dataclasses.replace(cfg, with_touch_time=False, rayw_fdict=True)
+    b_full = _unpack_batch({"rayw": jnp.asarray(w_full)}, cfg_f)
+    b_fd = _unpack_batch({"rayw": jnp.asarray(w_fd)}, cfg_d)
+    for k in b_full:
+        np.testing.assert_array_equal(np.asarray(b_full[k]), np.asarray(b_fd[k]),
+                                      err_msg=k)
+
+    # Moving origins: every ray gets a distinct start_frac -> fallback.
+    rays2 = _scene(512, rng)
+    rays2[0::2] += rng.uniform(0.0, 0.09, rays2[0::2].shape)  # perturb origins
+    rf2 = prepare_rayflow(m, rays2)
+    assert frac_dict_of(rf2) is None
+
+
+def test_fdict_end_to_end_matches_full_wire():
+    """Map populated through the fdict wire must equal the full-wire map."""
+    rng = np.random.default_rng(23)
+    batches = [_scene(256, rng) for _ in range(3)]
+    maps = []
+    for force_full in (False, True):
+        m = OccupancyMap(resolution=0.2, flags=MapFlag.NONE)
+        mp = TpuRayMapper(m, capacity=64, validate=True, rayflow=True)
+        if force_full:
+            # Disable fdict by patching frac_dict_of (the mapper re-imports
+            # it from the module at each call).
+            import ohm_tpu.mapping.batch as mb
+            saved = mb.frac_dict_of
+            mb.frac_dict_of = lambda rf: None
+            try:
+                for b in batches:
+                    mp.integrate_rays(b)
+            finally:
+                mb.frac_dict_of = saved
+        else:
+            for b in batches:
+                mp.integrate_rays(b)
+        mp.sync_voxels()
+        maps.append(m)
+    occ0, _ = _voxel_maps(maps[0])
+    occ1, _ = _voxel_maps(maps[1])
+    assert occ0.keys() == occ1.keys()
+    for k in occ0:
+        np.testing.assert_array_equal(occ0[k], occ1[k])
+
+
 def test_coalesced_async_matches_sequential():
     """The coalesced multi-batch transfer (TpuRayMapper._integrate_group:
     one stacked device_put per OHM_COALESCE batches, device-side row split)
