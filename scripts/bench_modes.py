@@ -74,7 +74,13 @@ def _fence(mapper):
     float(jnp.ravel(mapper.arena.arrays["occupancy"])[0])
 
 
-def timed_integration(mapper, batches, warmup=4):
+def timed_integration(mapper, batches, warmup=6):
+    # warmup >= 6: the fused row-local deposit sizes its row_cap from the
+    # 4th batch's stats and compiles its program on the 5th — both must land
+    # before the timed region (as must every cap-shaped program variant,
+    # hence prime_caps).
+    if hasattr(mapper, "prime_caps"):
+        mapper.prime_caps(batches)
     for b in batches[:warmup]:
         mapper.integrate_rays(b)
     _fence(mapper)
