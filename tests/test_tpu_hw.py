@@ -64,6 +64,30 @@ def test_hw_occupancy_differential(rayflow):
     assert max(diffs) <= 2 * abs(float(np.float32(cpu.miss_value))) + 1e-4
 
 
+def test_hw_fused_apply_differential():
+    """The fused row-local deposit (activates from the 4th batch) must match
+    the f64 oracle on the real chip — CI covers it CPU-only."""
+    from ohm_tpu.mapping.tpu_map import TpuRayMapper
+    from ohm_tpu.oracle.occupancy import RayMapperOccupancy
+
+    rng = np.random.default_rng(45)
+    rays = box_rays(256, rng)
+    dev = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    cpu = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    mapper = TpuRayMapper(dev, capacity=64, validate=True)
+    oracle = RayMapperOccupancy(cpu)
+    for _ in range(6):
+        mapper.integrate_rays(rays)
+        oracle.integrate_rays(rays)
+    mapper.sync_voxels()
+    assert mapper.row_cap > 0, "fused deposit never activated"
+    v_dev, v_cpu = occ_values(dev), occ_values(cpu)
+    assert set(v_dev) == set(v_cpu)
+    diffs = [abs(v_dev[k] - v_cpu[k]) for k in v_cpu]
+    n_bad = sum(1 for d in diffs if d > 1e-4)
+    assert n_bad <= 0.01 * len(diffs), (n_bad, len(diffs))
+
+
 def test_hw_ndt_differential():
     from ohm_tpu.mapping.ndt_map import TpuNdtMap
     from ohm_tpu.oracle.ndt import RayMapperNdt, NdtParams
