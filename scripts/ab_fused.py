@@ -97,6 +97,25 @@ def main():
             and s["compaction_dropped"] == 0, (name, s)
     print("stats clean", flush=True)
 
+    # --- batch-size sweep on the fused path --------------------------------
+    # The fused deposit removed the super-linear global record sorts, so
+    # larger batches may now amortise the per-batch tunnel costs (32k-ray
+    # batches previously measured SLOWER than 8k).
+    for n2 in (16384,):
+        batches2 = [benchmod.box_scene_rays(n2, rng)
+                    for _ in range(max(4, n_rays * n_batches // n2))]
+        mp2 = make_mapper(True)
+        mp2.stream_budget = 1 << 23  # let the bigger batch through the presplit
+        mp2.prime_caps(batches2)
+        for i in range(6):
+            mp2.integrate_rays(batches2[i % len(batches2)])
+        fence(mp2.arena.arrays["occupancy"])
+        for rep in range(2):
+            dt = run_block(mp2, batches2)
+            rps = n2 * len(batches2) / dt
+            print(f"fused {n2}-ray batches rep {rep}: {dt*1e3:8.1f} ms  "
+                  f"{rps/1e3:8.1f}k rays/s", flush=True)
+
 
 if __name__ == "__main__":
     main()
