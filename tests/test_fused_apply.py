@@ -79,6 +79,45 @@ def test_fused_traversal_reassociation_only():
         assert np.abs(ta - tb).max() < 2e-4
 
 
+def test_fused_flag_matrix_bit_identical():
+    """Fused vs split-phase equality must hold across the RayFlag matrix
+    (exclusions run partly in expand, partly in the shared dense sweep)."""
+    from ohm_tpu.core.rayflags import RayFlag
+
+    rng = np.random.default_rng(29)
+    batches = [_box_rays(512, rng) for _ in range(5)]
+    for flags in (RayFlag.END_POINT_AS_FREE,
+                  RayFlag.EXCLUDE_ORIGIN | RayFlag.EXCLUDE_SAMPLE,
+                  RayFlag.EXCLUDE_FREE,
+                  RayFlag.EXCLUDE_OCCUPIED | RayFlag.EXCLUDE_UNOBSERVED):
+        maps = []
+        for fused in (False, True):
+            old = os.environ.get("OHM_FUSED")
+            os.environ["OHM_FUSED"] = "1" if fused else "0"
+            try:
+                m = OccupancyMap(resolution=0.1, flags=MapFlag.NONE)
+                mapper = TpuRayMapper(m, capacity=512, validate=True)
+                for b in batches:
+                    mapper.integrate_rays(b, ray_update_flags=int(flags))
+                mapper.sync_voxels()
+                if fused:
+                    assert mapper.row_cap > 0
+            finally:
+                if old is None:
+                    os.environ.pop("OHM_FUSED", None)
+                else:
+                    os.environ["OHM_FUSED"] = old
+            maps.append(m)
+        m0, m1 = maps
+        assert set(m0.chunks) == set(m1.chunks), flags
+        for k in m0.chunks:
+            a = _layer(m0, k, OCCUPANCY_LAYER)
+            b = _layer(m1, k, OCCUPANCY_LAYER)
+            ia, ib = np.isinf(a), np.isinf(b)
+            assert (ia == ib).all(), flags
+            assert (a[~ia] == b[~ib]).all(), flags
+
+
 def test_fused_ndt_bit_identical_occupancy():
     """The NDT std-count fused deposit must reproduce the unfused pipeline's
     occupancy bit-exactly (integer partial counts; the NDT miss deltas are
