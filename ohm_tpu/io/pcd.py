@@ -111,24 +111,30 @@ def _parse_header(f):
             return header
 
 
-def _header_dtype(header):
+def _header_fields(header):
+    """Per-FIELD descriptors [(base_name, fmt, count)] — COUNT grouping is
+    needed by the binary_compressed reader (a field's count values are
+    interleaved per point within that field's SoA chunk)."""
     fields = header["FIELDS"]
     sizes = [int(s) for s in header["SIZE"]]
     types = header["TYPE"]
     counts = [int(c) for c in header.get("COUNT", ["1"] * len(fields))]
-    names, formats = [], []
-    for name, size, typ, count in zip(fields, sizes, types, counts):
+    out = []
+    for j, (name, size, typ, count) in enumerate(zip(fields, sizes, types, counts)):
         fmt = _TYPE_MAP.get((typ.upper(), size))
         if fmt is None:
             raise ValueError(f"unsupported PCD field type {typ}{size}")
+        out.append((f"_pad{j}" if name == "_" else name, fmt, count))
+    return out
+
+
+def _header_dtype(header):
+    names, formats = [], []
+    for name, fmt, count in _header_fields(header):
         for c in range(count):
             names.append(name if count == 1 else f"{name}_{c}")
             formats.append(fmt)
-    # '_' padding fields must stay unique
-    uniq = []
-    for j, nm in enumerate(names):
-        uniq.append(f"_pad{j}" if nm == "_" else nm)
-    return np.dtype({"names": uniq, "formats": formats})
+    return np.dtype({"names": names, "formats": formats})
 
 
 def read_pcd(filename: str) -> dict:
@@ -152,13 +158,20 @@ def read_pcd(filename: str) -> dict:
         elif mode == "binary_compressed":
             csize, usize = np.frombuffer(f.read(8), "<u4")
             raw = lzf_decompress(f.read(int(csize)), int(usize))
-            # SoA: each field's column stored contiguously.
+            # SoA per FIELD: each field's chunk holds its COUNT values
+            # interleaved per point ([p0c0 p0c1 ... p1c0 ...]).
             rec = np.zeros(npoints, dtype)
             off = 0
-            for nm in dtype.names:
-                w = dtype[nm].itemsize
-                rec[nm] = np.frombuffer(raw[off:off + w * npoints], dtype[nm])
-                off += w * npoints
+            for nm, fmt, count in _header_fields(header):
+                w = np.dtype(fmt).itemsize
+                chunk = np.frombuffer(raw[off:off + w * count * npoints], fmt)
+                off += w * count * npoints
+                if count == 1:
+                    rec[nm] = chunk
+                else:
+                    chunk = chunk.reshape(npoints, count)
+                    for c in range(count):
+                        rec[f"{nm}_{c}"] = chunk[:, c]
         else:
             raise ValueError(f"unsupported PCD DATA mode {mode!r}")
 

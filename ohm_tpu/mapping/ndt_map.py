@@ -60,14 +60,12 @@ class TpuNdtMap(TpuRayMapper):
                     base=None, n_segments: int = 0) -> NdtConfig:
         p = self.params
         base = base if base is not None else self._config(ray_flags, group_cap=group_cap)
-        # Fused two-level std-count deposit (integrate_ndt fused branch):
-        # active once row_cap is sized and the 16-bit count-width gate holds
-        # (per-voxel std-miss totals bounded by one record per segment).
-        if (self.fused and self.row_cap > 0 and 0 < n_segments <= 16384
-                and n_segments <= self._row_cap_rays
-                and 0 < base.group_cap < (1 << 16)):
+        # Fused two-level std-count deposit (integrate_ndt fused branch);
+        # eligibility lives in ONE place — TpuRayMapper._fused_row_cap_for.
+        rc = self._fused_row_cap_for(n_segments, base.group_cap)
+        if rc:
             import dataclasses as _dc
-            base = _dc.replace(base, row_cap=self.row_cap)
+            base = _dc.replace(base, row_cap=rc)
         return NdtConfig(
             base=base,
             sensor_noise=float(p.sensor_noise),

@@ -213,19 +213,22 @@ class TpuRayMapper:
         return G, snake
 
     @staticmethod
-    def _rayflow_group_cap(crossings, G: int, snake: bool) -> int:
+    def _rayflow_group_cap(crossings, G: int, snake: bool, perm=None) -> int:
         """Quantised per-group record cap for the strided compaction.
 
         Stream length = rows * cap drives the sort and the scatter (both
         ~linear).  Snake-balanced group sums sit within ~0.2% of the mean, so
         a 2% margin + 256-quantise suffices; the unbalanced path keeps ~6% +
         512 against batch-to-batch jitter (each new high-water mark is a new
-        compiled program variant)."""
+        compiled program variant).  ``perm`` reuses a caller-computed snake
+        permutation (the dispatch path computes it for the wire anyway)."""
         from ohm_tpu.mapping.batch import snake_perm
 
         if len(crossings) % G:
             return 0
-        cr = crossings[snake_perm(crossings, G)] if snake else crossings
+        if snake and perm is None:
+            perm = snake_perm(crossings, G)
+        cr = crossings[perm] if snake else crossings
         gmax = int(cr.reshape(G, -1).sum(axis=0).max())
         if not gmax:
             return 0
@@ -300,7 +303,7 @@ class TpuRayMapper:
                             with_touch=self.with_touch,
                             with_intensity=getattr(self, "_rayflow_intensity", False),
                             cdict=cdict, fdict=fdict, perm=perm)
-        cap = self._rayflow_group_cap(rf.crossings, G, snake)
+        cap = self._rayflow_group_cap(rf.crossings, G, snake, perm=perm)
         self._cap_cache_rf = max(getattr(self, "_cap_cache_rf", 0), cap)
         cfg = self._config(ray_update_flags, group_cap=self._cap_cache_rf,
                            max_steps=self._steps_cache_rf, group_size=G,
@@ -332,14 +335,30 @@ class TpuRayMapper:
                                min(cap, self.arena.scatter_pad))
         self._cap_rays = n_rays
 
+    def _fused_row_cap_for(self, n_segments: int, group_cap: int) -> int:
+        """The fused two-level deposit's row_cap when eligible, else 0.
+
+        ONE home for the gate (occupancy and NDT both route through it):
+        OHM_FUSED on, row_cap sized and sized for >= this many segments, and
+        the 16-bit packed-count width bounds — per-voxel totals are bounded
+        by one record per segment (so n_segments <= 16384 keeps walk + end
+        counts under 2^16) and per-row run counts by group_cap < 2^16."""
+        if (self.fused and self.row_cap > 0 and 0 < n_segments <= 16384
+                and n_segments <= 2 * self._row_cap_rays
+                and 0 < group_cap < (1 << 16)):
+            return self.row_cap
+        return 0
+
     def _auto_size_row_cap(self, stats, n_rays) -> None:
         """Size the fused apply's per-row unique-voxel budget from the
         expand phase's 'row_lasts_max' stat (same policy as the scatter cap:
         skip the first three batches — an empty map overshoots the steady
         state — then 2x headroom, pow2, monotone).  The readback happens
-        only on sizing batches; afterwards the stat stays on device."""
+        only on sizing batches; afterwards the stat stays on device.  The
+        2x re-size trigger matches the cap's own headroom — segment counts
+        jitter a few percent batch to batch on the segmented wire."""
         if not (self.fused and (
-                self.row_cap == 0 or n_rays > self._row_cap_rays)):
+                self.row_cap == 0 or n_rays > 2 * self._row_cap_rays)):
             return
         if self.row_cap == 0 and self._stats["batches"] < 3:
             return
@@ -535,15 +554,11 @@ class TpuRayMapper:
             # Split-phase: two smaller XLA programs compile reliably through
             # the remote TPU compile service and hit the persistent cache.
             records, stats = expand_records_jit(batch, cfg)
-            self._auto_size_row_cap(stats, n_rays)
-            # 16-bit packed-count gate: per-voxel totals are bounded by one
-            # walk record per SEGMENT + one end record per segment.
-            fused_ok = (self.fused and 0 < cfg.group_cap < (1 << 16)
-                        and self.row_cap > 0 and n_segments <= 16384
-                        and n_rays <= self._row_cap_rays)
-            if fused_ok:
+            self._auto_size_row_cap(stats, n_segments)
+            rc = self._fused_row_cap_for(n_segments, cfg.group_cap)
+            if rc:
                 import dataclasses as _dc
-                fcfg = _dc.replace(cfg, row_cap=self.row_cap)
+                fcfg = _dc.replace(cfg, row_cap=rc)
                 new_state, touched, dropped = apply_records_fused_jit(
                     state, records, batch, fcfg)
             else:

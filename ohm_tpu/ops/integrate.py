@@ -1083,10 +1083,10 @@ def apply_records_fused_jit(arena, records, batch, cfg: IntegrateConfig):
     if cap >= 1 << 16:
         raise ValueError("group_cap must fit 16-bit per-row run counts")
     R = n_walk // cap
-    cap2 = min(cap2, cap)
-    M = R * cap2 + n_end  # level-2 stream length
-    if M > cfg.scatter_pad:
-        raise ValueError(f"fused stream {M} exceeds scatter_pad {cfg.scatter_pad}")
+    # Clamp the per-row window so the level-2 stream always fits the scratch
+    # tail — drop-escalation may double row_cap unboundedly, and a too-small
+    # window degrades to counted drops, not a crash.
+    cap2 = min(cap2, cap, max(1, (cfg.scatter_pad - n_end) // R))
     sent = jnp.int32(cfg.sentinel)
 
     # --- level 1: per-row partials, compacted into [R, row_cap] -----------

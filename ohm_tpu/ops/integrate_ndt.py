@@ -189,13 +189,28 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
     is_miss_k = is_miss_k & active_k
 
     # Aggregate deltas per voxel (sort K stream by id, segmented scan).
-    sorted_k = jax.lax.sort((ids_k, delta_k, is_miss_k.astype(jnp.float32)), num_keys=1)
-    kids, kdeltas, kmisses = sorted_k
-    k_last, (delta_tot, miss_tot) = _segment_reduce(kids, [(kdeltas, "sum"), (kmisses, "sum")], base)
+    # Traversal of the Gaussian-handled records rides here too: the
+    # reference accumulates traversal on EVERY visited voxel regardless of
+    # the NDT branch (ohm/RayMapperNdt.cpp:217-225), while the standard
+    # deposit below only sees std_miss records.
+    k_ops = [ids_k, delta_k, is_miss_k.astype(jnp.float32)]
+    if base.with_traversal:
+        trav_k = jnp.where(active_k, walk_trav_flat[sel_k], 0.0)
+        k_ops.append(trav_k)
+    sorted_k = jax.lax.sort(tuple(k_ops), num_keys=1)
+    kids, kdeltas, kmisses = sorted_k[0], sorted_k[1], sorted_k[2]
+    k_payloads = [(kdeltas, "sum"), (kmisses, "sum")]
+    if base.with_traversal:
+        k_payloads.append((sorted_k[3], "sum"))
+    k_last, k_red = _segment_reduce(kids, k_payloads, base)
+    delta_tot, miss_tot = k_red[0], k_red[1]
     k_idx = _unique_scatter_indices(kids, k_last, base)
     pending_delta = jnp.zeros(arena["occupancy"].shape, jnp.float32).at[k_idx].set(
         jnp.where(k_last, delta_tot, 0.0), unique_indices=True
     )
+    ndt_trav = None
+    if base.with_traversal:
+        ndt_trav = (k_idx, jnp.where(k_last, k_red[2], 0.0))
     if cfg.ndt_tm:
         pending_tm_miss = jnp.zeros(arena["occupancy"].shape, jnp.float32).at[k_idx].set(
             jnp.where(k_last, miss_tot, 0.0), unique_indices=True
@@ -210,6 +225,11 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
     fused_dropped = jnp.int32(0)
     compacted = bool(base.group_cap) and B % G == 0 and base.group_cap < G * S
     arena = dict(arena)
+    if base.with_traversal and ndt_trav is not None:
+        # Gaussian-handled records' traversal (deposited by the miss phase;
+        # the std deposit below only carries std_miss records' traversal).
+        arena["traversal"] = arena["traversal"].at[ndt_trav[0]].add(
+            ndt_trav[1], unique_indices=True)
     if base.row_cap > 0 and compacted:
         # Fused two-level deposit (integrate.apply_records_fused_jit):
         # compaction rows are already sorted, so per-row PARTIAL std-miss
@@ -219,11 +239,15 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
         # replacing this phase's full-stream sort.
         from ohm_tpu.ops.integrate import _fused_row_partials, _fused_merge_deposit
         cap_r = base.group_cap
-        cap2 = min(base.row_cap, cap_r)
+        # Same scratch-tail clamp as apply_records_fused_jit: an escalated
+        # row_cap degrades to counted drops, never a trace-time error.
+        cap2 = min(base.row_cap, cap_r,
+                   max(1, (base.scatter_pad - B) // max(1, M // cap_r)))
         ids2 = ids_c.reshape(-1, cap_r)
         kc, pcw, tcw, fused_dropped = _fused_row_partials(
             ids2, std_miss.astype(jnp.float32),
-            walk_trav_flat if base.with_traversal else None, cap2, base)
+            jnp.where(std_miss, walk_trav_flat, 0.0)
+            if base.with_traversal else None, cap2, base)
         ids_e2 = jnp.where(end_any, end_flat, base.sentinel)
         packed_e = jnp.where(
             end_any,

@@ -318,3 +318,56 @@ def test_ndt_tm_intensity_recursion_differential(k_per_batch, cov_rtol):
                                    b.layers[idx]["cov"][mask], rtol=cov_rtol, atol=1e-3)
         checked += int(mask.sum())
     assert checked >= 1
+
+
+def test_ndt_traversal_accumulates_on_gaussian_voxels():
+    """Regression: traversal must accumulate on EVERY visited voxel
+    (ohm/RayMapperNdt.cpp:217-225), including voxels whose miss took the
+    NDT branch — the split-phase deposit silently dropped those records'
+    traversal (keys routed to the sentinel).  The NDT miss phase now
+    deposits its own records' traversal; pinned vs the f64 oracle with both
+    deposit modes."""
+    import os
+    from ohm_tpu.core.layout import TRAVERSAL_LAYER
+
+    rng = np.random.default_rng(31)
+    n = 256
+    # Dense revisits so voxels hold Gaussians (mean count >= threshold) and
+    # later batches take the NDT miss branch through them.
+    samples = np.column_stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                               np.zeros(n) + rng.normal(0, 0.01, n)])
+    rays = np.empty((2 * n, 3))
+    rays[0::2] = (0.0, 0.0, 2.0)
+    rays[1::2] = samples
+
+    cpu = OccupancyMap(resolution=0.25, flags=MapFlag.TRAVERSAL)
+    oracle = RayMapperNdt(cpu, NdtParams())
+    for _ in range(5):
+        oracle.integrate_rays(rays)
+
+    for fused in (False, True):
+        old = os.environ.get("OHM_FUSED")
+        os.environ["OHM_FUSED"] = "1" if fused else "0"
+        try:
+            dev = OccupancyMap(resolution=0.25, flags=MapFlag.TRAVERSAL)
+            tpu = TpuNdtMap(dev, NdtParams(), capacity=64, validate=True)
+            for _ in range(5):
+                tpu.integrate_rays(rays)
+            tpu.sync_voxels()
+        finally:
+            if old is None:
+                os.environ.pop("OHM_FUSED", None)
+            else:
+                os.environ["OHM_FUSED"] = old
+        ti = cpu.layer_index(TRAVERSAL_LAYER)
+        checked = 0
+        for key, a in cpu.chunks.items():
+            bch = dev.region(key)
+            assert bch is not None
+            ta = a.layers[ti]["traversal"]
+            tb = bch.layers[ti]["traversal"]
+            mask = (ta > 0) | (tb > 0)
+            np.testing.assert_allclose(ta[mask], tb[mask], rtol=1e-3, atol=2e-3,
+                                       err_msg=f"fused={fused}")
+            checked += int(mask.sum())
+        assert checked > 0

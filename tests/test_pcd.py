@@ -80,6 +80,33 @@ def test_slamio_reads_pcd(tmp_path):
     assert "fields" not in out  # registry normalises the dict
 
 
+def test_pcd_binary_compressed_count_field_interleaved(tmp_path):
+    """PCL's binary_compressed SoA stores a COUNT>1 field's values
+    interleaved per point within that field's chunk — regression for the
+    reader treating each sub-field as its own contiguous column."""
+    n = 5
+    x = np.arange(n, dtype=np.float32)
+    y = x + 10
+    z = x + 20
+    mom = np.arange(n * 3, dtype=np.float32).reshape(n, 3)  # [p, c] layout
+    raw = b"".join([mom.tobytes(),  # COUNT=3 field FIRST (stresses offsets)
+                    x.tobytes(), y.tobytes(), z.tobytes()])
+    comp = lzf_compress(raw)
+    path = str(tmp_path / "count.pcd")
+    with open(path, "wb") as f:
+        f.write((
+            "VERSION 0.7\nFIELDS moment x y z\nSIZE 4 4 4 4\nTYPE F F F F\n"
+            f"COUNT 3 1 1 1\nWIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
+            f"POINTS {n}\nDATA binary_compressed\n").encode())
+        f.write(np.asarray([len(comp), len(raw)], "<u4").tobytes())
+        f.write(comp)
+    out = read_pcd(path)
+    np.testing.assert_array_equal(out["points"],
+                                  np.column_stack([x, y, z]).astype(np.float64))
+    for c in range(3):
+        np.testing.assert_array_equal(out["fields"][f"moment_{c}"], mom[:, c])
+
+
 def test_pcd_with_normals_and_padding(tmp_path):
     # Hand-written header with a COUNT>1 field and '_' padding, ascii mode.
     path = str(tmp_path / "hand.pcd")
