@@ -489,16 +489,13 @@ def frac_dict_of(prepared: PreparedRayflow):
     Rays sharing a sensor pose quantise to BIT-IDENTICAL (start voxel,
     start_frac) pairs, so static-scan batches collapse to a handful of
     entries (12 -> 1 B/ray on the wire); trajectory scans with continuously
-    moving origins exceed 255 and fall back to the full float block."""
-    fr = np.ascontiguousarray(prepared.bufs["floats"][:prepared.n_rays, 0:3],
-                              np.float32)
-    rows = fr.view([("", np.uint8, 12)]).reshape(-1)
-    uniq, inv = np.unique(rows, return_inverse=True)
-    if len(uniq) > 255:
+    moving origins exceed 255 and fall back to the full float block.  The
+    dedup itself runs inside the C++ build pass (rayflow_build frac_emit —
+    the numpy np.unique formulation cost ~3 ms/8k batch on the one-core
+    host, nearly doubling prep)."""
+    if prepared.bufs.get("n_frac", 256) > 255:
         return None
-    table = np.zeros((256, 3), np.float32)
-    table[:len(uniq)] = uniq.view(np.float32).reshape(-1, 3)
-    return table, inv.astype(np.uint8)
+    return prepared.bufs["frac_dict"], prepared.bufs["frac_idx"]
 
 
 def rayflow_wire(prepared: PreparedRayflow, table,

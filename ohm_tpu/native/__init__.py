@@ -166,7 +166,9 @@ def rayflow_build(starts, ends, filter_flags, timestamps, time_base,
     touch = np.zeros(rpad, np.uint32)
     intens = np.zeros(rpad, np.float32)
     crossings = np.zeros(rpad, np.int32)
-    stats = np.zeros(3, np.int32)
+    frac_dict = np.zeros((256, 3), np.float32)
+    frac_idx = np.zeros(max(n, 1), np.uint8)
+    stats = np.zeros(4, np.int32)
     ts = np.ascontiguousarray(timestamps, np.float64) if timestamps is not None else None
     iv = np.ascontiguousarray(intensities, np.float32) if intensities is not None else None
     n_regions = lib.rayflow_build(
@@ -184,6 +186,7 @@ def rayflow_build(starts, ends, filter_flags, timestamps, time_base,
         _ptr(floats, ctypes.c_float), _ptr(abs_i32, ctypes.c_int32),
         _ptr(meta, ctypes.c_uint32), _ptr(touch, ctypes.c_uint32),
         _ptr(intens, ctypes.c_float), _ptr(crossings, ctypes.c_int32),
+        _ptr(frac_dict, ctypes.c_float), _ptr(frac_idx, ctypes.c_uint8),
         _ptr(stats, ctypes.c_int32))
     if n_regions < 0:
         raise ValueError(f"more than {region_cap} unique regions in one ray batch")
@@ -192,7 +195,9 @@ def rayflow_build(starts, ends, filter_flags, timestamps, time_base,
             "ray_cidx": ray_cidx, "floats": floats,
             "abs_i32": abs_i32, "meta": meta, "touch": touch, "intens": intens,
             "crossings": crossings, "max_axis": int(stats[0]),
-            "max_crossings": int(stats[1]), "max_ray_k": int(stats[2])}
+            "max_crossings": int(stats[1]), "max_ray_k": int(stats[2]),
+            "frac_dict": frac_dict, "frac_idx": frac_idx,
+            "n_frac": int(stats[3])}
 
 
 def rayflow_finish(prep: dict, n_rays: int, rpad: int, table_k: int,

@@ -425,6 +425,7 @@ int64_t rayflow_build(const double* starts, const double* ends,
                       uint16_t* ray_cidx,
                       float* floats, int32_t* abs_i32, uint32_t* meta,
                       uint32_t* touch, float* intens, int32_t* crossings,
+                      float* frac_dict, uint8_t* frac_idx,
                       int32_t* stats_out) {
   const MapParams p = *params;
   int64_t table_size = 1024;
@@ -438,6 +439,41 @@ int64_t rayflow_build(const double* starts, const double* ends,
   int32_t bmin[3] = {INT32_MAX, INT32_MAX, INT32_MAX};
   int32_t bmax[3] = {INT32_MIN, INT32_MIN, INT32_MIN};
   int32_t max_axis = 0, max_cross = 0, max_k = 0;
+
+  // start_frac dictionary (12 -> 1 B/ray on the wire when <= 255 distinct
+  // triples; mapping.batch.frac_dict_of semantics).  Tiny open-addressed
+  // table over the 12-byte bit patterns; nearly free inside the build loop
+  // (the numpy dedup cost ~3 ms/8k batch on the one-core host).
+  constexpr int kFracBits = 10;
+  constexpr int kFracSize = 1 << kFracBits;  // > 4 * 256 entries
+  uint32_t frac_keys[kFracSize][3];
+  int16_t frac_slot[kFracSize];
+  for (int i = 0; i < kFracSize; ++i) frac_slot[i] = -1;
+  int32_t n_frac = 0;  // sticks at 256 once overflowed
+  auto frac_emit = [&](const float f[3]) -> uint8_t {
+    if (n_frac > 255) return 0;
+    uint32_t k[3];
+    std::memcpy(k, f, 12);
+    uint64_t h = ((uint64_t)k[0] * 0x9E3779B97F4A7C15ull)
+                 ^ ((uint64_t)k[1] * 0xC2B2AE3D27D4EB4Full)
+                 ^ ((uint64_t)k[2] * 0x165667B19E3779F9ull);
+    int32_t idx = (int32_t)(h >> 32) & (kFracSize - 1);
+    for (;;) {
+      if (frac_slot[idx] >= 0 && frac_keys[idx][0] == k[0]
+          && frac_keys[idx][1] == k[1] && frac_keys[idx][2] == k[2]) {
+        return (uint8_t)frac_slot[idx];
+      }
+      if (frac_slot[idx] < 0) {
+        if (n_frac >= 255) { n_frac = 256; return 0; }  // overflow marker
+        frac_keys[idx][0] = k[0]; frac_keys[idx][1] = k[1];
+        frac_keys[idx][2] = k[2];
+        frac_slot[idx] = (int16_t)n_frac;
+        std::memcpy(frac_dict + 3 * n_frac, f, 12);
+        return (uint8_t)n_frac++;
+      }
+      idx = (idx + 1) & (kFracSize - 1);
+    }
+  };
 
   int32_t* cur_table = nullptr;
   uint16_t* cur_cidx = nullptr;
@@ -514,6 +550,7 @@ int64_t rayflow_build(const double* starts, const double* ends,
       if (d > max_axis) max_axis = d;
     }
     F[6] = (float)len;
+    frac_idx[i] = frac_emit(F);
     crossings[i] = cross;
     if (cross > max_cross) max_cross = cross;
     const bool clipped_end = filter_flags && (filter_flags[i] & 4u);
@@ -531,6 +568,7 @@ int64_t rayflow_build(const double* starts, const double* ends,
   stats_out[0] = max_axis;
   stats_out[1] = max_cross;
   stats_out[2] = max_k;
+  stats_out[3] = n_frac;  // 256 marks >255 distinct (fdict unavailable)
   return count;
 }
 
