@@ -525,6 +525,14 @@ class TpuRayMapper:
         """Run the jitted integrate on a prepared device batch (segmented wire
         or rayflow) and adopt the new arena state."""
         stop = bool(ray_update_flags & RayFlag.STOP_ON_FIRST_OCCUPIED)
+        # OHM_MONOLITH=1: route everything through the single-program
+        # pipeline (one dispatch/batch instead of two) — an A/B lever for
+        # re-measuring dispatch overhead; round-2 measured the monolith
+        # slightly slower on-device, but the wire and apply have since
+        # changed shape.
+        import os as _os
+        if _os.environ.get("OHM_MONOLITH", "0") == "1":
+            stop = True
         state = self.arena.device_state()
         # Auto-capped delta routing: a batch with more rays than the one
         # that sized the cap falls back to split-phase (and re-sizes the cap
