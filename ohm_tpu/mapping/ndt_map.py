@@ -41,6 +41,14 @@ class TpuNdtMap(TpuRayMapper):
             map_obj.layout.add_intensity()
             map_obj.layout.add_hit_miss_count()
         self.miss_k = miss_k
+        #: Auto-sized NDT miss-phase stream width: every K-stream cost
+        #: (arena gathers, the NDT math, the aggregation sort) scales with
+        #: the static K, while the actual Gaussian-flagged record count is
+        #: scene-dependent and usually far below the 65536 default.  Sized
+        #: once from the 'ndt_flagged' stat (4th batch, 2x headroom, pow2,
+        #: then monotone up); overflow surfaces in stats and escalates.
+        self._auto_miss_k = miss_k == 1 << 16
+        self._miss_k_sized = False
         #: Rayflow wire ships the per-ray intensity block (NDT-TM samples).
         self._rayflow_intensity = True
 
@@ -78,17 +86,37 @@ class TpuNdtMap(TpuRayMapper):
             miss_k=self.miss_k,
         )
 
+    def _auto_size_miss_k(self, stats) -> None:
+        """One-time shrink of the miss-phase K from the batch's flagged
+        count (2x headroom, pow2, floor 4096); ndt_overflow afterwards
+        escalates (doubles) it — overflowed records degrade to standard
+        misses, counted in stats['ndt_overflow']."""
+        if not self._auto_miss_k or self._miss_k_sized:
+            return  # overflow escalation happens at drain time (no readback)
+        if self._stats["batches"] < 3:
+            return
+        flagged = int(stats.get("ndt_flagged", -1))
+        if flagged < 0:
+            return
+        k = 4096
+        while k < 2 * flagged:
+            k *= 2
+        self.miss_k = min(self.miss_k, k)
+        self._miss_k_sized = True
+
     def _dispatch_rayflow(self, batch, base_cfg, n_rays, ray_update_flags) -> int:
         cfg = self._ndt_config(ray_update_flags, base=base_cfg, n_segments=n_rays)
         new_state, stats = integrate_ndt_jit(self.arena.device_state(), batch, cfg)
         self.arena.update_state(new_state)
         self._auto_size_row_cap(stats, n_rays)
+        self._auto_size_miss_k(stats)
         self._stats["rays"] += n_rays
         self._stats["segments"] += n_rays
         self._stats["batches"] += 1
         self._pending_stats.append({k: v for k, v in stats.items()
                                     if k in ("missed_updates", "overflow",
-                                             "compaction_dropped", "dropped_updates")})
+                                             "compaction_dropped", "dropped_updates",
+                                             "ndt_overflow")})
         if self.validate:
             self._drain_stats()
             assert self._stats["missed_updates"] == 0, "device slot resolution missed"
@@ -134,13 +162,15 @@ class TpuNdtMap(TpuRayMapper):
         new_state, stats = integrate_ndt_jit(state, batch, cfg)
         self.arena.update_state(new_state)
         self._auto_size_row_cap(stats, prepared.n_segments)
+        self._auto_size_miss_k(stats)
 
         self._stats["rays"] += n_rays
         self._stats["segments"] += prepared.n_segments
         self._stats["batches"] += 1
         self._pending_stats.append({k: v for k, v in stats.items()
                                     if k in ("missed_updates", "overflow",
-                                             "compaction_dropped", "dropped_updates")})
+                                             "compaction_dropped", "dropped_updates",
+                                             "ndt_overflow")})
         if self.validate:
             self._drain_stats()
             assert self._stats["missed_updates"] == 0, "device slot resolution missed"

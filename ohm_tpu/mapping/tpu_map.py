@@ -720,6 +720,7 @@ class TpuRayMapper:
 
     def _drain_stats(self):
         new_drops = 0
+        new_ndt_overflow = 0
         for stats in self._pending_stats:
             self._stats["missed_updates"] += int(stats["missed_updates"])
             self._stats["overflow"] += int(stats["overflow"])
@@ -729,7 +730,20 @@ class TpuRayMapper:
                 new_drops += d
             if "compaction_dropped" in stats:
                 self._stats["compaction_dropped"] += int(stats["compaction_dropped"])
+            if "ndt_overflow" in stats:
+                v = int(stats["ndt_overflow"])
+                self._stats["ndt_overflow"] = self._stats.get("ndt_overflow", 0) + v
+                new_ndt_overflow += v
         self._pending_stats.clear()
+        if (new_ndt_overflow and getattr(self, "_miss_k_sized", False)
+                and self.miss_k < 1 << 16):
+            # Auto-sized miss-phase K overflowed: the extra flagged records
+            # degraded to standard misses (counted); grow for later batches.
+            self.miss_k *= 2
+            import logging
+            logging.getLogger("ohm_tpu").warning(
+                "NDT miss-phase K overflow (%d records); escalating miss_k to %d",
+                new_ndt_overflow, self.miss_k)
         if new_drops:
             # Scene drift past the auto-sized windows (same-size batches with
             # more touched voxels, e.g. moving indoors -> outdoors).  The

@@ -517,6 +517,7 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
                      + walk["truncated"]).astype(jnp.int32),
         "touched": touched_std,
         "ndt_overflow": overflow_ndt,
+        "ndt_flagged": jnp.sum(is_ndt.astype(jnp.int32)),
         "compaction_dropped": compaction_dropped,
         "dropped_updates": fused_dropped,
         "row_lasts_max": row_lasts_max,

@@ -371,3 +371,41 @@ def test_ndt_traversal_accumulates_on_gaussian_voxels():
                                        err_msg=f"fused={fused}")
             checked += int(mask.sum())
         assert checked > 0
+
+
+def test_ndt_miss_k_auto_sizes_and_stays_exact():
+    """The miss-phase K auto-shrinks from the flagged-count readback (every
+    K-stream cost scales with it); with no overflow the result must equal
+    the fixed-K default bit for bit."""
+    from ohm_tpu.core.layout import COVARIANCE_LAYER
+
+    rng = np.random.default_rng(37)
+    n = 256
+    samples = np.column_stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                               np.zeros(n) + rng.normal(0, 0.01, n)])
+    rays = np.empty((2 * n, 3))
+    rays[0::2] = (0.0, 0.0, 2.0)
+    rays[1::2] = samples
+
+    maps, mappers = [], []
+    for miss_k in (1 << 16, 1 << 15):  # auto vs pinned (auto only at default)
+        m = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+        mp = TpuNdtMap(m, NdtParams(), capacity=64, validate=True, miss_k=miss_k)
+        for _ in range(6):
+            mp.integrate_rays(rays)
+        mp.sync_voxels()
+        maps.append(m)
+        mappers.append(mp)
+    auto, pinned = mappers
+    assert auto._miss_k_sized and auto.miss_k < (1 << 16), auto.miss_k
+    assert not pinned._miss_k_sized and pinned.miss_k == 1 << 15
+    assert auto.stats.get("ndt_overflow", 0) == 0
+    m0, m1 = maps
+    ci = m0.layer_index(COVARIANCE_LAYER)
+    oi = m0.layer_index("occupancy")
+    for key, a in m0.chunks.items():
+        b = m1.region(key)
+        np.testing.assert_array_equal(a.layers[oi]["occupancy"],
+                                      b.layers[oi]["occupancy"])
+        for f in a.layers[ci].dtype.names:
+            np.testing.assert_array_equal(a.layers[ci][f], b.layers[ci][f])
