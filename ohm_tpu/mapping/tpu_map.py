@@ -8,10 +8,13 @@ ohmgpu/GpuMap.cpp:540-1190):
   -> jitted device integrate (ops.integrate: DDA + sort-reduce-scatter)
   -> deferred syncVoxels back to the host OccupancyMap.
 
-Unlike the reference there is no cache-full retry protocol: the host is
-authoritative for region allocation, so device slot resolution cannot miss
-(a non-zero `missed_updates` stat indicates a bug; asserted in validation
-mode, mirroring the reference's OHM_VALIDATION builds).
+The host is authoritative for region allocation, so device slot resolution
+cannot miss (a non-zero `missed_updates` stat indicates a bug; asserted in
+validation mode, mirroring the reference's OHM_VALIDATION builds).  The
+arena analogue of the reference's cache-full flush-and-retry
+(ohmgpu/GpuMap.cpp:922-1017) is split-batch-and-retry: a batch whose region
+demand exceeds the arena capacity integrates as two half batches
+(_integrate_with_retry).
 """
 
 from __future__ import annotations
