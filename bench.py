@@ -80,6 +80,41 @@ def hardware_check(rng, tolerance=1e-4, allowed_ratio=1e-4, worst_bound=2e-3):
             f"TPU-vs-oracle differential failed: {failures}/{compared} voxels "
             f"outside tol {tolerance} (worst {worst})")
 
+    # Fused two-level deposit vs split-phase, on the real chip: integer
+    # partial counts make the fused apply BIT-identical by construction;
+    # this pins that on hardware (it activates from the 4th batch, so the
+    # single-batch differential above never exercises it).
+    batches = [box_scene_rays(512, rng) for _ in range(6)]
+    vals = []
+    for fused in ("0", "1"):
+        old = os.environ.get("OHM_FUSED")
+        os.environ["OHM_FUSED"] = fused
+        try:
+            m = OccupancyMap(resolution=0.1, flags=MapFlag.NONE)
+            mp = TpuRayMapper(m, capacity=512, validate=True)
+            for b in batches:
+                mp.integrate_rays(b)
+            mp.sync_voxels()
+            if fused == "1":
+                assert mp.row_cap > 0, "fused deposit never activated"
+        finally:
+            if old is None:
+                os.environ.pop("OHM_FUSED", None)
+            else:
+                os.environ["OHM_FUSED"] = old
+        occ = {}
+        oi = m.layer_index(OCCUPANCY_LAYER)
+        for key, chunk in m.chunks.items():
+            occ[key] = chunk.layers[oi][OCCUPANCY_LAYER].copy()
+        vals.append(occ)
+    v0, v1 = vals
+    fused_exact = set(v0) == set(v1) and all(
+        np.array_equal(v0[k], v1[k]) for k in v0)
+    print(json.dumps({"metric": "hardware_fused_differential",
+                      "bit_identical": bool(fused_exact)}))
+    if not fused_exact:
+        raise AssertionError("fused deposit diverged from split-phase on-chip")
+
 
 def main():
     import jax
