@@ -1092,9 +1092,8 @@ def apply_records_fused_jit(arena, records, batch, cfg: IntegrateConfig):
     # --- level 1: per-row partials, compacted into [R, row_cap] -----------
     rows = key[:n_walk].reshape(R, cap)
     ids2 = rows >> 1  # hit bit is 0 on all walk records
-    weight = (ids2 != sent).astype(jnp.float32).reshape(-1)
     trav_w = records["trav"][:n_walk] if cfg.with_traversal else None
-    kc, pc, tc, dropped = _fused_row_partials(ids2, weight, trav_w, cap2, cfg)
+    kc, pc, tc, dropped = _fused_row_partials(ids2, None, trav_w, cap2, cfg)
 
     # --- level 2: merge row partials + raw end records in one small sort --
     ek = key[n_walk:]
@@ -1128,9 +1127,11 @@ def _fused_row_partials(ids2, weight_f, trav_f, cap2, cfg):
     ids2 [R, cap] must be row-sorted (the expand compaction guarantees it);
     weight_f/trav_f are flattened [R*cap] aligned with ids2 (weight 1.0 per
     counted record — callers mask records that must not count, e.g. the NDT
-    pipeline's Gaussian-handled misses).  Partial counts are exact integer
-    sums in f32 (< 2^24).  Returns (kc, pc(u32 miss counts), tc|None,
-    dropped) where dropped counts voxel-lasts lost to the cap2 truncation.
+    pipeline's Gaussian-handled misses; None means every real record counts,
+    computed as run lengths by ONE position cummax instead of the heavier
+    segment sum).  Partial counts are exact integer sums in f32 (< 2^24).
+    Returns (kc, pc(u32 miss counts), tc|None, dropped) where dropped counts
+    voxel-lasts lost to the cap2 truncation.
     """
     from ohm_tpu.ops import blocked
 
@@ -1149,7 +1150,14 @@ def _fused_row_partials(ids2, weight_f, trav_f, cap2, cfg):
     real_last2 = last2 & (ids2 != sent)
     first_f = first2.reshape(-1)
 
-    cnt = blocked.segment_sums(weight_f, first_f).reshape(R, cap)
+    if weight_f is None:
+        n = R * cap
+        pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        neg = jnp.int32(-(1 << 30))
+        p_first = blocked.cummax(jnp.where(first_f, pos, neg), lowest=neg)
+        cnt = (pos - p_first + 1).reshape(R, cap).astype(jnp.float32)
+    else:
+        cnt = blocked.segment_sums(weight_f, first_f).reshape(R, cap)
     packed_w = jnp.where(real_last2, cnt.astype(jnp.uint32), jnp.uint32(0))
     trav_w2 = None
     if trav_f is not None:
