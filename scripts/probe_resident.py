@@ -1,0 +1,151 @@
+"""Isolate transfer vs dispatch+device: run the live pipeline over wires that
+are ALREADY device-resident (uploaded before the timed region), fence once.
+
+Compares:
+  A) full pipelined loop (host prep + transfer + dispatch + device)
+  B) resident-wire loop (dispatch + device only)
+  C) resident expand-only loop
+Run solo:  python -u scripts/probe_resident.py
+"""
+
+import sys
+import time
+import dataclasses as dc
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from ohm_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import jax.numpy as jnp
+
+import bench as benchmod
+from ohm_tpu.core.map import OccupancyMap, MapFlag
+from ohm_tpu.mapping.tpu_map import TpuRayMapper
+from ohm_tpu.ops.integrate import (expand_records_jit, apply_records_fused_jit,
+                                   apply_records_jit)
+
+
+def fence(x):
+    np.asarray(jax.device_get(jnp.ravel(x)[0]))
+
+
+def main():
+    rng = np.random.default_rng(2024)
+    n_rays = 8192
+    n_b = 20
+    batches = [benchmod.box_scene_rays(n_rays, rng) for _ in range(n_b)]
+    print(f"devices: {jax.devices()}", flush=True)
+
+    m = OccupancyMap(resolution=0.1, flags=MapFlag.NONE)
+    mapper = TpuRayMapper(m, capacity=512)
+    mapper.prime_caps(batches)
+    for i in range(6):
+        mapper.integrate_rays(batches[i])
+    fence(mapper.arena.arrays["occupancy"])
+
+    # Host-prep all wires, upload, fence.
+    prepped = []
+    t0 = time.perf_counter()
+    for b in batches:
+        wire, cfg, nr = mapper._rayflow_setup_host(b, None, None, 0)
+        prepped.append((wire, cfg, nr))
+    t_host = (time.perf_counter() - t0) / n_b
+    devw = [jnp.asarray(w) for w, _, _ in prepped]
+    fence(devw[-1][-1:])
+    print(f"host prep: {t_host*1e3:.2f} ms/batch; wire {prepped[0][0].nbytes/1e3:.0f} kB",
+          flush=True)
+
+    rc = mapper._fused_row_cap_for(n_rays, prepped[0][1].group_cap)
+    state = mapper.arena.device_state()
+
+    def fresh_state():
+        # apply_*_jit donates the state buffers; hand it throwaway copies.
+        return {k: jnp.copy(v) for k, v in state.items()}
+
+    def run_resident(apply: bool, reps=3):
+        best = None
+        for _ in range(reps):
+            st = fresh_state()
+            t0 = time.perf_counter()
+            for dw, (w, cfg, nr) in zip(devw, prepped):
+                batch = {"rayw": dw}
+                records, stats = expand_records_jit(batch, cfg)
+                if apply:
+                    if rc:
+                        fcfg = dc.replace(cfg, row_cap=rc)
+                        st, touched, dropped = apply_records_fused_jit(
+                            st, records, batch, fcfg)
+                    else:
+                        st, touched, dropped = apply_records_jit(
+                            st, records, batch, cfg)
+            fence(st["occupancy"] if apply else records["key"])
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            print(f"  resident apply={apply}: {dt*1e3:8.1f} ms "
+                  f"({n_rays*n_b/dt/1e3:7.1f}k rays/s)", flush=True)
+        return best
+
+    print("B) resident expand+apply:", flush=True)
+    b_full = run_resident(True)
+    print("C) resident expand-only:", flush=True)
+    b_exp = run_resident(False)
+
+    # D) apply-only: one fixed records/batch, re-applied n_b times.
+    dw0, (w0, cfg0, nr0) = devw[0], prepped[0]
+    batch0 = {"rayw": dw0}
+    records0, _ = expand_records_jit(batch0, cfg0)
+    fence(records0["key"])
+    print("D) resident apply-only:", flush=True)
+    for _ in range(3):
+        st = fresh_state()
+        t0 = time.perf_counter()
+        for _i in range(n_b):
+            if rc:
+                fcfg = dc.replace(cfg0, row_cap=rc)
+                st, touched, dropped = apply_records_fused_jit(
+                    st, records0, batch0, fcfg)
+            else:
+                st, touched, dropped = apply_records_jit(st, records0, batch0, cfg0)
+        fence(st["occupancy"])
+        print(f"  apply-only: {(time.perf_counter()-t0)/n_b*1e3:6.2f} ms/batch",
+              flush=True)
+
+    # E) dispatch-only: 2*n_b trivial chained programs, one fence.
+    @jax.jit
+    def bump(x):
+        return x + 1
+
+    z = jnp.zeros(8, jnp.int32)
+    z = bump(z)
+    fence(z)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _i in range(2 * n_b):
+            z = bump(z)
+        fence(z)
+        print(f"E) dispatch-only: {(time.perf_counter()-t0)/(2*n_b)*1e3:6.2f} "
+              f"ms/program", flush=True)
+
+    # A) full pipelined loop for the same-process comparison.
+    print("A) full pipelined loop:", flush=True)
+    for rep in range(3):
+        t0 = time.perf_counter()
+        for b in batches:
+            mapper.integrate_rays_async(b)
+        mapper.flush()
+        fence(mapper.arena.arrays["occupancy"])
+        dt = time.perf_counter() - t0
+        print(f"  full: {dt*1e3:8.1f} ms ({n_rays*n_b/dt/1e3:7.1f}k rays/s)",
+              flush=True)
+
+    print(f"per-batch: device+dispatch {b_full/n_b*1e3:.2f} ms "
+          f"(expand-only {b_exp/n_b*1e3:.2f} ms)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
