@@ -667,6 +667,14 @@ class TpuRayMapper:
                 wire, cfg, n_rays, fl = pending[0]
                 self._dispatch_rayflow({"rayw": jnp.asarray(wire)}, cfg,
                                        n_rays, fl)
+            elif self._chain_cfg(pending) is not None:
+                # Chained mega-dispatch: ONE compiled program runs
+                # expand+apply for the whole group (ops.integrate.
+                # integrate_chain) — each dispatch RPC costs ~5 ms through
+                # the tunnel (docs/PERF.md round-4 decomposition), so the
+                # group's 2K+1 dispatches collapse to 1.  Bit-identical to
+                # the per-batch programs (same stage functions, same order).
+                self._dispatch_chain(pending)
             else:
                 stacked = np.stack([p[0] for p in pending])
                 rows = _split_rows(jnp.asarray(stacked))
@@ -712,6 +720,59 @@ class TpuRayMapper:
                 flush()
             pending.append((wire, cfg, n_rays, fl))
         flush()
+
+    def _chain_cfg(self, pending):
+        """Return the single chain IntegrateConfig (row_cap resolved) when the
+        pending group is eligible for the chained mega-dispatch, else None.
+
+        Eligibility: base-class dispatch only (NDT/TSDF mappers override
+        _dispatch_rayflow with their own program sets), OHM_CHAIN=1 (default),
+        no delta/monolith routing, identical cfgs across the group, and the
+        deposit windows already sized (the chain returns summed stats, so the
+        per-batch sizing readbacks must be over)."""
+        import os as _os
+        if (_os.environ.get("OHM_CHAIN", "1") == "0"
+                or _os.environ.get("OHM_MONOLITH", "0") == "1"
+                or type(self)._dispatch_rayflow is not TpuRayMapper._dispatch_rayflow
+                or self.delta_path):
+            return None
+        cfg0 = pending[0][1]
+        # cfg equality covers the per-ray update flags too (cfg.ray_flags).
+        if any(p[1] != cfg0 for p in pending[1:]):
+            return None
+        if self.fused:
+            rcs = {self._fused_row_cap_for(p[2], cfg0.group_cap) for p in pending}
+            if len(rcs) != 1:
+                return None
+            rc = rcs.pop()
+            if rc <= 0:
+                return None  # not sized yet (or gate failed): keep per-batch
+            import dataclasses as _dc
+            return _dc.replace(cfg0, row_cap=rc)
+        if self._auto_scatter and self.scatter_cap == 0:
+            return None  # scatter window not sized yet
+        return cfg0
+
+    def _dispatch_chain(self, pending) -> None:
+        """One stacked transfer + ONE chained program for the whole group."""
+        from ohm_tpu.ops.integrate import integrate_chain_jit
+
+        cfg = self._chain_cfg(pending)
+        stacked = jnp.asarray(np.stack([p[0] for p in pending]))
+        state = self.arena.device_state()
+        new_state, stats = integrate_chain_jit(state, stacked, cfg, len(pending))
+        self.arena.update_state(new_state)
+        for _, _, n_rays, _ in pending:
+            self._stats["rays"] += n_rays
+            self._stats["segments"] += n_rays
+            self._stats["batches"] += 1
+        self._pending_stats.append(stats)
+        if self.validate:
+            self._drain_stats()
+            assert self._stats["missed_updates"] == 0
+            assert self._stats["overflow"] == 0
+            assert self._stats["dropped_updates"] == 0
+            assert self._stats["compaction_dropped"] == 0
 
     def flush(self):
         """Wait for all queued batches to be submitted to the device."""

@@ -866,8 +866,7 @@ def integrate_occupancy_jit(arena, batch, cfg: IntegrateConfig):
 # Used by TpuRayMapper for flag sets without state-dependent masking.
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def expand_records_jit(batch, cfg: IntegrateConfig):
+def expand_records(batch, cfg: IntegrateConfig):
     """Phase 1: DDA expand + slot resolve -> packed sort keys (+ payloads)."""
     from ohm_tpu.ops.ddawalk import walk_rays_unordered
 
@@ -959,6 +958,10 @@ def expand_records_jit(batch, cfg: IntegrateConfig):
     return out, stats
 
 
+expand_records_jit = functools.partial(
+    jax.jit, static_argnames=("cfg",))(expand_records)
+
+
 def sorted_hit_miss_counts(key_s):
     """Per-voxel hit/miss counts from a SORTED (flat<<1|hit) key stream.
 
@@ -1001,8 +1004,7 @@ def sorted_nonneg_sums(vals_s, first):
     return blocked.segment_sums(vals_s, first)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("arena",))
-def apply_records_jit(arena, records, batch, cfg: IntegrateConfig):
+def apply_records(arena, records, batch, cfg: IntegrateConfig):
     """Phase 2: sort + blocked position-diff reduce + scatter + dense apply.
 
     Per-voxel counts come from POSITION DIFFERENCES after the single-key
@@ -1040,8 +1042,11 @@ def apply_records_jit(arena, records, batch, cfg: IntegrateConfig):
     return arena, touched, dropped
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("arena",))
-def apply_records_fused_jit(arena, records, batch, cfg: IntegrateConfig):
+apply_records_jit = functools.partial(
+    jax.jit, static_argnames=("cfg",), donate_argnames=("arena",))(apply_records)
+
+
+def apply_records_fused(arena, records, batch, cfg: IntegrateConfig):
     """Phase 2, two-level row-local variant: no full-stream global sort.
 
     Exploits the structure expand_records_jit already produces under group
@@ -1118,6 +1123,55 @@ def apply_records_fused_jit(arena, records, batch, cfg: IntegrateConfig):
 
     touched = jnp.sum(real_last.astype(jnp.int32))
     return arena, touched, dropped
+
+
+apply_records_fused_jit = functools.partial(
+    jax.jit, static_argnames=("cfg",), donate_argnames=("arena",))(apply_records_fused)
+
+
+def integrate_chain(arena, rayw_stack, cfg: IntegrateConfig, k: int):
+    """Chain ``k`` same-shape rayflow batches through expand + apply inside
+    ONE compiled program, threading the arena state batch to batch.
+
+    Motivation (scripts/probe_wall.py, round 4): each dispatch RPC through
+    the axon tunnel costs ~5 ms wall — split-phase pays 2.25 dispatches per
+    batch (~10 of its 16.8 ms device-only time), so chaining K batches into
+    one dispatch amortises that to 1/K.  The math is the exact split-phase
+    (or fused, when cfg.row_cap > 0) pipeline applied sequentially; results
+    are bit-identical to K separate dispatches of the same programs.
+
+    ``rayw_stack`` is the coalesced-transfer stack u8[k, L] the worker
+    already ships (TpuRayMapper._integrate_group); all k batches must share
+    one cfg (the mapper's monotone caps make group members converge).
+    Stats are summed over the chain (max for row_lasts_max/touched, which
+    size windows and are only meaningful pre-sizing — the mapper engages the
+    chain only after sizing).
+    """
+    stats_acc = None
+    for i in range(k):
+        batch = {"rayw": rayw_stack[i]}
+        records, st = expand_records(batch, cfg)
+        if cfg.row_cap > 0:
+            arena, touched, dropped = apply_records_fused(arena, records, batch, cfg)
+        else:
+            arena, touched, dropped = apply_records(arena, records, batch, cfg)
+        st = dict(st)
+        st["touched"] = touched
+        st["dropped_updates"] = dropped
+        if stats_acc is None:
+            stats_acc = st
+        else:
+            stats_acc = {
+                name: (jnp.maximum(stats_acc[name], v)
+                       if name in ("row_lasts_max", "touched")
+                       else stats_acc[name] + v)
+                for name, v in st.items()
+            }
+    return arena, stats_acc
+
+
+integrate_chain_jit = functools.partial(
+    jax.jit, static_argnames=("cfg", "k"), donate_argnames=("arena",))(integrate_chain)
 
 
 def _fused_row_partials(ids2, weight_f, trav_f, cap2, cfg):

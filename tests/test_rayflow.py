@@ -435,3 +435,42 @@ def test_coalesced_async_ndt_and_tsdf_match_sequential():
             a = chunk.layers[li][member]
             b = m_b.chunks[key].layers[li][member]
             np.testing.assert_array_equal(a, b)
+
+
+def test_chained_dispatch_matches_sequential():
+    """The chained mega-dispatch (ops.integrate.integrate_chain: the whole
+    coalesced group's expand+apply runs as ONE compiled program, arena state
+    threaded batch to batch) must be bit-identical to per-batch dispatch.
+    Motivation: each dispatch RPC through the tunnel costs ~5 ms
+    (docs/PERF.md round-4 decomposition), so 2K+1 dispatches collapse to 1."""
+    rng = np.random.default_rng(41)
+    warm = [_scene(n=96, rng=rng) for _ in range(4)]   # window-sizing batches
+    group = [_scene(n=96, rng=rng) for _ in range(4)]  # the chained group
+
+    def run(chained):
+        m = OccupancyMap(resolution=0.2, flags=MapFlag.TRAVERSAL)
+        mp = TpuRayMapper(m, capacity=64, validate=True, rayflow=True)
+        for b in warm:
+            mp.integrate_rays(b)  # sizes row_cap/scatter_cap identically
+        chain_calls = []
+        if chained:
+            orig = mp._dispatch_chain
+
+            def counted(pending):
+                chain_calls.append(len(pending))
+                return orig(pending)
+
+            mp._dispatch_chain = counted
+            mp._integrate_group([(b, None, None, 0) for b in group])
+            assert chain_calls == [len(group)], \
+                "chain path not engaged — gate regression"
+        else:
+            for b in group:
+                mp.integrate_rays(b)
+        mp.sync_voxels()
+        return _voxel_maps(m)
+
+    occ_c, trav_c = run(True)
+    occ_s, trav_s = run(False)
+    assert occ_c == occ_s
+    assert trav_c == trav_s
