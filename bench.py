@@ -177,6 +177,82 @@ def main():
         "vs_baseline": round(rays_per_sec / 1e8, 4),
     }))
 
+    if os.environ.get("OHM_BENCH_ATTRIB", "1") != "0":
+        attribution(mapper, batches, rays_per_batch)
+
+
+def attribution(mapper, batches, rays_per_batch):
+    """Decompose the headline into attributable stages (round-3 verdict: a
+    tunnel-state swing must never masquerade as a code regression).  Emits a
+    second JSON line with: wire bytes/ray, host prep ms/batch, steady-state
+    transfer ms/batch + MB/s (pipelined puts, fence once — one-shot fenced
+    probes conflate RTT with bandwidth), device-only throughput on resident
+    wires (transfer-excluded), and the tunnel RTT.  Methodology:
+    scripts/probe_wall.py."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    def fence(x):
+        np.asarray(jax.device_get(jnp.ravel(x)[0]))
+
+    n_batches = len(batches)
+
+    # Tunnel RTT: tiny readback, best of 3 (first was paid long ago).
+    tiny = mapper.arena.arrays["occupancy"]
+    rtts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fence(tiny)
+        rtts.append(time.perf_counter() - t0)
+    rtt_ms = min(rtts) * 1e3
+
+    # Host prep (the one-core host's critical path between batches).
+    t0 = time.perf_counter()
+    wires = []
+    for b in batches:
+        out = mapper._rayflow_setup_host(b, None, None, 0)
+        if out is None:
+            print(json.dumps({"metric": "bench_attribution",
+                              "skipped": "rayflow setup declined"}))
+            return
+        wires.append(out[0])
+    host_prep_ms = (time.perf_counter() - t0) / n_batches * 1e3
+    cfg = out[1]
+    wire_bytes = wires[0].nbytes
+
+    # Steady-state transfer: N pipelined puts, one fence.
+    xfer = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        devs = [jax.device_put(w) for w in wires]
+        fence(devs[-1])
+        xfer.append(time.perf_counter() - t0)
+    xfer_ms = min(xfer) / n_batches * 1e3
+    mb_s = wire_bytes * n_batches / min(xfer) / 1e6
+
+    # Device-only: re-dispatch the real programs on resident wires.
+    dev = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for dw in devs:
+            mapper._dispatch_rayflow({"rayw": dw}, cfg, rays_per_batch, 0)
+        fence(mapper.arena.arrays["occupancy"])
+        dev.append(time.perf_counter() - t0)
+    dev_rps = rays_per_batch * n_batches / min(dev)
+
+    print(json.dumps({
+        "metric": "bench_attribution",
+        "wire_bytes_per_ray": round(wire_bytes / rays_per_batch, 1),
+        "host_prep_ms_per_batch": round(host_prep_ms, 2),
+        "transfer_ms_per_batch": round(xfer_ms, 2),
+        "transfer_mb_per_s": round(mb_s, 1),
+        "device_only_rays_per_sec": round(dev_rps, 1),
+        "device_only_ms_per_batch": round(min(dev) / n_batches * 1e3, 2),
+        "tunnel_rtt_ms": round(rtt_ms, 2),
+    }))
+
 
 if __name__ == "__main__":
     main()

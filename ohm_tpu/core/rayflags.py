@@ -35,6 +35,37 @@ class RayFlag(IntFlag):
     INTERNAL_TIMESTAMPS = INTERNAL
 
 
+def normalize_reverse_walk(ray_update_flags: int) -> int:
+    """Resolve REVERSE_WALK: accept-and-strip, or reject the one
+    order-dependent combination.
+
+    The reference traces sample->sensor to decorrelate CAS write contention
+    (docs/gpu/docgpudetail.md:46-50); its walk SWAPS start/end keys first so
+    every per-voxel computation sees identical geometry
+    (ohmgpu/gpu/LineWalk.cl:245-263 end-voxel-centred frame either way;
+    TsdfUpdate.cl:139 diffs against the swapped key) — reverse walk changes
+    only the ITERATION order, which CAS races already made nondeterministic.
+    This pipeline's sort-reduce integration has no write contention and fixes
+    one deterministic per-voxel order (original ray index), so the flag is
+    accepted and stripped: exact parity, one compiled program variant.
+
+    With STOP_ON_FIRST_OCCUPIED the walk order becomes semantic (stopping
+    scans from the sample end instead of the origin); the reference strips
+    REVERSE_WALK for exactly its stop-on-occupied users
+    (ohm/ClearingPattern.cpp:42, ohmgpu/private/RaysQueryDetailGpu.cpp:115),
+    so that combination is rejected loudly rather than silently diverging.
+    """
+    f = int(ray_update_flags)
+    if f & RayFlag.REVERSE_WALK:
+        if f & RayFlag.STOP_ON_FIRST_OCCUPIED:
+            raise ValueError(
+                "REVERSE_WALK with STOP_ON_FIRST_OCCUPIED is order-dependent "
+                "and unsupported (the reference strips REVERSE_WALK for its "
+                "stop-on-occupied users, ohm/ClearingPattern.cpp:42)")
+        f &= ~RayFlag.REVERSE_WALK
+    return f
+
+
 class RayFilterFlag(IntFlag):
     """Ray filter result bits (reference: ohm/RayFilter.h:24-28)."""
 

@@ -500,7 +500,7 @@ def frac_dict_of(prepared: PreparedRayflow):
 
 def rayflow_wire(prepared: PreparedRayflow, table,
                  with_touch: bool = True, with_intensity: bool = True,
-                 cdict: bool = False, fdict=None, perm=None) -> np.ndarray:
+                 cdict: int = 0, fdict=None, perm=None) -> np.ndarray:
     """Assemble the single rayflow transfer buffer (after region allocation):
     [gmeta i32[8] | floats f32[R,7] (or f32[R,4] dir/len under fdict) |
      abs16 u16[R,6] | [touch u32[R]] | [intens f32[R]] |

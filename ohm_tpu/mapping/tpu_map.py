@@ -42,7 +42,7 @@ from ohm_tpu.ops.integrate import (
     apply_samples_jit,
     delta_path_ok,
 )
-from ohm_tpu.core.rayflags import RayFlag
+from ohm_tpu.core.rayflags import RayFlag, normalize_reverse_walk
 
 
 @jax.jit
@@ -273,12 +273,14 @@ class TpuRayMapper:
         self._k_cache_rf = max(getattr(self, "_k_cache_rf", 4), rf.table_k)
         self.arena.ensure_regions(rf.region_keys, host_map=self.map,
                                   allow_evict=allow_evict)
-        # Dictionary wire when the batch fits 255 regions (the common case):
-        # candidate bytes drop 4K -> K per ray (the tunnel is the steady-state
-        # wall at ~40 MB/s).  Both variants are single compiled programs, so a
-        # scene crossing the boundary costs one extra warmup compile, not
+        # Dictionary wire: candidate bytes drop 4K -> K per ray (u8 dict,
+        # <= 255 regions) or 4K -> 2K (u16 dict, <= 2047 regions — e.g. the
+        # box bench scene's ~320) — the tunnel is the steady-state wall at
+        # ~27-40 MB/s.  Each variant is a single compiled program, so a
+        # scene crossing a boundary costs one extra warmup compile, not
         # mid-run jitter.
-        cdict = len(rf.region_keys) <= 255
+        nreg = len(rf.region_keys)
+        cdict = 1 if nreg <= 255 else (2 if nreg <= 2047 else 0)
         # Per-axis step bucket and candidate-table width K (monotone-cached;
         # each combination is a compiled program variant) and strided 8-ray
         # group cap, all exact from the host-quantised endpoint coords.
@@ -377,7 +379,7 @@ class TpuRayMapper:
     def _config(self, ray_flags: int, group_cap: int = 0,
                 max_steps: int | None = None, group_size: int = 64,
                 table_k: int = 0, walk_cap: int = 0,
-                rayw_cdict: bool = False,
+                rayw_cdict: int = 0,
                 rayw_fdict: bool = False) -> IntegrateConfig:
         rayw_intensity = getattr(self, "_rayflow_intensity", False)
         m = self.map
@@ -418,6 +420,7 @@ class TpuRayMapper:
         A batch whose region demand exceeds the arena capacity is split in
         half and retried (the arena analogue of the reference's cache-full
         flush-and-retry, ohmgpu/GpuMap.cpp:922-1017)."""
+        ray_update_flags = normalize_reverse_walk(ray_update_flags)
         return self._integrate_with_retry(rays, intensities, timestamps, ray_update_flags)
 
     def _presplit_all(self, batches):
@@ -617,6 +620,7 @@ class TpuRayMapper:
     def integrate_rays_async(self, rays, intensities=None, timestamps=None,
                              ray_update_flags: int = 0) -> int:
         """Queue a ray batch; host prep overlaps device execution."""
+        ray_update_flags = normalize_reverse_walk(ray_update_flags)
         if self._worker is None:
             import os
             import queue

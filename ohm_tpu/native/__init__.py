@@ -202,18 +202,22 @@ def rayflow_build(starts, ends, filter_flags, timestamps, time_base,
 
 def rayflow_finish(prep: dict, n_rays: int, rpad: int, table_k: int,
                    params: MapParamsStruct, table, with_touch: bool,
-                   with_intensity: bool, cdict: bool = False,
+                   with_intensity: bool, cdict: int = 0,
                    fdict=None, perm=None) -> np.ndarray:
     """Resolve candidate slots against the arena hash table and assemble the
     complete rayflow transfer buffer (one C pass; layout documented on
-    batch_prep.cpp rayflow_finish).  ``cdict`` selects the dictionary wire
-    (256-entry packed-candidate dict + u8 indices: K instead of 4K B/ray);
-    requires len(region_keys) <= 255.  ``fdict`` (optional) is a
+    batch_prep.cpp rayflow_finish).  ``cdict`` selects the dictionary wire:
+    mode 1 = 256-entry packed-candidate dict + u8 indices (K instead of 4K
+    B/ray; requires len(region_keys) <= 255), mode 2 = 2048-entry dict + u16
+    indices (2K B/ray; <= 2047 regions).  ``fdict`` (optional) is a
     (dict f32[256,3], idx u8[n_rays]) pair dictionary-encoding start_frac
     (12 -> 1 B/ray + a fixed 3 KiB block; mapping.batch.frac_dict_of)."""
     lib = get_lib()
     region_keys = prep["region_keys"]
-    cand_bytes = 1024 + rpad * table_k if cdict else 4 * rpad * table_k
+    cdict = int(cdict)
+    cand_bytes = {0: 4 * rpad * table_k,
+                  1: 1024 + rpad * table_k,
+                  2: 8192 + 2 * rpad * table_k}[cdict]
     float_bytes = 16 if fdict is not None else 28
     frac_bytes = (3072 + rpad) if fdict is not None else 0
     nbytes = 32 + rpad * (float_bytes + 12 + (4 if with_touch else 0)
@@ -237,7 +241,7 @@ def rayflow_finish(prep: dict, n_rays: int, rpad: int, table_k: int,
         _ptr(table.slot, ctypes.c_int32), ctypes.c_int32(table.table_size),
         ctypes.c_int(1 if with_touch else 0),
         ctypes.c_int(1 if with_intensity else 0),
-        ctypes.c_int(1 if cdict else 0),
+        ctypes.c_int(cdict),
         ctypes.c_int(1 if fdict is not None else 0),
         _ptr(fdict[0], ctypes.c_float) if fdict is not None else None,
         _ptr(fdict[1], ctypes.c_uint8) if fdict is not None else None,

@@ -586,6 +586,8 @@ int64_t rayflow_build(const double* starts, const double* ends,
 // bytes were ~60% of the transfer cost).  Requires n_regions <= 255; index
 // 255 is the null entry (dict[255] = 0, never resolves on device).  The
 // device reconstructs tcand = dict[cidx] bit-identically.
+// dict_mode == 2 is the u16 variant: 2048 entries + u16 indices (2K B/ray),
+// for batches touching 256..2047 regions (null index 2047).
 void rayflow_finish(int64_t n_rays, int64_t rpad, int32_t ray_k, int32_t out_k,
                     const int32_t* bbox, const MapParams* params,
                     const float* floats, const int32_t* abs_i32,
@@ -689,6 +691,27 @@ void rayflow_finish(int64_t n_rays, int64_t rpad, int32_t ray_k, int32_t out_k,
     return ((slot + 1) << 18)
            | (x - bbox[0]) | ((y - bbox[1]) << 6) | ((z - bbox[2]) << 12);
   };
+  if (dict_mode == 2) {
+    // u16 dictionary: 2048 packed-candidate entries + u16 indices — covers
+    // batches touching 256..2047 regions (past the u8 dict) at 2K B/ray +
+    // a fixed 8 KiB block instead of 4K B/ray.  Index 2047 is the null
+    // entry (dict[2047] = 0, never resolves on device).
+    int32_t* dict = (int32_t*)w;
+    for (int32_t j = 0; j < 2048; ++j)
+      dict[j] = j < n_regions ? pack_cand(regions + 3 * j) : 0;
+    w += 2048 * sizeof(int32_t);
+    uint16_t* cidx = (uint16_t*)w;
+    for (int64_t i = 0; i < rpad * out_k; ++i) cidx[i] = 2047;
+    for (int64_t i = 0; i < rpad; ++i) {
+      const int64_t s = perm ? perm[i] : i;
+      if (s >= n_rays) continue;
+      const uint16_t* rc = ray_cidx + (int64_t)ray_k * s;
+      uint16_t* ci = cidx + (int64_t)out_k * i;
+      const int32_t kn = ray_count[s] < out_k ? ray_count[s] : out_k;
+      for (int32_t j = 0; j < kn; ++j) ci[j] = rc[j];
+    }
+    return;
+  }
   if (dict_mode) {
     int32_t* dict = (int32_t*)w;
     for (int32_t j = 0; j < 256; ++j)

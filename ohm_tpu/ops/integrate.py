@@ -107,13 +107,14 @@ class IntegrateConfig:
     #: the batch uses the segmented wire.
     table_k: int = 0
 
-    #: Rayflow dictionary wire: the candidate block ships as a per-batch
-    #: 256-entry packed-candidate dictionary + u8 indices (K B/ray) instead
-    #: of i32 candidates (4K B/ray); the device reconstructs tcand =
-    #: dict[cidx] bit-identically.  Chosen per batch when the batch touches
-    #: <= 255 regions — the tunnel runs ~40 MB/s, so candidate bytes were
-    #: ~60% of the transfer cost.
-    rayw_cdict: bool = False
+    #: Rayflow dictionary wire mode: the candidate block ships as a per-batch
+    #: packed-candidate dictionary + small indices instead of i32 candidates
+    #: (4K B/ray); the device reconstructs tcand = dict[cidx] bit-identically.
+    #: Mode 1: 256-entry dict + u8 indices (K B/ray), batches touching <= 255
+    #: regions.  Mode 2: 2048-entry dict + u16 indices (2K B/ray), <= 2047
+    #: regions.  0 = full i32 block.  The tunnel runs ~40 MB/s, so candidate
+    #: bytes were ~60% of the transfer cost.
+    rayw_cdict: int = 0
 
     #: Rayflow start_frac dictionary: rays sharing a sensor pose quantise to
     #: bit-identical start_frac triples, so static-scan batches ship a
@@ -234,14 +235,16 @@ def _unpack_batch(batch, cfg=None):
         K = cfg.table_k
         with_touch = cfg.with_touch_time if cfg is not None else True
         with_intens = getattr(cfg, "rayw_intensity", False) if cfg is not None else True
-        cdict = getattr(cfg, "rayw_cdict", False) if cfg is not None else False
+        cdict = int(getattr(cfg, "rayw_cdict", 0)) if cfg is not None else 0
         fdict = getattr(cfg, "rayw_fdict", False) if cfg is not None else False
         fw = 4 if fdict else 7
-        bpr = (4 * fw + 12 + (1 if fdict else 0)
-               + (K if cdict else 4 * K)
+        # cdict mode: 0 = full i32 candidates (4K B/ray), 1 = u8 dictionary
+        # (K B/ray + 1 KiB), 2 = u16 dictionary (2K B/ray + 8 KiB).
+        cand_bpr = {0: 4 * K, 1: K, 2: 2 * K}[cdict]
+        cand_fixed = {0: 0, 1: 1024, 2: 8192}[cdict]
+        bpr = (4 * fw + 12 + (1 if fdict else 0) + cand_bpr
                + (4 if with_touch else 0) + (4 if with_intens else 0))
-        R = (buf.shape[0] - 32 - (1024 if cdict else 0)
-             - (3072 if fdict else 0)) // bpr
+        R = (buf.shape[0] - 32 - cand_fixed - (3072 if fdict else 0)) // bpr
         off = 0
 
         def take(nbytes):
@@ -266,7 +269,13 @@ def _unpack_batch(batch, cfg=None):
             frac_tab = jax.lax.bitcast_convert_type(
                 take(3072).reshape(256, 3, 4), jnp.float32)
             fidx = take(R).astype(jnp.int32)
-        if cdict:
+        if cdict == 2:
+            cand_dict = jax.lax.bitcast_convert_type(
+                take(8192).reshape(2048, 4), jnp.int32)
+            cidx = jax.lax.bitcast_convert_type(
+                take(2 * K * R).reshape(R, K, 2), jnp.uint16).astype(jnp.int32)
+            tcand = cand_dict[cidx]
+        elif cdict:
             cand_dict = jax.lax.bitcast_convert_type(
                 take(1024).reshape(256, 4), jnp.int32)
             cidx = take(K * R).reshape(R, K).astype(jnp.int32)

@@ -32,7 +32,8 @@ from ohm_tpu.core.layout import (
     INCIDENT_NORMAL_LAYER,
 )
 from ohm_tpu.core.probability import probability_to_value
-from ohm_tpu.core.rayflags import RayFlag, RayFilterFlag
+from ohm_tpu.core.rayflags import (RayFlag, RayFilterFlag,
+                                   normalize_reverse_walk)
 from ohm_tpu.oracle import linewalk
 
 _UNOBSERVED = np.float32(np.inf)
@@ -264,7 +265,7 @@ class RayMapperNdt:
         n_rays = rays.shape[0] // 2
         starts_in = rays[0::2]
         ends_in = rays[1::2]
-        flags = int(ray_update_flags)
+        flags = normalize_reverse_walk(ray_update_flags)
         dims = m.region_voxel_dims
         res = m.resolution
 

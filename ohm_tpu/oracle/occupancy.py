@@ -25,7 +25,8 @@ from ohm_tpu.core.layout import (
     INCIDENT_NORMAL_LAYER,
 )
 from ohm_tpu.core.probability import unobserved_occupancy_value
-from ohm_tpu.core.rayflags import RayFlag, RayFilterFlag
+from ohm_tpu.core.rayflags import (RayFlag, RayFilterFlag,
+                                   normalize_reverse_walk)
 from ohm_tpu.oracle import linewalk
 
 _F32_MAX = np.float32(np.finfo(np.float32).max)
@@ -87,7 +88,7 @@ class RayMapperOccupancy:
         starts_in = rays[0::2]
         ends_in = rays[1::2]
 
-        flags = int(ray_update_flags)
+        flags = normalize_reverse_walk(ray_update_flags)
         sat_min = np.float32(m.saturation_min)
         sat_max = np.float32(m.saturation_max)
         voxel_min = np.float32(m.min_voxel_value)

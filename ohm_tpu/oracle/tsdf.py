@@ -67,6 +67,9 @@ class RayMapperTsdf:
         self.tsdf_layer = map_obj.layer_index(TSDF_LAYER)
 
     def integrate_rays(self, rays, intensities=None, timestamps=None, ray_update_flags=0):
+        from ohm_tpu.core.rayflags import normalize_reverse_walk
+
+        normalize_reverse_walk(ray_update_flags)  # reject REVERSE|STOP loudly
         m = self.map
         rays = np.asarray(rays, dtype=np.float64).reshape(-1, 3)
         n_rays = rays.shape[0] // 2

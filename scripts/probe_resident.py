@@ -48,19 +48,33 @@ def main():
         mapper.integrate_rays(batches[i])
     fence(mapper.arena.arrays["occupancy"])
 
-    # Host-prep all wires, upload, fence.
+    # Host-prep all wires, upload, fence.  The warmup above populated the
+    # whole box scene's region set, so these preps must not evict (an
+    # eviction after wire i is packed would reassign slots wire i references
+    # — silently skewing resident-path results); assert none occurred.
+    evict0 = mapper.arena.stats["evictions"]
     prepped = []
     t0 = time.perf_counter()
     for b in batches:
-        wire, cfg, nr = mapper._rayflow_setup_host(b, None, None, 0)
-        prepped.append((wire, cfg, nr))
+        out = mapper._rayflow_setup_host(b, None, None, 0)
+        assert out is not None, "rayflow setup declined (capacity/envelope)"
+        prepped.append(out)
     t_host = (time.perf_counter() - t0) / n_b
+    assert mapper.arena.stats["evictions"] == evict0, \
+        "eviction during wire prep — baked slot tables are stale"
     devw = [jnp.asarray(w) for w, _, _ in prepped]
     fence(devw[-1][-1:])
     print(f"host prep: {t_host*1e3:.2f} ms/batch; wire {prepped[0][0].nbytes/1e3:.0f} kB",
           flush=True)
 
-    rc = mapper._fused_row_cap_for(n_rays, prepped[0][1].group_cap)
+    # All 20 box-scene batches are unsegmented full rays (n_segments ==
+    # n_rays on the rayflow wire), so the production row-cap gate
+    # (tpu_map.py passes the SEGMENT count) sees the same value here.
+    # Re-derive cfg/rc from the FINAL monotone cap caches so every rep runs
+    # one compiled variant (earlier wires may carry smaller caps).
+    cfg_final = prepped[-1][1]
+    prepped = [(w, cfg_final, nr) for w, _, nr in prepped]
+    rc = mapper._fused_row_cap_for(n_rays, cfg_final.group_cap)
     state = mapper.arena.device_state()
 
     def fresh_state():

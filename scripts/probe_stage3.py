@@ -81,6 +81,8 @@ def main():
         records, stats = expand_records_jit(batch, cfg)
         fence(records["key"])
         t3 = time.perf_counter()
+        # The production gate takes the SEGMENT count (tpu_map.py); the box
+        # scene's rayflow wire is unsegmented, so n_rays == n_segments here.
         rc = mapper._fused_row_cap_for(nr, cfg.group_cap)
         if rc:
             from ohm_tpu.ops.integrate import apply_records_fused_jit

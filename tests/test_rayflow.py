@@ -474,3 +474,46 @@ def test_chained_dispatch_matches_sequential():
     occ_s, trav_s = run(False)
     assert occ_c == occ_s
     assert trav_c == trav_s
+
+
+def test_cdict_u16_wire_bit_identical_tcand():
+    """The u16 dictionary wire (2048-entry dict + u16 indices, dict_mode 2)
+    must reconstruct tcand bit-identically to the full i32 candidate block
+    for batches touching 256..2047 regions (the u8 dict's fallback range —
+    e.g. the box bench scene's ~320)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from ohm_tpu.mapping.batch import prepare_rayflow, rayflow_wire
+    from ohm_tpu.mapping.tpu_map import TpuRayMapper
+    from ohm_tpu.ops.integrate import _unpack_batch
+
+    rng = np.random.default_rng(13)
+    m = OccupancyMap(resolution=0.1, flags=MapFlag.NONE)
+    # Rays to the walls of a 32x32x16 m box cross well over 255 regions
+    # at 0.1 m resolution (region edge 3.2 m).
+    n = 4096
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    t = np.min(np.where(dirs != 0, np.array([16.0, 16.0, 8.0]) / np.abs(dirs),
+                        np.inf), axis=1)
+    rays = np.zeros((2 * n, 3))
+    rays[1::2] = dirs * t[:, None]
+
+    mapper = TpuRayMapper(m, capacity=1024)
+    rf = prepare_rayflow(m, rays)
+    assert rf is not None and 255 < len(rf.region_keys) <= 2047, \
+        len(rf.region_keys)
+    mapper.arena.ensure_regions(rf.region_keys, host_map=m)
+    w_full = rayflow_wire(rf, mapper.arena.table, with_touch=False,
+                          with_intensity=False, cdict=0)
+    w_dict = rayflow_wire(rf, mapper.arena.table, with_touch=False,
+                          with_intensity=False, cdict=2)
+    assert w_dict.nbytes < w_full.nbytes  # 4K -> 2K B/ray + 8KB dict
+    cfg = mapper._config(0, table_k=rf.table_k)
+    cfg_f = dataclasses.replace(cfg, with_touch_time=False, rayw_cdict=0)
+    cfg_d = dataclasses.replace(cfg, with_touch_time=False, rayw_cdict=2)
+    b_full = _unpack_batch({"rayw": jnp.asarray(w_full)}, cfg_f)
+    b_dict = _unpack_batch({"rayw": jnp.asarray(w_dict)}, cfg_d)
+    for k in b_full:
+        np.testing.assert_array_equal(np.asarray(b_full[k]),
+                                      np.asarray(b_dict[k]), err_msg=k)
