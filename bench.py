@@ -86,7 +86,7 @@ def hardware_check(rng, tolerance=1e-4, allowed_ratio=1e-4, worst_bound=2e-3):
     # single-batch differential above never exercises it).
     batches = [box_scene_rays(512, rng) for _ in range(6)]
     vals = []
-    for fused in ("0", "1"):
+    for fused in ("0", "2"):
         old = os.environ.get("OHM_FUSED")
         os.environ["OHM_FUSED"] = fused
         try:
@@ -95,7 +95,7 @@ def hardware_check(rng, tolerance=1e-4, allowed_ratio=1e-4, worst_bound=2e-3):
             for b in batches:
                 mp.integrate_rays(b)
             mp.sync_voxels()
-            if fused == "1":
+            if fused == "2":
                 assert mp.row_cap > 0, "fused deposit never activated"
         finally:
             if old is None:

@@ -127,9 +127,13 @@ class TpuRayMapper:
         #: the 'row_lasts_max' expand stat (readback on the sizing batch,
         #: 2x headroom, monotone pow2); batches before sizing — and batches
         #: whose segment count exceeds the 16-bit count-width gate — run the
-        #: split-phase apply.  OHM_FUSED=0 disables.
+        #: split-phase apply.  OHM_FUSED=0 disables; OHM_FUSED=2 FORCES the
+        #: fused deposit even when the compaction-payoff gate says split is
+        #: faster (differential tests use this to pin the fused kernel).
         import os as _os
-        self.fused = _os.environ.get("OHM_FUSED", "1") != "0"
+        _fused_env = _os.environ.get("OHM_FUSED", "1")
+        self.fused = _fused_env != "0"
+        self._fused_force = _fused_env == "2"
         self.row_cap = 0
         self._row_cap_rays = 0
         #: Full-ray wire path (mapping.batch.prepare_rayflow): per-RAY
@@ -347,10 +351,19 @@ class TpuRayMapper:
         OHM_FUSED on, row_cap sized and sized for >= this many segments, and
         the 16-bit packed-count width bounds — per-voxel totals are bounded
         by one record per segment (so n_segments <= 16384 keeps walk + end
-        counts under 2^16) and per-row run counts by group_cap < 2^16."""
+        counts under 2^16) and per-row run counts by group_cap < 2^16.
+
+        Compaction-payoff gate (round-4 hardware ablation, probe_apply8/9):
+        the fused level-2 merge stream is rows*row_cap + ends vs the split
+        sort's rows*group_cap + ends, so fused only pays when the per-row
+        unique budget actually COMPACTS the rows.  On duplicate-sparse scenes
+        (0.1 m box bench: ~63% of records are voxel-lasts) row_cap sizes past
+        group_cap and fused measured 12.2 ms vs split 10.8 — route those to
+        split-phase instead."""
         if (self.fused and self.row_cap > 0 and 0 < n_segments <= 16384
                 and n_segments <= 2 * self._row_cap_rays
-                and 0 < group_cap < (1 << 16)):
+                and 0 < group_cap < (1 << 16)
+                and (self.row_cap < group_cap or self._fused_force)):
             return self.row_cap
         return 0
 
@@ -745,14 +758,17 @@ class TpuRayMapper:
         if any(p[1] != cfg0 for p in pending[1:]):
             return None
         if self.fused:
+            if self.row_cap == 0:
+                return None  # fused sizing readbacks still pending
             rcs = {self._fused_row_cap_for(p[2], cfg0.group_cap) for p in pending}
             if len(rcs) != 1:
                 return None
             rc = rcs.pop()
-            if rc <= 0:
-                return None  # not sized yet (or gate failed): keep per-batch
-            import dataclasses as _dc
-            return _dc.replace(cfg0, row_cap=rc)
+            if rc > 0:
+                import dataclasses as _dc
+                return _dc.replace(cfg0, row_cap=rc)
+            # rc == 0 with row_cap sized: the compaction-payoff gate chose
+            # split-phase — chain the split pipeline (row_cap stays 0).
         if self._auto_scatter and self.scatter_cap == 0:
             return None  # scatter window not sized yet
         return cfg0

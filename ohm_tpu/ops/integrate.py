@@ -219,6 +219,11 @@ def group_rows(flat, B, S, G):
 
 
 def _unpack_batch(batch, cfg=None):
+    if "start_abs" in batch:
+        # Already unpacked (the sharded rayflow path unpacks on the SOURCE
+        # shard, routes the field arrays over ICI, and feeds the destination
+        # core the routed dict directly — parallel.rayflow).
+        return batch
     if "rayw" in batch:
         # Full-ray wire (mapping.batch.prepare_rayflow / rayflow_wire):
         # per-RAY records, 40 + 4K (+4 touch when with_touch_time, +4

@@ -29,7 +29,7 @@ def _box_rays(n, rng, half=(10.0, 10.0, 5.0), sensor=(0.0, 0.0, 0.0)):
 
 def _populate(batches, fused, flags=MapFlag.NONE, rayflow=False, validate=True):
     old_f, old_r = os.environ.get("OHM_FUSED"), os.environ.get("OHM_RAYFLOW")
-    os.environ["OHM_FUSED"] = "1" if fused else "0"
+    os.environ["OHM_FUSED"] = "2" if fused else "0"
     os.environ["OHM_RAYFLOW"] = "1" if rayflow else "0"
     try:
         m = OccupancyMap(resolution=0.1, flags=flags)
@@ -93,7 +93,7 @@ def test_fused_flag_matrix_bit_identical():
         maps = []
         for fused in (False, True):
             old = os.environ.get("OHM_FUSED")
-            os.environ["OHM_FUSED"] = "1" if fused else "0"
+            os.environ["OHM_FUSED"] = "2" if fused else "0"
             try:
                 m = OccupancyMap(resolution=0.1, flags=MapFlag.NONE)
                 mapper = TpuRayMapper(m, capacity=512, validate=True)
@@ -131,7 +131,7 @@ def test_fused_ndt_bit_identical_occupancy():
     maps = []
     for fused in (False, True):
         old = os.environ.get("OHM_FUSED")
-        os.environ["OHM_FUSED"] = "1" if fused else "0"
+        os.environ["OHM_FUSED"] = "2" if fused else "0"
         try:
             m = OccupancyMap(resolution=0.2, flags=MapFlag.NONE)
             mp = TpuNdtMap(m, NdtParams(), capacity=256, validate=True)
