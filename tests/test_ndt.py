@@ -110,6 +110,10 @@ def test_ndt_hit_differential():
     tpu.sync_voxels()
 
     compare_cov_layers(cpu_map, dev_map)
+    # No silent miss-K degradation: the tolerance below covers ONLY the
+    # batch-phase state divergence (device reads batch-start state like the
+    # reference GPU's miss-then-hit phases), never K overflow.
+    assert tpu.stats.get("ndt_overflow", 0) == 0
     # Occupancy of sample voxels must match (hit accumulation).
     from tests.test_tpu_integrate import compare_occupancy
 
@@ -143,7 +147,9 @@ def test_ndt_miss_differential():
     from tests.test_tpu_integrate import compare_occupancy
 
     # Tolerances reflect mid-batch state divergence (device = reference GPU
-    # phase ordering; oracle = CPU interleaving) on top of f32.
+    # phase ordering; oracle = CPU interleaving) on top of f32 — NOT miss-K
+    # overflow, which is asserted zero (VERDICT r3 item 6).
+    assert tpu.stats.get("ndt_overflow", 0) == 0
     worst = compare_occupancy(cpu_map, dev_map, tolerance=5e-3, allowed_failure_ratio=0.04)
     compare_cov_layers(cpu_map, dev_map, atol=5e-3)
 
@@ -409,3 +415,38 @@ def test_ndt_miss_k_auto_sizes_and_stays_exact():
                                       b.layers[oi]["occupancy"])
         for f in a.layers[ci].dtype.names:
             np.testing.assert_array_equal(a.layers[ci][f], b.layers[ci][f])
+
+
+def test_ndt_sequential_strict_differential():
+    """Zero-escape-hatch NDT differential (VERDICT r3 item 6).
+
+    The batch tests above tolerate a small mismatch fraction because the
+    device evaluates miss/threshold math against BATCH-START state (the
+    reference GPU runs all misses before any hits — GpuNdtMap two-phase)
+    while the f64 oracle interleaves per ray.  Integrating ray-at-a-time
+    removes that divergence entirely: batch-start state IS the sequential
+    state, so oracle and device must agree to f32 rounding with NO allowed
+    failures — occupancy ratio 0 at 1e-4, covariance at 1e-5."""
+    rng = np.random.default_rng(43)
+    cpu_map, dev_map = make_maps()
+    oracle = RayMapperNdt(cpu_map, NdtParams())
+    tpu = TpuNdtMap(dev_map, NdtParams(), capacity=64, validate=True)
+
+    build = plane_rays(32, rng)
+    n = 12
+    through = np.empty((2 * n, 3))
+    through[0::2] = (0.0, 0.0, 2.0)
+    through[1::2] = np.column_stack([
+        rng.uniform(-0.8, 0.8, n), rng.uniform(-0.8, 0.8, n), np.full(n, -0.8)])
+    rays = np.concatenate([build, through])
+    for i in range(0, rays.shape[0], 2):
+        oracle.integrate_rays(rays[i:i + 2])
+        tpu.integrate_rays(rays[i:i + 2])
+    tpu.sync_voxels()
+    assert tpu.stats.get("ndt_overflow", 0) == 0
+
+    from tests.test_tpu_integrate import compare_occupancy
+
+    compare_occupancy(cpu_map, dev_map, tolerance=1e-4,
+                      allowed_failure_ratio=0.0)
+    compare_cov_layers(cpu_map, dev_map, atol=1e-5)
