@@ -13,6 +13,7 @@ ROI border handling.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
@@ -55,6 +56,29 @@ def _edt(occupied, radius_vox, resolution):
 
 
 _edt_jit = jax.jit(_edt, static_argnames=("radius_vox", "resolution"))
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "radius_vox",
+                                             "resolution", "radius",
+                                             "lo", "size"))
+def _edt_packed_jit(occ_bits, shape, radius_vox, resolution, radius,
+                    lo, size):
+    """EDT from a PACKED bit plane, clearance finished on device, interior
+    slice selected on device — the tunnel is the cost (docs/PERF.md), so the
+    upload ships 1 bit/voxel and the readback only the non-halo interior.
+
+    ``occ_bits`` u8[ceil(N/8)] packs the flat C-order box; ``lo``/``size``
+    (static tuples) bound the interior.  Returns f32 clearance of the
+    interior box (-1 where nothing within radius)."""
+    n = shape[0] * shape[1] * shape[2]
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # np.packbits bit order
+    bits = (occ_bits[:, None] >> shifts[None, :]) & 1
+    occupied = bits.reshape(-1)[:n].reshape(shape) != 0
+    d2 = _edt(occupied, radius_vox, resolution)
+    clearance = jnp.sqrt(jnp.minimum(d2, _BIG))
+    clearance = jnp.where((d2 < 1e30) & (clearance <= jnp.float32(radius)),
+                          clearance, jnp.float32(-1.0))
+    return jax.lax.slice(clearance, lo, tuple(l + s for l, s in zip(lo, size)))
 
 
 class ClearanceProcess:
@@ -141,14 +165,19 @@ class ClearanceProcess:
             o = (rk - bmin) * dims
             occupied[o[0]:o[0] + dims[0], o[1]:o[1] + dims[1], o[2]:o[2] + dims[2]] = mask
 
-        d2 = np.asarray(_edt_jit(jnp.asarray(occupied), radius_vox, float(res)))
-        clearance = np.sqrt(d2, where=d2 < 1e30, out=np.full(d2.shape, -1.0, np.float32))
-        clearance = np.where((d2 < 1e30) & (clearance <= self.search_radius), clearance, -1.0).astype(np.float32)
+        # Transfer diet (round 4; the tunnel dominates this whole process):
+        # ship 1 bit/voxel up (np.packbits) and read back only the non-halo
+        # interior, finished (sqrt + radius threshold) on device.
+        lo = tuple(int(v) for v in (rmin - bmin) * dims)
+        size = tuple(int(v) for v in (rmax - rmin + 1) * dims)
+        bits = np.packbits(occupied.reshape(-1))
+        clearance = np.asarray(_edt_packed_jit(
+            jnp.asarray(bits), tuple(int(v) for v in box_vox), radius_vox,
+            float(res), float(self.search_radius), lo, size))
 
-        stamp = m.stamp
         for key in region_keys:
             chunk = m.region(key, allow_create=True)
-            o = (np.asarray(key, np.int64) - bmin) * dims
+            o = (np.asarray(key, np.int64) - rmin) * dims
             block = clearance[o[0]:o[0] + dims[0], o[1]:o[1] + dims[1], o[2]:o[2] + dims[2]]
             chunk.layers[clear_idx][CLEARANCE_LAYER] = block.transpose(2, 1, 0).reshape(-1)
             self._processed_stamps[key] = chunk.dirty_stamp

@@ -264,8 +264,20 @@ def main():
         from ohm_tpu.query.clearance import ClearanceProcess
 
         t0 = time.perf_counter()
-        ClearanceProcess(m5, search_radius=1.0).update(force=True)
+        cp5 = ClearanceProcess(m5, search_radius=1.0)
+        cp5.update(force=True)
         t_clear = time.perf_counter() - t0
+        # Small-motion follow-up frame: a 16k-ray delta touching a corner of
+        # the scene; the incremental scheduler re-EDTs only dirty regions
+        # (reference: ohmgpu/ClearanceProcess.cpp dirty-region loop).
+        delta = benchmod.box_scene_rays(1 << 14, rng, half=(3.0, 3.0, 3.0),
+                                        sensor=(10.0, 10.0, 2.0))
+        mp5.integrate_rays(delta, intensities=intens[: 1 << 14],
+                           timestamps=times[: 1 << 14])
+        mp5.sync_voxels()
+        t0 = time.perf_counter()
+        n_inc = cp5.update()
+        t_clear_inc = time.perf_counter() - t0
         hm5 = Heightmap(min_clearance=0.5)
         hm5.mode = HeightmapMode.LAYERED_FILL
         t0 = time.perf_counter()
@@ -275,6 +287,8 @@ def main():
              "value": round(t_int + t_clear + t_hm, 3), "unit": "s",
              "rays": 1 << 20,
              "integrate_sec": round(t_int, 3), "clearance_sec": round(t_clear, 3),
+             "clearance_incremental_sec": round(t_clear_inc, 3),
+             "clearance_incremental_regions": int(n_inc),
              "heightmap_sec": round(t_hm, 3),
              "rays_per_sec": round((1 << 20) / t_int, 1)}
         print(json.dumps(r), flush=True)
