@@ -41,6 +41,7 @@ class TpuTsdfMap(TpuRayMapper):
             default_truncation_distance=float(o.default_truncation_distance),
             dropoff_epsilon=float(o.dropoff_epsilon),
             sparsity_compensation_factor=float(o.sparsity_compensation_factor),
+            per_visit=bool(o.per_visit),
         )
 
     def _dispatch_rayflow(self, batch, base_cfg, n_rays, ray_update_flags) -> int:
@@ -50,6 +51,7 @@ class TpuTsdfMap(TpuRayMapper):
             default_truncation_distance=float(self.options.default_truncation_distance),
             dropoff_epsilon=float(self.options.dropoff_epsilon),
             sparsity_compensation_factor=float(self.options.sparsity_compensation_factor),
+            per_visit=bool(self.options.per_visit),
         )
         new_state, stats = integrate_tsdf_jit(self.arena.device_state(), batch, cfg)
         self.arena.update_state(new_state)

@@ -26,6 +26,11 @@ class TsdfOptions:
     default_truncation_distance: float = 0.1
     dropoff_epsilon: float = 0.0
     sparsity_compensation_factor: float = 1.0
+    #: Apply truncation at every visit in reference ray order (exact
+    #: ohm/VoxelTsdfCompute.h semantics); False = once per batch (the
+    #: faster approximation, bounded by the truncation distance).  Device
+    #: mappers plumb this into ops.integrate_tsdf.TsdfConfig.
+    per_visit: bool = True
 
 
 def calculate_tsdf(sensor, sample, voxel_centre, options: TsdfOptions, weight, distance):
