@@ -4,11 +4,15 @@ Reference parity: slamio/PointCloudReaderPdal.{h,cpp} reads LAS/LAZ (among
 other formats) through PDAL; PDAL is not available in this environment, so
 .las is parsed directly against the public ASPRS LAS 1.0-1.4 specification
 and .laz through a from-scratch LASzip codec (ohm_tpu/native/laszip.cpp:
-pointwise-chunked compressor, record version 2 item codecs POINT10 /
-GPSTIME11 / RGB12 / BYTE — i.e. LAS 1.2 point formats 0-3 plus extra bytes,
-the formats robotics lidar clouds actually use).  LAS 1.4 layered point
-formats (6+) compress with the v3/v4 codecs and are rejected with a clear
-error.
+pointwise-chunked compressor 2, record version 2 item codecs POINT10 /
+GPSTIME11 / RGB12 / BYTE — LAS 1.2 point formats 0-3 plus extra bytes —
+and layered compressor 3, version 3 item codecs POINT14 / RGB14 /
+RGBNIR14 / BYTE14 — LAS 1.4 point formats 6-8).  Variable-chunked layered
+streams and the v4 selective-update codecs are rejected with a clear
+error.  Round-trips are pinned by tests/test_laz.py; cross-implementation
+bit-compatibility of the layered codecs could not be verified in this
+environment (no third-party .laz available) — docs/STATUS.md carries the
+caveat.
 
 Covers point data record formats 0-10 uncompressed: scaled XYZ, intensity,
 GPS time, return number / number of returns (dual-return detection for the
@@ -30,6 +34,9 @@ _EXTENDED_RETURNS = {6, 7, 8, 9, 10}
 #: LASzip item type ids (laszip VLR item list).
 _LZ_BYTE, _LZ_POINT10, _LZ_GPSTIME11, _LZ_RGB12 = 0, 6, 7, 8
 _LZ_SUPPORTED = {_LZ_BYTE, _LZ_POINT10, _LZ_GPSTIME11, _LZ_RGB12}
+#: LAS 1.4 layered (compressor 3) item type ids, record version 3.
+_LZ_POINT14, _LZ_RGB14, _LZ_RGBNIR14, _LZ_BYTE14 = 10, 11, 12, 14
+_LZ_LAYERED = {_LZ_POINT14, _LZ_RGB14, _LZ_RGBNIR14, _LZ_BYTE14}
 
 
 def _parse_records(rec: np.ndarray, fmt: int, scale, offset) -> dict:
@@ -100,16 +107,27 @@ def _read_laz_records(data: bytes, filename: str, point_offset: int,
         raise ValueError(f"{filename}: compressed LAZ without a laszip VLR")
     if vlr["coder"] != 0:
         raise ValueError(f"{filename}: unsupported LASzip coder {vlr['coder']}")
-    if vlr["compressor"] not in (1, 2):
+    if vlr["compressor"] not in (1, 2, 3):
         raise NotImplementedError(
-            f"{filename}: LASzip compressor {vlr['compressor']} (layered "
-            "LAS 1.4 point formats) is not supported — rewrite as point "
-            "format 0-3")
-    for t, s, v in vlr["items"]:
-        if t not in _LZ_SUPPORTED or v != 2:
+            f"{filename}: LASzip compressor {vlr['compressor']} is not "
+            "supported")
+    layered = vlr["compressor"] == 3
+    if layered:
+        if vlr["chunk_size"] == 0xFFFFFFFF:
             raise NotImplementedError(
-                f"{filename}: LASzip item type {t} v{v} not supported "
-                "(point formats 0-3 + extra bytes only)")
+                f"{filename}: variable-chunked layered LAZ is not supported "
+                "— rewrite with a fixed chunk size")
+        for t, s, v in vlr["items"]:
+            if t not in _LZ_LAYERED or v != 3:
+                raise NotImplementedError(
+                    f"{filename}: LASzip layered item type {t} v{v} not "
+                    "supported (POINT14/RGB14/RGBNIR14/BYTE14 v3 only)")
+    else:
+        for t, s, v in vlr["items"]:
+            if t not in _LZ_SUPPORTED or v != 2:
+                raise NotImplementedError(
+                    f"{filename}: LASzip item type {t} v{v} not supported "
+                    "(point formats 0-3 + extra bytes only)")
     sizes = [s for _, s, _ in vlr["items"]]
     if sum(sizes) != rec_len:
         raise ValueError(f"{filename}: laszip item sizes {sizes} != record "
@@ -136,7 +154,7 @@ def _read_laz_records(data: bytes, filename: str, point_offset: int,
         chunk_size = vlr["chunk_size"]
     types = [t for t, _, _ in vlr["items"]]
     return native.laz_decompress(stream, types, sizes, n_points, chunk_size,
-                                 starts)
+                                 starts, layered=layered)
 
 
 def read_las(filename: str) -> dict:
@@ -194,18 +212,47 @@ def _build_records_fmt1(points, timestamps, intensities, return_numbers,
     return rec
 
 
+def _build_records_fmt6(points, timestamps, intensities, return_numbers,
+                        number_of_returns, scale, offset,
+                        scanner_channels=None):
+    """Raw LAS 1.4 point format 6 records (30 B) from field arrays."""
+    n = len(points)
+    rec = np.zeros((n, 30), np.uint8)
+    xyz_i = np.round((points - offset[None, :]) / scale[None, :]).astype("<i4")
+    rec[:, 0:12] = np.ascontiguousarray(xyz_i).view(np.uint8).reshape(n, 12)
+    if intensities is not None:
+        rec[:, 12:14] = np.asarray(intensities, "<u2").view(np.uint8).reshape(n, 2)
+    rn = np.asarray(return_numbers, np.uint8) if return_numbers is not None else np.ones(n, np.uint8)
+    nr = np.asarray(number_of_returns, np.uint8) if number_of_returns is not None else np.ones(n, np.uint8)
+    rec[:, 14] = (rn & 0x0F) | ((nr & 0x0F) << 4)
+    if scanner_channels is not None:
+        rec[:, 15] = (np.asarray(scanner_channels, np.uint8) & 0x03) << 4
+    if timestamps is not None:
+        rec[:, 22:30] = np.asarray(timestamps, "<f8").view(np.uint8).reshape(n, 8)
+    return rec
+
+
 def _las_header(n: int, fmt: int, rec_len: int, point_offset: int,
-                n_vlrs: int, scale, offset, points) -> bytearray:
-    header = bytearray(227)
+                n_vlrs: int, scale, offset, points,
+                version=(1, 2)) -> bytearray:
+    """Minimal LAS public header block; LAS 1.4 (375 B header, 64-bit point
+    count at offset 247, legacy count zeroed for formats 6+) when
+    ``version`` is (1, 4)."""
+    header_size = 375 if version >= (1, 4) else 227
+    header = bytearray(header_size)
     header[0:4] = b"LASF"
-    header[24] = 1
-    header[25] = 2
-    header[94:96] = int(227).to_bytes(2, "little")  # header size
+    header[24], header[25] = version
+    header[94:96] = header_size.to_bytes(2, "little")
     header[96:100] = int(point_offset).to_bytes(4, "little")
     header[100:104] = int(n_vlrs).to_bytes(4, "little")
     header[104] = fmt
     header[105:107] = rec_len.to_bytes(2, "little")
-    header[107:111] = n.to_bytes(4, "little")
+    if version >= (1, 4) and (fmt & 0x7F) > 5:
+        header[247:255] = n.to_bytes(8, "little")
+    else:
+        header[107:111] = n.to_bytes(4, "little")
+        if version >= (1, 4):
+            header[247:255] = n.to_bytes(8, "little")
     header[131:155] = np.asarray(scale, np.float64).tobytes()
     header[155:179] = np.asarray(offset, np.float64).tobytes()
     if n:
@@ -234,23 +281,40 @@ def write_las(filename: str, points, timestamps=None, intensities=None,
 
 def write_laz(filename: str, points, timestamps=None, intensities=None,
               return_numbers=None, number_of_returns=None,
-              scale=(1e-3, 1e-3, 1e-3), chunk_size: int = 50000) -> None:
-    """Write a LASzip-compressed .laz (LAS 1.2, point format 1).
+              scale=(1e-3, 1e-3, 1e-3), chunk_size: int = 50000,
+              point_format: int = 1, scanner_channels=None) -> None:
+    """Write a LASzip-compressed .laz.
 
-    Pointwise-chunked compressor 2 with POINT10 + GPSTIME11 v2 item codecs
-    and a standard chunk table — the layout PDAL/LASzip readers expect."""
+    ``point_format`` 1 (default): LAS 1.2, pointwise-chunked compressor 2
+    with POINT10 + GPSTIME11 v2 item codecs.  ``point_format`` 6: LAS 1.4,
+    layered compressor 3 with the POINT14 v3 item codec (the "native
+    extension" framing modern fmt-6+ sensors emit).  Both carry a standard
+    chunk table."""
     from ohm_tpu import native
 
     points = np.asarray(points, np.float64).reshape(-1, 3)
     n = len(points)
     scale = np.asarray(scale, np.float64)
     offset = points.min(axis=0) if n else np.zeros(3)
-    rec = _build_records_fmt1(points, timestamps, intensities,
-                              return_numbers, number_of_returns, scale, offset)
-
-    items = [(_LZ_POINT10, 20, 2), (_LZ_GPSTIME11, 8, 2)]
-    vlr_payload = struct.pack("<HHBBHIIqqH", 2, 0, 2, 2, 0, 0, chunk_size,
-                              0, 0, len(items))
+    if point_format == 6:
+        rec = _build_records_fmt6(points, timestamps, intensities,
+                                  return_numbers, number_of_returns, scale,
+                                  offset, scanner_channels)
+        items = [(_LZ_POINT14, 30, 3)]
+        # laszip VLR version field = LASzip library version (3.4 era for the
+        # layered codecs); the LAS header carries the 1.4 file version.
+        compressor, version, las_version, fmt, rec_len = 3, (3, 4), (1, 4), 6, 30
+    elif point_format == 1:
+        rec = _build_records_fmt1(points, timestamps, intensities,
+                                  return_numbers, number_of_returns, scale,
+                                  offset)
+        items = [(_LZ_POINT10, 20, 2), (_LZ_GPSTIME11, 8, 2)]
+        compressor, version, las_version, fmt, rec_len = 2, (2, 2), (1, 2), 1, 28
+    else:
+        raise ValueError(f"write_laz: unsupported point_format {point_format}"
+                         " (1 or 6)")
+    vlr_payload = struct.pack("<HHBBHIIqqH", compressor, 0, version[0],
+                              version[1], 0, 0, chunk_size, 0, 0, len(items))
     for t, s, v in items:
         vlr_payload += struct.pack("<HHH", t, s, v)
     vlr = struct.pack("<H", 0) + b"laszip encoded".ljust(16, b"\0")
@@ -258,13 +322,14 @@ def write_laz(filename: str, points, timestamps=None, intensities=None,
     vlr += b"ohm_tpu laszip".ljust(32, b"\0")
     vlr += vlr_payload
 
-    point_offset = 227 + len(vlr)
-    header = _las_header(n, 1 | 0x80, 28, point_offset, 1, scale, offset,
-                         points)
+    header_size = 375 if las_version >= (1, 4) else 227
+    point_offset = header_size + len(vlr)
+    header = _las_header(n, fmt | 0x80, rec_len, point_offset, 1, scale,
+                         offset, points, version=las_version)
     if n:
         stream, chunk_bytes = native.laz_compress(
             rec, [t for t, _, _ in items], [s for _, s, _ in items],
-            chunk_size)
+            chunk_size, layered=(compressor == 3))
     else:
         stream, chunk_bytes = b"", []
     table_off = point_offset + 8 + len(stream)

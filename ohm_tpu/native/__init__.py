@@ -295,6 +295,7 @@ def get_laz_lib():
             return None
     lib = ctypes.CDLL(_LAZ_LIB)
     for fn in ("laszip_decompress", "laszip_compress",
+               "laszip_decompress_layered", "laszip_compress_layered",
                "laszip_read_chunk_table", "laszip_write_chunk_table"):
         getattr(lib, fn).restype = ctypes.c_int64
     _laz_lib = lib
@@ -302,10 +303,11 @@ def get_laz_lib():
 
 
 def laz_decompress(stream: np.ndarray, item_types, item_sizes, n_points: int,
-                   chunk_size: int, chunk_starts) -> np.ndarray:
-    """Decompress a pointwise-chunked LASzip point stream into raw point
-    records (u8[n_points, point_size]).  ``chunk_starts`` are byte offsets of
-    each chunk within ``stream``."""
+                   chunk_size: int, chunk_starts, layered: bool = False) -> np.ndarray:
+    """Decompress a LASzip point stream into raw point records
+    (u8[n_points, point_size]).  ``chunk_starts`` are byte offsets of each
+    chunk within ``stream``; ``layered`` selects the compressor-3 framing
+    (LAS 1.4 point formats 6+)."""
     lib = get_laz_lib()
     if lib is None:
         raise RuntimeError("LASzip codec unavailable (no C++ compiler)")
@@ -315,7 +317,8 @@ def laz_decompress(stream: np.ndarray, item_types, item_sizes, n_points: int,
     point_size = int(sizes.sum())
     stream = np.ascontiguousarray(stream, np.uint8)
     out = np.zeros(n_points * point_size, np.uint8)
-    rc = lib.laszip_decompress(
+    fn = lib.laszip_decompress_layered if layered else lib.laszip_decompress
+    rc = fn(
         _ptr(stream, ctypes.c_uint8), ctypes.c_int64(stream.size),
         _ptr(types, ctypes.c_int32), _ptr(sizes, ctypes.c_int32),
         ctypes.c_int32(len(types)), ctypes.c_int64(n_points),
@@ -328,10 +331,10 @@ def laz_decompress(stream: np.ndarray, item_types, item_sizes, n_points: int,
 
 
 def laz_compress(records: np.ndarray, item_types, item_sizes,
-                 chunk_size: int = 50000):
-    """Compress raw point records (u8[n_points, point_size]) into a
-    pointwise-chunked LASzip stream.  Returns (stream bytes, chunk byte
-    lengths)."""
+                 chunk_size: int = 50000, layered: bool = False):
+    """Compress raw point records (u8[n_points, point_size]) into a LASzip
+    stream (``layered`` = compressor-3 framing for LAS 1.4 formats 6+).
+    Returns (stream bytes, chunk byte lengths)."""
     lib = get_laz_lib()
     if lib is None:
         raise RuntimeError("LASzip codec unavailable (no C++ compiler)")
@@ -345,9 +348,10 @@ def laz_compress(records: np.ndarray, item_types, item_sizes,
     chunk_bytes = np.zeros(n_chunk_cap, np.int64)
     n_chunks = np.zeros(1, np.int32)
     cap = records.size + 4096 + 64 * n_chunk_cap
+    fn = lib.laszip_compress_layered if layered else lib.laszip_compress
     while True:
         out = np.zeros(cap, np.uint8)
-        total = lib.laszip_compress(
+        total = fn(
             _ptr(records, ctypes.c_uint8), ctypes.c_int64(n_points),
             _ptr(types, ctypes.c_int32), _ptr(sizes, ctypes.c_int32),
             ctypes.c_int32(len(types)), ctypes.c_uint32(chunk_size & 0xFFFFFFFF),

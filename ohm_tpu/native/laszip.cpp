@@ -18,6 +18,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <vector>
 
 namespace {
 
@@ -1146,9 +1147,490 @@ struct Byte_v2 {
 };
 
 // ------------------------------------------------------------------------ //
+// LAS 1.4 layered codecs (LASzip "native extension", compressor 3) for
+// point formats 6-10: POINT14 / RGB14 / RGBNIR14 / BYTE14.
+//
+// Container framing follows the native extension: per chunk the stream is
+// [raw first point (all items, item order)] [u32 byte count per layer, in
+// item/layer order] [layer payloads in the same order]; the chunk table is
+// the compressor-2 one.  Model structure follows the v3 design: FOUR
+// scanner-channel contexts each holding complete model state (switched via
+// the changed-values symbol, fresh contexts initialised from the previous
+// context's last point), nine POINT14 layers (channel_returns_XY, Z,
+// classification, flags, intensity, scan_angle, user_data, point_source,
+// gpstime), per-layer independent arithmetic streams enabling selective
+// decompression.  The per-field entropy models reuse this library's
+// spec-verified v2 primitives (FastAC models, IntegerCompressor, streaming
+// medians, multi-sequence GPS prediction).  Round-trips are pinned by
+// tests/test_laz.py; cross-implementation bit-compatibility for formats 6+
+// could NOT be verified in this environment (no third-party .laz or laszip
+// build available) and is not claimed — docs/STATUS.md carries the caveat.
+
+// Raw 30-byte POINT14 record (LAS 1.4 point data record format 6).
+struct Point14 {
+  I32 x, y, z;
+  U16 intensity;
+  U8 returns_byte;  // return#:4 | #returns:4
+  U8 flags_byte;    // class flags:4 | scanner channel:2 | scan dir:1 | edge:1
+  U8 classification;
+  U8 user_data;
+  I16 scan_angle;
+  U16 point_source_id;
+  U8 gps[8];
+
+  void load(const U8* p) {
+    std::memcpy(&x, p, 4);
+    std::memcpy(&y, p + 4, 4);
+    std::memcpy(&z, p + 8, 4);
+    std::memcpy(&intensity, p + 12, 2);
+    returns_byte = p[14];
+    flags_byte = p[15];
+    classification = p[16];
+    user_data = p[17];
+    std::memcpy(&scan_angle, p + 18, 2);
+    std::memcpy(&point_source_id, p + 20, 2);
+    std::memcpy(gps, p + 22, 8);
+  }
+  void store(U8* p) const {
+    std::memcpy(p, &x, 4);
+    std::memcpy(p + 4, &y, 4);
+    std::memcpy(p + 8, &z, 4);
+    std::memcpy(p + 12, &intensity, 2);
+    p[14] = returns_byte;
+    p[15] = flags_byte;
+    p[16] = classification;
+    p[17] = user_data;
+    std::memcpy(p + 18, &scan_angle, 2);
+    std::memcpy(p + 20, &point_source_id, 2);
+    std::memcpy(p + 22, gps, 8);
+  }
+  U8 rn() const { return returns_byte & 15; }
+  U8 nr() const { return (returns_byte >> 4) & 15; }
+  U8 channel() const { return (flags_byte >> 4) & 3; }
+  // 6-bit flags without the scanner channel (coded via changed-values).
+  U8 flags6() const { return (flags_byte & 0x0F) | (((flags_byte >> 6) & 3) << 4); }
+  void set_flags6_channel(U8 f6, U8 ch) {
+    flags_byte = (U8)((f6 & 0x0F) | ((ch & 3) << 4) | (((f6 >> 4) & 3) << 6));
+  }
+};
+
+// POINT14 layer indices.
+enum {
+  kLxy = 0, kLz, kLclass, kLflags, kLint, kLscan, kLuser, kLps, kLgps,
+  kPoint14Layers
+};
+
+struct Point14Ctx {
+  SymbolModel m_changed[8];      // 128-symbol changed-values, lpr context
+  SymbolModel m_channel;         // 3 symbols: channel delta - 1
+  SymbolModel m_nr[16];          // number of returns, prev-value context
+  SymbolModel m_rn[16];          // return number (gps changed), prev-value ctx
+  SymbolModel m_rn_gps_same;     // 13 symbols: rn jump - 2 (gps unchanged)
+  IntegerCompressor ic_dx{32, 2};
+  IntegerCompressor ic_dy{32, 22};
+  IntegerCompressor ic_z{32, 20};
+  StreamingMedian5 med_x[16], med_y[16];
+  I32 last_height[8];
+  IntegerCompressor ic_intensity{16, 4};
+  U16 last_intensity[16];
+  SymbolModel* m_class[256] = {};
+  SymbolModel* m_flags[64] = {};
+  SymbolModel* m_user[256] = {};
+  IntegerCompressor ic_scan_angle{16, 2};
+  IntegerCompressor ic_ps{16, 1};
+  GpsTime11v2 gps;
+  Point14 last;
+  bool last_gps_changed = false;
+  bool used = false;
+  bool allocated = false;
+  bool for_compress = false;
+
+  ~Point14Ctx() {
+    for (int i = 0; i < 256; ++i) {
+      delete m_class[i];
+      delete m_user[i];
+    }
+    for (int i = 0; i < 64; ++i) delete m_flags[i];
+  }
+
+  SymbolModel* lazy(SymbolModel** arr, U32 idx, U32 syms) {
+    if (!arr[idx]) {
+      arr[idx] = new SymbolModel();
+      arr[idx]->setup(syms, for_compress);
+      arr[idx]->init();
+    }
+    return arr[idx];
+  }
+
+  void init_from(const Point14& p, bool compress_mode) {
+    if (!allocated || for_compress != compress_mode) {
+      for (int i = 0; i < 256; ++i) {
+        delete m_class[i]; m_class[i] = nullptr;
+        delete m_user[i]; m_user[i] = nullptr;
+      }
+      for (int i = 0; i < 64; ++i) { delete m_flags[i]; m_flags[i] = nullptr; }
+      for (int i = 0; i < 8; ++i) m_changed[i].setup(128, compress_mode);
+      m_channel.setup(3, compress_mode);
+      for (int i = 0; i < 16; ++i) {
+        m_nr[i].setup(16, compress_mode);
+        m_rn[i].setup(16, compress_mode);
+      }
+      m_rn_gps_same.setup(13, compress_mode);
+      allocated = true;
+      for_compress = compress_mode;
+    } else {
+      for (int i = 0; i < 256; ++i) {
+        if (m_class[i]) m_class[i]->init();
+        if (m_user[i]) m_user[i]->init();
+      }
+      for (int i = 0; i < 64; ++i) if (m_flags[i]) m_flags[i]->init();
+    }
+    for (int i = 0; i < 8; ++i) m_changed[i].init();
+    m_channel.init();
+    for (int i = 0; i < 16; ++i) {
+      m_nr[i].init();
+      m_rn[i].init();
+    }
+    m_rn_gps_same.init();
+    ic_dx.setup(compress_mode);
+    ic_dy.setup(compress_mode);
+    ic_z.setup(compress_mode);
+    ic_intensity.setup(compress_mode);
+    ic_scan_angle.setup(compress_mode);
+    ic_ps.setup(compress_mode);
+    for (int i = 0; i < 16; ++i) {
+      med_x[i].init();
+      med_y[i].init();
+      last_intensity[i] = 0;
+    }
+    for (int i = 0; i < 8; ++i) last_height[i] = 0;
+    gps.init(p.gps, compress_mode);
+    last = p;
+    last_gps_changed = false;
+    used = true;
+  }
+};
+
+struct Point14v3 {
+  Point14Ctx ctx[4];
+  U32 current = 0;
+  bool compress_mode = false;
+
+  void init(const U8* first_item, bool cm) {
+    compress_mode = cm;
+    Point14 p;
+    p.load(first_item);
+    for (int c = 0; c < 4; ++c) ctx[c].used = false;
+    current = p.channel();
+    ctx[current].init_from(p, cm);
+  }
+
+  // Shared per-point XYZ / field coding given the resolved rn/nr.
+  static U32 clip7(U32 v) { return v < 7 ? v : 7; }
+
+  void read(Decoder* d, U8* item) {
+    Point14Ctx* c = &ctx[current];
+    const U32 lpr = (U32)(c->last.rn() == 1) | ((U32)(c->last.rn() >= c->last.nr()) << 1)
+                    | ((U32)c->last_gps_changed << 2);
+    const U32 cv = d[kLxy].decode_symbol(c->m_changed[lpr]);
+    if (cv & 64) {
+      const U32 sym = d[kLxy].decode_symbol(c->m_channel);
+      const U32 nc = (current + sym + 1) & 3;
+      if (!ctx[nc].used) ctx[nc].init_from(c->last, compress_mode);
+      current = nc;
+      c = &ctx[current];
+    }
+    Point14 cur = c->last;
+    U32 nr = c->last.nr();
+    if (cv & 4) nr = d[kLxy].decode_symbol(c->m_nr[c->last.nr()]);
+    U32 rn;
+    switch (cv & 3) {
+      case 0: rn = c->last.rn(); break;
+      case 1: rn = (c->last.rn() + 1) & 15; break;
+      case 2: rn = (c->last.rn() + 15) & 15; break;
+      default:
+        rn = (cv & 16) ? d[kLxy].decode_symbol(c->m_rn[c->last.rn()])
+                       : ((c->last.rn() + 2 +
+                           d[kLxy].decode_symbol(c->m_rn_gps_same)) & 15);
+        break;
+    }
+    cur.returns_byte = (U8)(rn | (nr << 4));
+    const U32 m = kNumberReturnMap[clip7(nr)][clip7(rn)];
+    const U32 l = kNumberReturnLevel[clip7(nr)][clip7(rn)];
+
+    I32 median = c->med_x[m].get();
+    I32 diff = c->ic_dx.decompress(d[kLxy], median, nr == 1);
+    cur.x = c->last.x + diff;
+    c->med_x[m].add(diff);
+    median = c->med_y[m].get();
+    U32 k_bits = c->ic_dx.k;
+    diff = c->ic_dy.decompress(d[kLxy], median,
+                               (nr == 1) + (k_bits < 20 ? (k_bits & ~1u) : 20u));
+    cur.y = c->last.y + diff;
+    c->med_y[m].add(diff);
+    k_bits = (c->ic_dx.k + c->ic_dy.k) / 2;
+    cur.z = c->ic_z.decompress(d[kLz], c->last_height[l],
+                               (nr == 1) + (k_bits < 18 ? (k_bits & ~1u) : 18u));
+    c->last_height[l] = cur.z;
+
+    cur.classification =
+        (U8)d[kLclass].decode_symbol(*c->lazy(c->m_class, c->last.classification, 256));
+    const U8 f6 =
+        (U8)d[kLflags].decode_symbol(*c->lazy(c->m_flags, c->last.flags6(), 64));
+    cur.set_flags6_channel(f6, (U8)current);
+    c->last_intensity[m] = (U16)c->ic_intensity.decompress(
+        d[kLint], c->last_intensity[m], m < 3 ? m : 3u);
+    cur.intensity = c->last_intensity[m];
+    if (cv & 8) {
+      cur.scan_angle = (I16)c->ic_scan_angle.decompress(
+          d[kLscan], c->last.scan_angle, (f6 >> 4) & 1);
+    }
+    cur.user_data =
+        (U8)d[kLuser].decode_symbol(*c->lazy(c->m_user, c->last.user_data, 256));
+    if (cv & 32) {
+      cur.point_source_id = (U16)c->ic_ps.decompress(
+          d[kLps], c->last.point_source_id, 0);
+    }
+    if (cv & 16) {
+      c->gps.read(d[kLgps], cur.gps);
+    }
+    c->last_gps_changed = (cv & 16) != 0;
+    c->last = cur;
+    cur.store(item);
+  }
+
+  void write(Encoder* e, const U8* item) {
+    Point14 cur;
+    cur.load(item);
+    const U32 ch = cur.channel();
+    Point14Ctx* c = &ctx[current];
+    const U32 lpr = (U32)(c->last.rn() == 1) | ((U32)(c->last.rn() >= c->last.nr()) << 1)
+                    | ((U32)c->last_gps_changed << 2);
+    // Flags are computed against the TARGET context's last point (fresh
+    // contexts copy the previous context's last, so this is well-defined
+    // before the switch happens).
+    Point14Ctx* t = &ctx[ch];
+    const Point14& tl = t->used ? t->last : c->last;
+    const bool channel_changed = ch != current;
+    const bool ps_changed = tl.point_source_id != cur.point_source_id;
+    const bool gps_changed = std::memcmp(tl.gps, cur.gps, 8) != 0;
+    const bool sa_changed = tl.scan_angle != cur.scan_angle;
+    const bool nr_changed = tl.nr() != cur.nr();
+    U32 rn_code;
+    if (cur.rn() == tl.rn()) rn_code = 0;
+    else if (cur.rn() == ((tl.rn() + 1) & 15)) rn_code = 1;
+    else if (cur.rn() == ((tl.rn() + 15) & 15)) rn_code = 2;
+    else rn_code = 3;
+    const U32 cv = ((U32)channel_changed << 6) | ((U32)ps_changed << 5)
+                   | ((U32)gps_changed << 4) | ((U32)sa_changed << 3)
+                   | ((U32)nr_changed << 2) | rn_code;
+    e[kLxy].encode_symbol(c->m_changed[lpr], cv);
+    if (channel_changed) {
+      e[kLxy].encode_symbol(c->m_channel, (ch - current - 1) & 3);
+      if (!t->used) t->init_from(c->last, compress_mode);
+      current = ch;
+      c = t;
+    }
+    if (nr_changed) e[kLxy].encode_symbol(c->m_nr[c->last.nr()], cur.nr());
+    if (rn_code == 3) {
+      if (gps_changed) {
+        e[kLxy].encode_symbol(c->m_rn[c->last.rn()], cur.rn());
+      } else {
+        e[kLxy].encode_symbol(c->m_rn_gps_same,
+                              (cur.rn() - c->last.rn() - 2) & 15);
+      }
+    }
+    const U32 nr = cur.nr(), rn = cur.rn();
+    const U32 m = kNumberReturnMap[clip7(nr)][clip7(rn)];
+    const U32 l = kNumberReturnLevel[clip7(nr)][clip7(rn)];
+
+    I32 median = c->med_x[m].get();
+    I32 diff = cur.x - c->last.x;
+    c->ic_dx.compress(e[kLxy], median, diff, nr == 1);
+    c->med_x[m].add(diff);
+    median = c->med_y[m].get();
+    U32 k_bits = c->ic_dx.k;
+    diff = cur.y - c->last.y;
+    c->ic_dy.compress(e[kLxy], median, diff,
+                      (nr == 1) + (k_bits < 20 ? (k_bits & ~1u) : 20u));
+    c->med_y[m].add(diff);
+    k_bits = (c->ic_dx.k + c->ic_dy.k) / 2;
+    c->ic_z.compress(e[kLz], c->last_height[l], cur.z,
+                     (nr == 1) + (k_bits < 18 ? (k_bits & ~1u) : 18u));
+    c->last_height[l] = cur.z;
+
+    e[kLclass].encode_symbol(*c->lazy(c->m_class, c->last.classification, 256),
+                             cur.classification);
+    e[kLflags].encode_symbol(*c->lazy(c->m_flags, c->last.flags6(), 64),
+                             cur.flags6());
+    c->ic_intensity.compress(e[kLint], c->last_intensity[m], cur.intensity,
+                             m < 3 ? m : 3u);
+    c->last_intensity[m] = cur.intensity;
+    if (sa_changed) {
+      c->ic_scan_angle.compress(e[kLscan], c->last.scan_angle, cur.scan_angle,
+                                (cur.flags6() >> 4) & 1);
+    }
+    e[kLuser].encode_symbol(*c->lazy(c->m_user, c->last.user_data, 256),
+                            cur.user_data);
+    if (ps_changed) {
+      c->ic_ps.compress(e[kLps], c->last.point_source_id,
+                        cur.point_source_id, 0);
+    }
+    if (gps_changed) c->gps.write(e[kLgps], cur.gps);
+    c->last_gps_changed = gps_changed;
+    c->last = cur;
+  }
+};
+
+// RGB14: one layer, per-channel-context v2 RGB models.  RGBNIR14 adds a
+// second layer with per-byte delta models for the NIR word.
+struct Rgb14v3 {
+  Rgb12v2 rgb[4];
+  bool initd[4] = {};
+  SymbolModel m_nir_lo[4], m_nir_hi[4];
+  U16 last_nir[4];
+  bool nir_alloc = false;
+  bool has_nir = false;
+
+  void init(const U8* first_item, bool cm, U32 ctx0, bool with_nir) {
+    has_nir = with_nir;
+    for (int c = 0; c < 4; ++c) initd[c] = false;
+    rgb[ctx0].init(first_item, cm);
+    initd[ctx0] = true;
+    if (with_nir) {
+      if (!nir_alloc) {
+        for (int c = 0; c < 4; ++c) {
+          m_nir_lo[c].setup(256, cm);
+          m_nir_hi[c].setup(256, cm);
+        }
+        nir_alloc = true;
+      }
+      for (int c = 0; c < 4; ++c) {
+        m_nir_lo[c].init();
+        m_nir_hi[c].init();
+        last_nir[c] = 0;
+      }
+      std::memcpy(&last_nir[ctx0], first_item + 6, 2);
+    }
+  }
+  void ensure(U32 c, bool cm) {
+    if (!initd[c]) {
+      // Fresh context: seed from any initialised context's last value.
+      U8 seed[8] = {};
+      for (int s = 0; s < 4; ++s) {
+        if (initd[s]) {
+          std::memcpy(seed, &rgb[s].last_r, 2);
+          std::memcpy(seed + 2, &rgb[s].last_g, 2);
+          std::memcpy(seed + 4, &rgb[s].last_b, 2);
+          if (has_nir) std::memcpy(seed + 6, &last_nir[s], 2);
+          break;
+        }
+      }
+      rgb[c].init(seed, cm);
+      initd[c] = true;
+      if (has_nir) std::memcpy(&last_nir[c], seed + 6, 2);
+    }
+  }
+  void read(Decoder* d, U8* item, U32 c, bool cm) {
+    ensure(c, cm);
+    rgb[c].read(d[0], item);
+    if (has_nir) {
+      U16 nir = last_nir[c];
+      U8 lo = u8_fold((I32)d[1].decode_symbol(m_nir_lo[c]) + (nir & 0xFF));
+      U8 hi = u8_fold((I32)d[1].decode_symbol(m_nir_hi[c]) + (nir >> 8));
+      nir = (U16)(lo | (hi << 8));
+      std::memcpy(item + 6, &nir, 2);
+      last_nir[c] = nir;
+    }
+  }
+  void write(Encoder* e, const U8* item, U32 c, bool cm) {
+    ensure(c, cm);
+    rgb[c].write(e[0], item);
+    if (has_nir) {
+      U16 nir;
+      std::memcpy(&nir, item + 6, 2);
+      e[1].encode_symbol(m_nir_lo[c], u8_fold((I32)(nir & 0xFF) - (last_nir[c] & 0xFF)));
+      e[1].encode_symbol(m_nir_hi[c], u8_fold((I32)(nir >> 8) - (last_nir[c] >> 8)));
+      last_nir[c] = nir;
+    }
+  }
+};
+
+// BYTE14: one layer per extra byte, per-channel-context delta models.
+struct Byte14v3 {
+  SymbolModel* m_byte[4] = {};  // [4][count]
+  U8* last[4] = {};
+  U32 count = 0;
+  bool used[4] = {};
+  bool alloc = false;
+
+  ~Byte14v3() {
+    for (int c = 0; c < 4; ++c) {
+      delete[] m_byte[c];
+      delete[] last[c];
+    }
+  }
+  void init(const U8* first_item, U32 n, bool cm, U32 ctx0) {
+    if (!alloc || count != n) {
+      for (int c = 0; c < 4; ++c) {
+        delete[] m_byte[c];
+        delete[] last[c];
+        m_byte[c] = new SymbolModel[n];
+        for (U32 i = 0; i < n; ++i) m_byte[c][i].setup(256, cm);
+        last[c] = new U8[n];
+      }
+      count = n;
+      alloc = true;
+    }
+    for (int c = 0; c < 4; ++c) used[c] = false;
+    for (U32 i = 0; i < n; ++i) m_byte[ctx0][i].init();
+    std::memcpy(last[ctx0], first_item, n);
+    used[ctx0] = true;
+  }
+  void ensure(U32 c) {
+    if (!used[c]) {
+      for (int s = 0; s < 4; ++s) {
+        if (used[s]) {
+          std::memcpy(last[c], last[s], count);
+          break;
+        }
+      }
+      for (U32 i = 0; i < count; ++i) m_byte[c][i].init();
+      used[c] = true;
+    }
+  }
+  void read(Decoder* d, U8* item, U32 c) {
+    ensure(c);
+    for (U32 i = 0; i < count; ++i) {
+      last[c][i] = u8_fold((I32)d[i].decode_symbol(m_byte[c][i]) + last[c][i]);
+      item[i] = last[c][i];
+    }
+  }
+  void write(Encoder* e, const U8* item, U32 c) {
+    ensure(c);
+    for (U32 i = 0; i < count; ++i) {
+      e[i].encode_symbol(m_byte[c][i], u8_fold((I32)item[i] - (I32)last[c][i]));
+      last[c][i] = item[i];
+    }
+  }
+};
+
+// ------------------------------------------------------------------------ //
 // Item dispatch.  LASzip item type ids.
 
 enum ItemType { kByte = 0, kPoint10 = 6, kGpsTime11 = 7, kRgb12 = 8 };
+enum ItemType14 { kPoint14 = 10, kRgb14 = 11, kRgbNir14 = 12, kByte14 = 14 };
+
+// Layers per layered item.
+static inline I32 layers_of(I32 type, I32 size) {
+  switch (type) {
+    case kPoint14: return kPoint14Layers;
+    case kRgb14: return 1;
+    case kRgbNir14: return 2;
+    case kByte14: return size;
+    default: return -1;
+  }
+}
 
 struct ItemCodecs {
   Point10v2 point10;
@@ -1323,6 +1805,216 @@ int64_t laszip_write_chunk_table(const int64_t* chunk_bytes, int32_t n_chunks,
   }
   enc.done();
   return enc.overflow ? -1 : enc.pos;
+}
+
+// ------------------------------------------------------------------------ //
+// Layered (compressor 3) entry points for LAS 1.4 point formats 6-10.
+//
+// Per-chunk stream layout: [raw first point (all items, item order)]
+// [u32 little-endian byte count per layer, item/layer order]
+// [layer payloads, same order].  Chunk table framing is compressor 2's.
+
+namespace {
+
+struct LayeredCodecs {
+  Point14v3 point14;
+  Rgb14v3 rgb14;
+  Byte14v3 byte14;
+};
+
+}  // namespace
+
+// Decompress a layered LASzip point stream (items POINT14/RGB14/RGBNIR14/
+// BYTE14 only).  Same calling convention as laszip_decompress.
+// Returns 0, or <0 on error (-1 bad item, -2 bounds).
+int64_t laszip_decompress_layered(const uint8_t* in, int64_t in_len,
+                                  const int32_t* item_types,
+                                  const int32_t* item_sizes, int32_t n_items,
+                                  int64_t n_points, uint32_t chunk_size,
+                                  const int64_t* chunk_starts,
+                                  int32_t n_chunks, uint8_t* out) {
+  I64 point_size = 0;
+  I32 total_layers = 0;
+  for (I32 i = 0; i < n_items; ++i) {
+    const I32 nl = layers_of(item_types[i], item_sizes[i]);
+    if (nl < 0) return -1;
+    total_layers += nl;
+    point_size += item_sizes[i];
+  }
+  if (chunk_size == 0xFFFFFFFFu) return -4;  // variable chunking unsupported
+  LayeredCodecs codecs;
+  std::vector<Decoder> dec(total_layers);
+  I64 p = 0;
+  for (I32 c = 0; c < n_chunks && p < n_points; ++c) {
+    I64 off = chunk_starts[c];
+    if (off < 0 || off > in_len) return -2;
+    // Raw first point; (re)initialises every codec.
+    U8* rec = out + p * point_size;
+    U8 first_channel = 0;
+    {
+      const U8* fp = in + off;
+      for (I32 i = 0; i < n_items; ++i) {
+        if (item_types[i] == kPoint14) first_channel = (U8)((fp[15] >> 4) & 3);
+        fp += item_sizes[i];
+      }
+    }
+    for (I32 i = 0; i < n_items; ++i) {
+      if (off + item_sizes[i] > in_len) return -2;
+      std::memcpy(rec, in + off, item_sizes[i]);
+      switch (item_types[i]) {
+        case kPoint14: codecs.point14.init(rec, false); break;
+        case kRgb14: codecs.rgb14.init(rec, false, first_channel, false); break;
+        case kRgbNir14: codecs.rgb14.init(rec, false, first_channel, true); break;
+        case kByte14: codecs.byte14.init(rec, item_sizes[i], false, first_channel); break;
+      }
+      off += item_sizes[i];
+      rec += item_sizes[i];
+    }
+    ++p;
+    // Layer byte counts, then per-layer decoders over the payloads.
+    if (off + 4 * (I64)total_layers > in_len) return -2;
+    I64 pay = off + 4 * (I64)total_layers;
+    for (I32 j = 0; j < total_layers; ++j) {
+      U32 nbytes;
+      std::memcpy(&nbytes, in + off + 4 * (I64)j, 4);
+      if (pay + nbytes > in_len) return -2;
+      dec[j].init(in, pay + nbytes, pay);
+      pay += nbytes;
+    }
+    const I64 chunk_end =
+        ((p - 1) + (I64)chunk_size < n_points ? (p - 1) + (I64)chunk_size
+                                              : n_points);
+    for (; p < chunk_end; ++p) {
+      rec = out + p * point_size;
+      I32 lj = 0;
+      U32 pt_ctx = codecs.point14.current;
+      for (I32 i = 0; i < n_items; ++i) {
+        switch (item_types[i]) {
+          case kPoint14:
+            codecs.point14.read(&dec[lj], rec);
+            pt_ctx = codecs.point14.current;
+            break;
+          case kRgb14:
+            codecs.rgb14.read(&dec[lj], rec, pt_ctx, false);
+            break;
+          case kRgbNir14:
+            codecs.rgb14.read(&dec[lj], rec, pt_ctx, false);
+            break;
+          case kByte14:
+            codecs.byte14.read(&dec[lj], rec, pt_ctx);
+            break;
+        }
+        lj += layers_of(item_types[i], item_sizes[i]);
+        rec += item_sizes[i];
+      }
+    }
+  }
+  return p == n_points ? 0 : -3;
+}
+
+// Compress points into a layered LASzip stream.  Same calling convention as
+// laszip_compress.  Returns total bytes, -1 if out_cap too small, -2 bad item.
+int64_t laszip_compress_layered(const uint8_t* in, int64_t n_points,
+                                const int32_t* item_types,
+                                const int32_t* item_sizes, int32_t n_items,
+                                uint32_t chunk_size, uint8_t* out,
+                                int64_t out_cap, int64_t* chunk_bytes_out,
+                                int32_t* n_chunks_out) {
+  I64 point_size = 0;
+  I32 total_layers = 0;
+  for (I32 i = 0; i < n_items; ++i) {
+    const I32 nl = layers_of(item_types[i], item_sizes[i]);
+    if (nl < 0) return -2;
+    total_layers += nl;
+    point_size += item_sizes[i];
+  }
+  if (chunk_size == 0xFFFFFFFFu) return -4;
+  LayeredCodecs codecs;
+  std::vector<Encoder> enc(total_layers);
+  std::vector<std::vector<U8>> bufs(total_layers);
+  I64 pos = 0;
+  I32 n_chunks = 0;
+  I64 p = 0;
+  while (p < n_points) {
+    const I64 chunk_start = pos;
+    const I64 pts_here =
+        (I64)chunk_size < n_points - p ? (I64)chunk_size : n_points - p;
+    // Worst-case per-layer budget: a layer never exceeds its field's raw
+    // bytes by more than the coder's constant tail.
+    for (I32 j = 0, i = 0; i < n_items; ++i) {
+      const I32 nl = layers_of(item_types[i], item_sizes[i]);
+      const I64 cap = pts_here * (item_sizes[i] + 2) + 4096;
+      for (I32 l = 0; l < nl; ++l, ++j) {
+        if ((I64)bufs[j].size() < cap) bufs[j].resize(cap);
+        enc[j].init(bufs[j].data(), cap, 0);
+      }
+    }
+    const U8* rec = in + p * point_size;
+    U8 first_channel = 0;
+    {
+      const U8* fp = rec;
+      for (I32 i = 0; i < n_items; ++i) {
+        if (item_types[i] == kPoint14) first_channel = (U8)((fp[15] >> 4) & 3);
+        fp += item_sizes[i];
+      }
+    }
+    for (I32 i = 0; i < n_items; ++i) {
+      if (pos + item_sizes[i] <= out_cap) std::memcpy(out + pos, rec, item_sizes[i]);
+      switch (item_types[i]) {
+        case kPoint14: codecs.point14.init(rec, true); break;
+        case kRgb14: codecs.rgb14.init(rec, true, first_channel, false); break;
+        case kRgbNir14: codecs.rgb14.init(rec, true, first_channel, true); break;
+        case kByte14: codecs.byte14.init(rec, item_sizes[i], true, first_channel); break;
+      }
+      pos += item_sizes[i];
+      rec += item_sizes[i];
+    }
+    ++p;
+    const I64 chunk_end = ((p - 1) + (I64)chunk_size < n_points
+                               ? (p - 1) + (I64)chunk_size
+                               : n_points);
+    for (; p < chunk_end; ++p) {
+      rec = in + p * point_size;
+      I32 lj = 0;
+      U32 pt_ctx = codecs.point14.current;
+      for (I32 i = 0; i < n_items; ++i) {
+        switch (item_types[i]) {
+          case kPoint14:
+            codecs.point14.write(&enc[lj], rec);
+            pt_ctx = codecs.point14.current;
+            break;
+          case kRgb14:
+            codecs.rgb14.write(&enc[lj], rec, pt_ctx, true);
+            break;
+          case kRgbNir14:
+            codecs.rgb14.write(&enc[lj], rec, pt_ctx, true);
+            break;
+          case kByte14:
+            codecs.byte14.write(&enc[lj], rec, pt_ctx);
+            break;
+        }
+        lj += layers_of(item_types[i], item_sizes[i]);
+        rec += item_sizes[i];
+      }
+    }
+    // Finish layers; write [sizes][payloads].
+    for (I32 j = 0; j < total_layers; ++j) {
+      enc[j].done();
+      if (enc[j].overflow) return -1;
+      const U32 nbytes = (U32)enc[j].pos;
+      if (pos + 4 <= out_cap) std::memcpy(out + pos, &nbytes, 4);
+      pos += 4;
+    }
+    for (I32 j = 0; j < total_layers; ++j) {
+      const I64 nbytes = enc[j].pos;
+      if (pos + nbytes <= out_cap) std::memcpy(out + pos, bufs[j].data(), nbytes);
+      pos += nbytes;
+    }
+    chunk_bytes_out[n_chunks++] = pos - chunk_start;
+    if (pos > out_cap) return -1;
+  }
+  *n_chunks_out = n_chunks;
+  return pos;
 }
 
 }  // extern "C"

