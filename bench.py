@@ -150,12 +150,21 @@ def main():
     # high-water mark silently recompiles through the remote service.
     mapper.prime_caps(batches)
 
-    # Warm up: compile + populate the region set.  The fence must be a
-    # device->host readback: on the axon runtime block_until_ready returns
-    # early while a program is still being compiled remotely, which would
-    # bleed compile time into the timed region.
+    # Warm up THROUGH THE SAME PATH the timed loop uses (async worker,
+    # coalesced groups, chained mega-dispatch): auto windows size on the
+    # 4th batch, their programs compile on the 4th-5th, and the chain
+    # program's first dispatch pays a multi-second remote load even when
+    # the persistent cache hits (scripts/probe_async.py) — a warmup that
+    # bypasses any of these bleeds first-use costs into the timed region
+    # (the round-3 -> round-4 headline collapse was exactly this).  The
+    # fence must be a device->host readback: on the axon runtime
+    # block_until_ready returns early while a program is still being
+    # compiled remotely.
     for i in range(warmup):
         mapper.integrate_rays(batches[i % n_batches])
+    for b in batches:
+        mapper.integrate_rays_async(b)
+    mapper.flush()
     float(jnp.ravel(mapper.arena.arrays["occupancy"])[0])
 
     # Pipelined submission: host prep of batch i+1 overlaps device batch i

@@ -640,6 +640,7 @@ class TpuRayMapper:
             import threading
 
             coalesce = int(os.environ.get("OHM_COALESCE", "4"))
+            self._coalesce = coalesce
             self._queue = queue.Queue(maxsize=max(4, coalesce))
             self._worker_error = None
 
@@ -744,14 +745,21 @@ class TpuRayMapper:
 
         Eligibility: base-class dispatch only (NDT/TSDF mappers override
         _dispatch_rayflow with their own program sets), OHM_CHAIN=1 (default),
-        no delta/monolith routing, identical cfgs across the group, and the
-        deposit windows already sized (the chain returns summed stats, so the
-        per-batch sizing readbacks must be over)."""
+        no delta/monolith routing, identical cfgs across the group, FULL
+        groups only (the chain program is shape-specialised on the group
+        size K; straggler groups of other sizes would each pay a fresh
+        multi-second remote compile/load — measured ~4 s first-dispatch even
+        with the persistent cache (scripts/probe_async.py) — so they take
+        the cheap stacked-split route instead), and the deposit windows
+        already sized (the chain returns summed stats, so the per-batch
+        sizing readbacks must be over)."""
         import os as _os
         if (_os.environ.get("OHM_CHAIN", "1") == "0"
                 or _os.environ.get("OHM_MONOLITH", "0") == "1"
                 or type(self)._dispatch_rayflow is not TpuRayMapper._dispatch_rayflow
                 or self.delta_path):
+            return None
+        if len(pending) != getattr(self, "_coalesce", len(pending)):
             return None
         cfg0 = pending[0][1]
         # cfg equality covers the per-ray update flags too (cfg.ray_flags).
