@@ -28,7 +28,8 @@ class TpuNdtMap(TpuRayMapper):
     """NDT integrator; ``params.ndt_tm`` selects traversability mode."""
 
     def __init__(self, map_obj, params: NdtParams | None = None, capacity: int = 1024,
-                 segment_length: float | None = None, validate: bool = False, miss_k: int = 1 << 16):
+                 segment_length: float | None = None, validate: bool = False,
+                 miss_k: int | str = 1 << 16):
         self.params = params or NdtParams()
         if self.params.adaptation_rate <= 0:
             miss_p = float(value_to_probability(map_obj.miss_value))
@@ -40,15 +41,26 @@ class TpuNdtMap(TpuRayMapper):
         if self.params.ndt_tm:
             map_obj.layout.add_intensity()
             map_obj.layout.add_hit_miss_count()
-        self.miss_k = miss_k
         #: Auto-sized NDT miss-phase stream width: every K-stream cost
         #: (arena gathers, the NDT math, the aggregation sort) scales with
         #: the static K, while the actual Gaussian-flagged record count is
         #: scene-dependent and usually far below the 65536 default.  Sized
         #: once from the 'ndt_flagged' stat (4th batch, 2x headroom, pow2,
-        #: then monotone up); overflow surfaces in stats and escalates.
-        self._auto_miss_k = miss_k == 1 << 16
-        self._miss_k_sized = False
+        #: then monotone up); overflow surfaces in stats and escalates —
+        #: the overflowing batch's beyond-K flagged records degrade to
+        #: standard misses (counted, logged).  ``miss_k="exact"`` pins K to
+        #: the full record stream so NO record can ever degrade — exact
+        #: reference semantics (the reference GPU kernel has no window,
+        #: ohmgpu/gpu/CovarianceHit.cl processes every flagged record) at a
+        #: K-stream cost that scales with the whole stream.
+        if miss_k == "exact":
+            self.miss_k = 1 << 30  # K = min(miss_k, stream) == stream
+            self._auto_miss_k = False
+            self._miss_k_sized = True
+        else:
+            self.miss_k = int(miss_k)
+            self._auto_miss_k = miss_k == 1 << 16
+            self._miss_k_sized = False
         #: Rayflow wire ships the per-ray intensity block (NDT-TM samples).
         self._rayflow_intensity = True
 

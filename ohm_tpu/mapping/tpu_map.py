@@ -813,6 +813,7 @@ class TpuRayMapper:
     def _drain_stats(self):
         new_drops = 0
         new_ndt_overflow = 0
+        max_batch_overflow = 0
         for stats in self._pending_stats:
             self._stats["missed_updates"] += int(stats["missed_updates"])
             self._stats["overflow"] += int(stats["overflow"])
@@ -826,16 +827,27 @@ class TpuRayMapper:
                 v = int(stats["ndt_overflow"])
                 self._stats["ndt_overflow"] = self._stats.get("ndt_overflow", 0) + v
                 new_ndt_overflow += v
+                max_batch_overflow = max(max_batch_overflow, v)
         self._pending_stats.clear()
         if (new_ndt_overflow and getattr(self, "_miss_k_sized", False)
                 and self.miss_k < 1 << 16):
             # Auto-sized miss-phase K overflowed: the extra flagged records
-            # degraded to standard misses (counted); grow for later batches.
-            self.miss_k *= 2
+            # degraded to standard misses (counted).  Escalate ONE-SHOT to
+            # 2x the worst observed demand (old K + that batch's overflow),
+            # not by doubling — a densifying scene (the flagged count grows
+            # as the map fills) can exceed the 4th-batch sizing by 100x, and
+            # each escalation step is a fresh shape-specialised compile
+            # (measured: a 1M-ray NDT-TM frame overflowed a K=4096 window by
+            # 410k records; stepwise doubling would recompile ~7 times).
+            k = self.miss_k
+            while k < 2 * (self.miss_k + max_batch_overflow) and k < 1 << 16:
+                k *= 2
+            self.miss_k = k
             import logging
             logging.getLogger("ohm_tpu").warning(
-                "NDT miss-phase K overflow (%d records); escalating miss_k to %d",
-                new_ndt_overflow, self.miss_k)
+                "NDT miss-phase K overflow (%d records, worst batch %d); "
+                "escalating miss_k to %d",
+                new_ndt_overflow, max_batch_overflow, self.miss_k)
         if new_drops:
             # Scene drift past the auto-sized windows (same-size batches with
             # more touched voxels, e.g. moving indoors -> outdoors).  The

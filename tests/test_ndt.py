@@ -417,6 +417,65 @@ def test_ndt_miss_k_auto_sizes_and_stays_exact():
             np.testing.assert_array_equal(a.layers[ci][f], b.layers[ci][f])
 
 
+def test_ndt_miss_k_exact_mode_never_degrades():
+    """miss_k="exact" pins the miss-phase K to the full record stream, so no
+    Gaussian-flagged record can ever degrade to a standard miss (reference
+    semantics: calculateMissNdt has no window, CovarianceVoxelCompute.h:543).
+
+    The scene must expose degradation: through-rays pierce an established
+    surface WITHOUT hitting it, so the surface voxels receive flagged misses
+    and no re-saturating hits (a hit-heavy scene hides the window — the
+    occupancy clamp re-saturates every batch and washes the difference out).
+    A deliberately tiny window must overflow and ERODE the surface (std miss
+    ~-0.2 vs NDT's ~0 shape-preserving miss); exact mode must match the
+    roomy default bit for bit."""
+    rng = np.random.default_rng(53)
+    n = 192
+    samples = np.column_stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                               np.zeros(n) + rng.normal(0, 0.01, n)])
+    build = np.empty((2 * n, 3))
+    build[0::2] = (0.0, 0.0, 2.0)
+    build[1::2] = samples
+    nt = 64
+    through = np.empty((2 * nt, 3))
+    through[0::2] = (0.0, 0.0, 2.0)
+    through[1::2] = np.column_stack([rng.uniform(-0.8, 0.8, nt),
+                                     rng.uniform(-0.8, 0.8, nt),
+                                     np.full(nt, -0.8)])
+
+    maps, mappers = [], []
+    for miss_k in ("exact", 1 << 15, 4):
+        m = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+        mp = TpuNdtMap(m, NdtParams(), capacity=64,
+                       validate=miss_k != 4, miss_k=miss_k)
+        for _ in range(4):
+            mp.integrate_rays(build)
+        for _ in range(3):
+            mp.integrate_rays(through)
+        mp.sync_voxels()
+        mp._drain_stats()
+        maps.append(m)
+        mappers.append(mp)
+    exact, roomy, tiny = mappers
+    assert exact.miss_k >= 1 << 30 and exact._miss_k_sized
+    assert exact.stats.get("ndt_overflow", 0) == 0
+    assert roomy.stats.get("ndt_overflow", 0) == 0
+    assert tiny.stats.get("ndt_overflow", 0) > 0  # window binds on this scene
+
+    m_exact, m_roomy, m_tiny = maps
+    oi = m_exact.layer_index("occupancy")
+    diverged = False
+    for key, a in m_exact.chunks.items():
+        np.testing.assert_array_equal(
+            a.layers[oi]["occupancy"],
+            m_roomy.region(key).layers[oi]["occupancy"])
+        t = m_tiny.region(key)
+        if t is None or not np.array_equal(a.layers[oi]["occupancy"],
+                                           t.layers[oi]["occupancy"]):
+            diverged = True
+    assert diverged, "tiny window should have degraded some flagged misses"
+
+
 def test_ndt_sequential_strict_differential():
     """Zero-escape-hatch NDT differential (VERDICT r3 item 6).
 
