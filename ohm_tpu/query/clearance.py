@@ -14,71 +14,80 @@ ROI border handling.
 from __future__ import annotations
 
 import functools
+import itertools
 import math
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ohm_tpu.core import keys as keymath
 from ohm_tpu.core.layout import OCCUPANCY_LAYER, CLEARANCE_LAYER
 
 #: Query flag: treat unobserved voxels as obstacles
 #: (reference: ohm/QueryFlag.h kQfUnknownAsOccupied).
 UNKNOWN_AS_OCCUPIED = 1 << 0
 
-_BIG = jnp.float32(3.0e38)
+_BIG_I = jnp.int32(1 << 28)
 
 
-def _edt_pass(dist2, radius_vox, step2, axis):
-    """One separable squared-EDT axis pass with bounded radius."""
+def _edt_pass_int(d2, radius_vox, axis):
+    """One separable squared-EDT axis pass in exact voxel-integer units.
+
+    Rolled-in wrap-around values come from the opposite box face; the halo
+    (>= radius_vox on every side, guaranteed by _update_box) makes wrapped
+    values irrelevant for every interior voxel.
+    """
 
     def body(acc, s):
-        shift_pos = jnp.roll(dist2, s, axis=axis)
-        shift_neg = jnp.roll(dist2, -s, axis=axis)
-        # Mask wrap-around: rolled-in values come from the opposite face;
-        # the halo (>= radius) makes wrapped values irrelevant as long as the
-        # box is padded by radius_vox, which _build_box guarantees.
-        cand = jnp.minimum(shift_pos, shift_neg) + (s.astype(jnp.float32) ** 2) * step2
+        shift_pos = jnp.roll(d2, s, axis=axis)
+        shift_neg = jnp.roll(d2, -s, axis=axis)
+        cand = jnp.minimum(shift_pos, shift_neg) + s * s
         return jnp.minimum(acc, cand), None
 
-    acc, _ = jax.lax.scan(body, dist2, jnp.arange(1, radius_vox + 1))
+    acc, _ = jax.lax.scan(body, d2, jnp.arange(1, radius_vox + 1, dtype=jnp.int32))
     return acc
 
 
-def _edt(occupied, radius_vox, resolution):
-    """Squared EDT of a boolean grid, exact within radius_vox."""
-    step2 = jnp.float32(resolution * resolution)
-    d2 = jnp.where(occupied, jnp.float32(0), _BIG)
-    for axis in range(3):
-        d2 = _edt_pass(d2, radius_vox, step2, axis)
-    return d2
+@functools.partial(jax.jit, static_argnames=("shape", "radius_vox", "rmax2",
+                                             "lo", "size", "out_dtype"))
+def _edt_packed_int_jit(occ_bits, shape, radius_vox, rmax2, lo, size,
+                        out_dtype):
+    """Integer squared-EDT variant: the readback diet (round 4).
 
-
-_edt_jit = jax.jit(_edt, static_argnames=("radius_vox", "resolution"))
-
-
-@functools.partial(jax.jit, static_argnames=("shape", "radius_vox",
-                                             "resolution", "radius",
-                                             "lo", "size"))
-def _edt_packed_jit(occ_bits, shape, radius_vox, resolution, radius,
-                    lo, size):
-    """EDT from a PACKED bit plane, clearance finished on device, interior
-    slice selected on device — the tunnel is the cost (docs/PERF.md), so the
-    upload ships 1 bit/voxel and the readback only the non-halo interior.
-
-    ``occ_bits`` u8[ceil(N/8)] packs the flat C-order box; ``lo``/``size``
-    (static tuples) bound the interior.  Returns f32 clearance of the
-    interior box (-1 where nothing within radius)."""
+    The bounded squared EDT only ever takes values sx²+sy²+sz² ≤ 3·radius_vox²
+    (in voxel units), so the interior readback can ship u8/u16 integers
+    instead of f32 clearances — a 4×/2× device→host transfer shrink on the
+    tunnel, which dominates this whole process (docs/PERF.md).  The host
+    finishes with a LUT ``sqrt(i)·res`` (see :func:`_d2_lut`); ``rmax2`` is
+    the inclusive integer bound equivalent to ``clearance ≤ radius``, and the
+    sentinel (dtype max) marks "nothing within radius"."""
     n = shape[0] * shape[1] * shape[2]
     shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # np.packbits bit order
     bits = (occ_bits[:, None] >> shifts[None, :]) & 1
     occupied = bits.reshape(-1)[:n].reshape(shape) != 0
-    d2 = _edt(occupied, radius_vox, resolution)
-    clearance = jnp.sqrt(jnp.minimum(d2, _BIG))
-    clearance = jnp.where((d2 < 1e30) & (clearance <= jnp.float32(radius)),
-                          clearance, jnp.float32(-1.0))
-    return jax.lax.slice(clearance, lo, tuple(l + s for l, s in zip(lo, size)))
+    d2 = jnp.where(occupied, jnp.int32(0), _BIG_I)
+    for axis in range(3):
+        d2 = _edt_pass_int(d2, radius_vox, axis)
+    sent = jnp.int32(np.iinfo(out_dtype).max)
+    d2 = jnp.where(d2 <= jnp.int32(rmax2), d2, sent).astype(out_dtype)
+    return jax.lax.slice(d2, lo, tuple(l + s for l, s in zip(lo, size)))
+
+
+def _int_bounds(radius: float, resolution: float, radius_vox: int):
+    """(rmax2, out_dtype, lut): integer-EDT readback parameters.
+
+    rmax2 = floor((radius/res)²) is the inclusive d2 bound matching the float
+    path's ``sqrt(d2) ≤ radius`` test; the LUT finishes d2→clearance on host.
+    """
+    rmax2 = int(math.floor((radius / resolution) ** 2 * (1.0 + 1e-9)))
+    d2_cap = 3 * radius_vox * radius_vox
+    out_dtype = np.uint8 if d2_cap <= 254 else (
+        np.uint16 if d2_cap <= 65534 else np.int32)
+    sent = np.iinfo(out_dtype).max
+    lut = np.full(sent + 1, -1.0, dtype=np.float32)
+    i = np.arange(min(rmax2, sent - 1) + 1, dtype=np.float64)
+    lut[: len(i)] = (np.sqrt(i) * resolution).astype(np.float32)
+    return rmax2, out_dtype, lut
 
 
 class ClearanceProcess:
@@ -118,24 +127,48 @@ class ClearanceProcess:
         radius_vox = max(1, int(math.ceil(self.search_radius / res)))
         halo_regions = int(math.ceil(radius_vox / float(dims.min())))
 
-        # Tile size (in regions per axis) such that the halo-padded box fits.
-        edge_budget = int(self.max_box_voxels ** (1.0 / 3.0)) // int(dims.max())
-        tile_regions = max(1, edge_budget - 2 * halo_regions)
+        # Greedy bounding-box grouping (round 4): a scene whose halo-padded
+        # bounding box fits max_box_voxels is ONE dispatch + ONE readback;
+        # larger/sparser dirty sets split recursively at the midpoint of the
+        # widest axis (each split separates spatial clusters, so halo overlap
+        # stays bounded).  The previous fixed key-grid tiling split even a
+        # one-box scene into up to 8 tiles, each paying halo assembly, a
+        # dispatch RPC and an interior readback.
+        keys_arr = np.array(region_keys, dtype=np.int64)
+        dims64 = np.asarray(dims, dtype=np.int64)
+        groups: list = []
 
-        groups: dict = {}
-        for key in region_keys:
-            tile = tuple(int(np.floor(k / tile_regions)) for k in key)
-            groups.setdefault(tile, []).append(key)
+        def _split(idx):
+            kmin = keys_arr[idx].min(axis=0)
+            kmax = keys_arr[idx].max(axis=0)
+            box = (kmax - kmin + 1 + 2 * halo_regions) * dims64
+            extent = kmax - kmin
+            if box.prod() <= self.max_box_voxels or not extent.any():
+                groups.append(idx)
+                return
+            ax = int(np.argmax(extent))
+            mid = (kmin[ax] + kmax[ax] + 1) // 2
+            left = idx[keys_arr[idx, ax] < mid]
+            right = idx[keys_arr[idx, ax] >= mid]
+            _split(left)
+            _split(right)
+
+        _split(np.arange(len(region_keys)))
         total = 0
-        for group in groups.values():
-            total += self._update_box(group, radius_vox, halo_regions)
+        mask_cache: dict = {}
+        for idx in groups:
+            total += self._update_box([region_keys[i] for i in idx],
+                                      radius_vox, halo_regions, mask_cache)
         return total
 
-    def _update_box(self, region_keys, radius_vox, halo_regions):
+    def _update_box(self, region_keys, radius_vox, halo_regions,
+                    mask_cache=None):
         """Dense EDT over one halo-padded box of regions."""
         m = self.map
         dims = m.region_voxel_dims
         res = m.resolution
+        if mask_cache is None:
+            mask_cache = {}
 
         keys_arr = np.array(region_keys, dtype=np.int64)
         rmin = keys_arr.min(axis=0)
@@ -154,26 +187,39 @@ class ClearanceProcess:
         unknown_occ = bool(self.query_flags & UNKNOWN_AS_OCCUPIED)
         if unknown_occ:
             occupied[:] = True  # anything not covered by a chunk is unobserved
-        for key, chunk in m.chunks.items():
-            rk = np.asarray(key, np.int64)
-            if np.any(rk < bmin) or np.any(rk > bmax):
+        # Direct box-range lookups (not a scan over every chunk), with the
+        # per-chunk obstacle mask cached across this update()'s groups (halo
+        # regions recur in neighbouring groups).
+        for key in itertools.product(*(range(int(b0), int(b1) + 1)
+                                       for b0, b1 in zip(bmin, bmax))):
+            chunk = m.chunks.get(key)
+            if chunk is None:
                 continue
-            occ = chunk.layers[occ_idx][OCCUPANCY_LAYER].reshape(dims[2], dims[1], dims[0]).transpose(2, 1, 0)
-            mask = np.isfinite(occ) & (occ >= threshold)
-            if unknown_occ:
-                mask = mask | ~np.isfinite(occ)
-            o = (rk - bmin) * dims
+            mask = mask_cache.get(key)
+            if mask is None:
+                occ = chunk.layers[occ_idx][OCCUPANCY_LAYER].reshape(
+                    dims[2], dims[1], dims[0]).transpose(2, 1, 0)
+                mask = np.isfinite(occ) & (occ >= threshold)
+                if unknown_occ:
+                    mask = mask | ~np.isfinite(occ)
+                mask_cache[key] = mask
+            o = (np.asarray(key, np.int64) - bmin) * dims
             occupied[o[0]:o[0] + dims[0], o[1]:o[1] + dims[1], o[2]:o[2] + dims[2]] = mask
 
         # Transfer diet (round 4; the tunnel dominates this whole process):
-        # ship 1 bit/voxel up (np.packbits) and read back only the non-halo
-        # interior, finished (sqrt + radius threshold) on device.
+        # ship 1 bit/voxel up (np.packbits), run the EDT in exact integer
+        # voxel units, and read back the non-halo interior as u8/u16 squared
+        # distances (4×/2× smaller than f32); a host LUT finishes
+        # clearance = sqrt(d2)·res.
         lo = tuple(int(v) for v in (rmin - bmin) * dims)
         size = tuple(int(v) for v in (rmax - rmin + 1) * dims)
         bits = np.packbits(occupied.reshape(-1))
-        clearance = np.asarray(_edt_packed_jit(
+        rmax2, out_dtype, lut = _int_bounds(self.search_radius, float(res),
+                                            radius_vox)
+        d2 = np.asarray(_edt_packed_int_jit(
             jnp.asarray(bits), tuple(int(v) for v in box_vox), radius_vox,
-            float(res), float(self.search_radius), lo, size))
+            rmax2, lo, size, out_dtype))
+        clearance = lut[d2]
 
         for key in region_keys:
             chunk = m.region(key, allow_create=True)
