@@ -117,9 +117,38 @@ class _Dense:
     kind: np.ndarray  # uint8 [U, V, W]: 0 unobserved, 1 free, 2 occupied
     height: np.ndarray  # f32 [U, V, W] voxel height along up (mean-adjusted)
     samples: np.ndarray  # uint16 [U, V, W] contributing sample counts
-    normal: np.ndarray | None  # f32 [U, V, W, 3] when covariance available
+    cov6: np.ndarray | None  # f32 [U, V, W, 6] packed sqrt-covariance rows
+    #                          (P00,P01,P11,P02,P12,P22) when available;
+    #                          normals are derived LAZILY for emitted cells
+    #                          only (the per-voxel eigendecomposition is the
+    #                          classify phase's dominant cost otherwise)
     vmin: np.ndarray  # int64 [3] minimum abs voxel coordinate (original axes)
     shape: tuple
+
+    def normals_at(self, ui, vi, z, axis):
+        """Surface normals for selected cells: smallest eigenvector of
+        P = S·Sᵀ (reference: HeightmapMesh / CovarianceVoxel eigen helpers),
+        oriented along +axis; zeros for non-occupied (virtual) cells."""
+        if self.cov6 is None:
+            return None
+        s6 = self.cov6[ui, vi, z].astype(np.float64)
+        n_out = np.zeros((len(ui), 3), np.float32)
+        occ = self.kind[ui, vi, z] == 2
+        if occ.any():
+            s = s6[occ]
+            s_mat = np.zeros((len(s), 3, 3))
+            s_mat[:, 0, 0] = s[:, 0]
+            s_mat[:, 1, 0] = s[:, 1]
+            s_mat[:, 1, 1] = s[:, 2]
+            s_mat[:, 2, 0] = s[:, 3]
+            s_mat[:, 2, 1] = s[:, 4]
+            s_mat[:, 2, 2] = s[:, 5]
+            p = s_mat @ s_mat.transpose(0, 2, 1)
+            w, v = np.linalg.eigh(p)
+            n = v[:, :, 0]
+            n *= np.where(n[:, axis:axis + 1] < 0, -1.0, 1.0)
+            n_out[occ] = n.astype(np.float32)
+        return n_out
 
 
 class Heightmap:
@@ -213,7 +242,7 @@ class Heightmap:
         occ_idx = m.layer_index(OCCUPANCY_LAYER)
         mean_idx = m.layer_index(MEAN_LAYER)
         cov_idx = m.layer_index(COVARIANCE_LAYER)
-        normal = np.zeros(shape + (3,), np.float32) if cov_idx >= 0 else None
+        cov6 = np.zeros(shape + (6,), np.float32) if cov_idx >= 0 else None
         threshold = np.float32(m.occupancy_threshold_value)
 
         for key, chunk in m.chunks.items():
@@ -238,42 +267,26 @@ class Heightmap:
             shape_b = [1, 1, 1]
             shape_b[axis] = dims[axis]
             height[sl] = base.reshape(shape_b) + off
-            if normal is not None:
+            if cov6 is not None:
                 cov = chunk.layers[cov_idx]
-                # Surface normal from the covariance: smallest eigenvector
-                # (reference: HeightmapMesh / CovarianceVoxel eigen helpers).
-                occ_sel = np.flatnonzero(np.isfinite(chunk.layers[occ_idx][OCCUPANCY_LAYER])
-                                         & (chunk.layers[occ_idx][OCCUPANCY_LAYER] >= threshold))
-                if occ_sel.size:
-                    s6 = np.stack([cov[k2][occ_sel] for k2 in ("P00", "P01", "P11", "P02", "P12", "P22")], axis=-1)
-                    s_mat = np.zeros((len(occ_sel), 3, 3))
-                    s_mat[:, 0, 0] = s6[:, 0]
-                    s_mat[:, 1, 0] = s6[:, 1]
-                    s_mat[:, 1, 1] = s6[:, 2]
-                    s_mat[:, 2, 0] = s6[:, 3]
-                    s_mat[:, 2, 1] = s6[:, 4]
-                    s_mat[:, 2, 2] = s6[:, 5]
-                    p = s_mat @ s_mat.transpose(0, 2, 1)
-                    w, v = np.linalg.eigh(p)
-                    n = v[:, :, 0]
-                    n *= np.where(n[:, axis:axis + 1] < 0, -1.0, 1.0)
-                    local = keymath.local_key_from_index(occ_sel, dims)
-                    normal[o[0] + local[:, 0], o[1] + local[:, 1], o[2] + local[:, 2]] = n
+                for j, k2 in enumerate(("P00", "P01", "P11", "P02", "P12", "P22")):
+                    cov6[sl + (j,)] = cov[k2].reshape(
+                        dims[2], dims[1], dims[0]).transpose(2, 1, 0)
 
         # Permute axes so 'up' is last and ascending along +up.
         order = [i for i in range(3) if i != axis] + [axis]
         kind = np.transpose(kind, order)
         height = np.transpose(height, order)
         samples = np.transpose(samples, order)
-        if normal is not None:
-            normal = np.transpose(normal, order + [3])
+        if cov6 is not None:
+            cov6 = np.transpose(cov6, order + [3])
         if up_sign < 0:
             kind = kind[..., ::-1]
             height = -height[..., ::-1]
             samples = samples[..., ::-1]
-            if normal is not None:
-                normal = normal[..., ::-1, :]
-        return _Dense(kind=kind, height=height, samples=samples, normal=normal,
+            if cov6 is not None:
+                cov6 = cov6[..., ::-1, :]
+        return _Dense(kind=kind, height=height, samples=samples, cov6=cov6,
                       vmin=vmin, shape=shape)
 
     # ------------------------------------------------------------------ #
@@ -652,7 +665,7 @@ class Heightmap:
             markers = (layer_marker[..., layer_idx][sel] if layer_marker is not None
                        else np.zeros(len(ui), np.uint8))
             samples = dense.samples[ui, vi, z]
-            normals = dense.normal[ui, vi, z] if dense.normal is not None else None
+            normals = dense.normals_at(ui, vi, z, axis)
 
             # Heightmap voxel key: 2D cell in the plane axes; the up-axis key
             # is the layer index for layered maps (0 for single layer) —
@@ -664,24 +677,37 @@ class Heightmap:
             region, local = keymath.abs_to_key(abs_keys, dims)
             idx = keymath.voxel_index(local, dims)
 
-            for j in range(len(ui)):
-                chunk = hm.region(region[j], allow_create=True)
-                i = int(idx[j])
-                occ = chunk.layers[occ_layer][OCCUPANCY_LAYER]
-                # kHeightmapSurfaceValue = 1, kHeightmapVirtualSurfaceValue = -1
-                # (reference: Heightmap.h:112-121).
-                occ[i] = np.float32(-1.0) if is_virtual[j] else np.float32(1.0)
+            # Vectorised field values (the per-cell Python loop this replaces
+            # dominated layered builds at ~10 µs/cell).
+            centres = hm.voxel_centre_global(region, local)
+            rel_heights = (heights - centres[:, axis]).astype(np.float32)
+            # kHeightmapSurfaceValue = 1, kHeightmapVirtualSurfaceValue = -1
+            # (reference: Heightmap.h:112-121).
+            occ_vals = np.where(is_virtual, np.float32(-1.0), np.float32(1.0))
+            flag_vals = np.where(obs_above, HVF_OBSERVED_ABOVE, 0).astype(np.uint8)
+
+            # Group cells by destination region: one chunk lookup + sliced
+            # writes per region instead of per cell.
+            pk = keymath.pack_region_key(region)
+            order_g = np.argsort(pk, kind="stable")
+            pk_s = pk[order_g]
+            starts = np.flatnonzero(np.r_[True, pk_s[1:] != pk_s[:-1]])
+            bounds = np.r_[starts, len(pk_s)]
+            for g in range(len(starts)):
+                rows = order_g[bounds[g]:bounds[g + 1]]
+                chunk = hm.region(region[rows[0]], allow_create=True)
+                ii = idx[rows]
+                chunk.layers[occ_layer][OCCUPANCY_LAYER][ii] = occ_vals[rows]
                 arr = chunk.layers[hm_layer]
-                centre = hm.voxel_centre_global(region[j], local[j])
-                arr["height"][i] = heights[j] - centre[axis]
-                arr["clearance"][i] = clear[j]
+                arr["height"][ii] = rel_heights[rows]
+                arr["clearance"][ii] = clear[rows]
                 if normals is not None:
-                    arr["normal_x"][i] = normals[j][0]
-                    arr["normal_y"][i] = normals[j][1]
-                    arr["normal_z"][i] = normals[j][2]
-                arr["layer"][i] = markers[j]
-                arr["flags"][i] = HVF_OBSERVED_ABOVE if obs_above[j] else 0
-                arr["contributing_samples"][i] = samples[j]
+                    arr["normal_x"][ii] = normals[rows, 0]
+                    arr["normal_y"][ii] = normals[rows, 1]
+                    arr["normal_z"][ii] = normals[rows, 2]
+                arr["layer"][ii] = markers[rows]
+                arr["flags"][ii] = flag_vals[rows]
+                arr["contributing_samples"][ii] = samples[rows]
                 chunk.dirty_stamp = hm.touch()
             count += int(sel.sum())
         return count

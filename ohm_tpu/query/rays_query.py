@@ -158,7 +158,13 @@ class RaysQuery(AsyncQueryMixin):
     def add_rays(self, rays):
         self.rays = np.concatenate([self.rays, np.asarray(rays, dtype=np.float64).reshape(-1, 3)])
 
-    def execute(self):
+    def _prepare_device_call(self):
+        """Host side of one query launch: batch prep, region residency, the
+        packed wire and config.  Returns None when no segment survives the
+        filter; otherwise (arena_state, batch, cfg, n_pad) — exactly the
+        arguments of :func:`_rays_query_device` (split out so benchmarks can
+        time the dispatch+device leg on a resident wire separately from the
+        tunnel RTT)."""
         from ohm_tpu.mapping.tpu_map import TpuRayMapper
 
         m = self.map
@@ -172,11 +178,7 @@ class RaysQuery(AsyncQueryMixin):
         prepared = prepare_ray_batch(m, self.rays, segment_length=mapper.segment_length)
         n_rays = self.rays.shape[0] // 2
         if prepared.n_segments == 0:
-            self.ranges = np.zeros(n_rays, np.float32)
-            self.unobserved_volumes = np.zeros(n_rays)
-            self.terminal_states = np.full(n_rays, OccupancyType.NULL, np.int32)
-            self.intersected_voxels = np.zeros((n_rays, 3), np.int32)
-            return True
+            return None
         # Queries must see existing regions but must not create new ones:
         # allocate only regions already present in the host map.
         present = np.array([k for k in map(tuple, prepared.region_keys)
@@ -201,8 +203,19 @@ class RaysQuery(AsyncQueryMixin):
         n_pad = 64
         while n_pad < n_rays:
             n_pad *= 2
-        packed = np.asarray(_rays_query_device(
-            mapper.arena.device_state(), batch, cfg, n_pad))
+        return mapper.arena.device_state(), batch, cfg, n_pad
+
+    def execute(self):
+        m = self.map
+        n_rays = self.rays.shape[0] // 2
+        call = self._prepare_device_call()
+        if call is None:
+            self.ranges = np.zeros(n_rays, np.float32)
+            self.unobserved_volumes = np.zeros(n_rays)
+            self.terminal_states = np.full(n_rays, OccupancyType.NULL, np.int32)
+            self.intersected_voxels = np.zeros((n_rays, 3), np.int32)
+            return True
+        packed = np.asarray(_rays_query_device(*call))
 
         # Filtered-out rays produce no segments; map stitched results back
         # through the per-ray filter acceptance.

@@ -216,9 +216,26 @@ def main():
         t0 = time.perf_counter()
         float(jnp.ravel(mp2.arena.arrays["occupancy"])[0])
         rtts.append(time.perf_counter() - t0)
+    # Dispatch+device-only query latency: resident wire, 16 re-dispatches of
+    # the compiled program, one fence — the per-launch cost with the tunnel
+    # RTT excluded.  On a locally-attached chip (the reference's situation:
+    # one kernel launch, ohmgpu/gpu/RaysQuery.cl:193) the synchronous
+    # execute() would cost ~this plus a PCIe readback, not plus ~25 ms.
+    from ohm_tpu.query.rays_query import _rays_query_device
+
+    call = q._prepare_device_call()
+    reps = 16
+    dev_ms = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _i in range(reps):
+            out = _rays_query_device(*call)
+        float(jnp.ravel(out)[0])
+        dev_ms.append((time.perf_counter() - t0) / reps * 1e3)
     r = {"metric": "rays_query_p50_ms", "value": round(p50, 2), "unit": "ms",
          "vs_baseline": None, "rays": 512,
-         "tunnel_rtt_ms": round(min(rtts) * 1e3, 2)}
+         "tunnel_rtt_ms": round(min(rtts) * 1e3, 2),
+         "device_ms_per_query": round(min(dev_ms), 2)}
     print(json.dumps(r), flush=True)
     results.append(r)
 

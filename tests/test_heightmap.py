@@ -532,3 +532,48 @@ def test_layered_seeded_discovery_negative_up_axis():
     assert n_free > n_banded
     assert min(h_banded) > -2.0, "shelf leaked into banded NEG_Z layered build"
     assert min(h_free) < -2.5, "unbanded build must include the shelf"
+
+
+def test_voxel_normals_from_covariance():
+    """Heightmap surface-cell normals derive from the NDT covariance's
+    smallest eigenvector (reference: HeightmapMesh / CovarianceVoxel eigen
+    helpers); pins the lazy emitted-cells-only computation against the
+    analytic plane normal of a sloped floor."""
+    from ohm_tpu.oracle.ndt import RayMapperNdt
+    from ohm_tpu.heightmap.heightmap import HEIGHTMAP_LAYER
+
+    slope = 0.3
+    m = OccupancyMap(resolution=0.25, flags=MapFlag.VOXEL_MEAN)
+    m.layout.add_covariance()
+    m.ensure_chunk_layers()
+    mapper = RayMapperNdt(m)
+    rng = np.random.default_rng(5)
+    # Dense, jittered multi-sample hits so per-voxel covariances are planar.
+    xs, ys = np.meshgrid(np.arange(-1.5, 1.51, 0.0625), np.arange(-1.5, 1.51, 0.0625))
+    pts = np.column_stack([xs.ravel(), ys.ravel(), slope * xs.ravel()])
+    pts += rng.normal(scale=0.02, size=pts.shape)
+    rays = np.empty((2 * len(pts), 3))
+    rays[0::2] = pts + np.array([0.0, 0.0, 5.0])
+    rays[1::2] = pts
+    mapper.integrate_rays(rays)
+
+    hm = Heightmap(min_clearance=0.0)
+    assert hm.build_heightmap(m) > 0
+    hml = hm.heightmap()
+    hm_layer = hml.layer_index(HEIGHTMAP_LAYER)
+    expected = np.array([-slope, 0.0, 1.0]) / np.hypot(slope, 1.0)
+    checked = 0
+    for key, chunk in hml.chunks.items():
+        arr = chunk.layers[hm_layer]
+        occ = chunk.layers[hml.layer_index("occupancy")]["occupancy"]
+        sel = np.flatnonzero(np.isfinite(occ) & (occ > 0))
+        n = np.stack([arr["normal_x"][sel], arr["normal_y"][sel],
+                      arr["normal_z"][sel]], axis=-1)
+        # Well-sampled cells only: few-sample covariances are legitimately
+        # ray-direction-dominated, not planar.
+        nz = (np.linalg.norm(n, axis=1) > 0.5) & (arr["contributing_samples"][sel] >= 8)
+        dots = n[nz] @ expected
+        if nz.any():
+            assert (dots > 0.9).mean() > 0.85, f"normals off-plane in {key}"
+        checked += int(nz.sum())
+    assert checked > 50, "too few covariance normals emitted to validate"
