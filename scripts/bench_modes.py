@@ -281,7 +281,12 @@ def main():
     if not args.quick:
         from ohm_tpu.oracle.ndt import NdtParams
         m5 = OccupancyMap(resolution=0.2, flags=MapFlag.NONE)
-        mp5 = TpuNdtMap(m5, params=NdtParams(ndt_tm=True), capacity=1024)
+        # miss_k pre-sized like capacity: the flagged-record demand grows as
+        # the 1M-ray frame densifies (peaks ~5.5k/batch here); auto sizing
+        # would escalate mid-frame and pay a fresh shape-specialised remote
+        # compile inside the timed region.
+        mp5 = TpuNdtMap(m5, params=NdtParams(ndt_tm=True), capacity=1024,
+                        miss_k=1 << 15)
         frame = benchmod.box_scene_rays(1 << 20, rng, half=(15.0, 15.0, 7.0))
         intens = rng.uniform(0.0, 1.0, 1 << 20).astype(np.float32)
         times = np.linspace(0.0, 0.1, 1 << 20)
