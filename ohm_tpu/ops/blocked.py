@@ -213,3 +213,73 @@ def segment_compose_shift_clamp(c, lo, hi, first):
     comp = combine(tuple(x[:, None] for x in carry), vals)
     out = tuple(jnp.where(started_row, vals[i], comp[i]) for i in range(3))
     return tuple(x.reshape(-1)[:n] for x in out)
+
+
+def segment_compose_affine_clamp(a, b, lo, hi, first):
+    """Segmented composition of monotone affine+clamp maps
+    x -> clamp(a*x + b, lo, hi), a >= 0.
+
+    Generalises segment_compose_shift_clamp to slopes != 1 — needed by the
+    per-visit TSDF blend, whose per-visit map d -> (d*w + sdf*u)/(w+u) has
+    slope w/(w+u) (reference ohm/VoxelTsdfCompute.h:122-137).  The family is
+    closed under composition:
+      (f2 . f1)(x) = clamp(a2*a1*x + a2*b1 + b2,
+                           clamp(a2*lo1 + b2, lo2, hi2),
+                           clamp(a2*hi1 + b2, lo2, hi2))
+    (outer clamp bounds evaluated min(max(., lo2), hi2) so degenerate
+    constant maps stay exact under further composition).
+
+    Returns (A, B, LO, HI) of the composed map at every position (all maps
+    since the segment start, inclusive); read at segment lasts and apply as
+    min(max(A*x0 + B, LO), HI).
+    """
+    BIG = jnp.float32(3.0e38)
+
+    def combine(l, r):
+        a1, b1, lo1, hi1 = l
+        a2, b2, lo2, hi2 = r
+        return (a1 * a2,
+                a2 * b1 + b2,
+                jnp.minimum(jnp.maximum(a2 * lo1 + b2, lo2), hi2),
+                jnp.minimum(jnp.maximum(a2 * hi1 + b2, lo2), hi2))
+
+    idents = (1.0, 0.0, -BIG, BIG)
+    av, n = _pad_rows(a, idents[0])
+    bv, _ = _pad_rows(b, idents[1])
+    lov, _ = _pad_rows(lo, idents[2])
+    hiv, _ = _pad_rows(hi, idents[3])
+    f, _ = _pad_rows(first, False)
+    rows = av.shape[0]
+
+    vals = (av, bv, lov, hiv)
+    started = f
+    shift = 1
+    while shift < _C:
+        pv = tuple(jnp.pad(x, ((0, 0), (shift, 0)),
+                           constant_values=cval)[:, :_C]
+                   for x, cval in zip(vals, idents))
+        pf = jnp.pad(started, ((0, 0), (shift, 0)))[:, :_C]
+        comp = combine(pv, vals)
+        vals = tuple(jnp.where(started, vals[i], comp[i]) for i in range(4))
+        started = started | pf
+        shift *= 2
+
+    # Inter-row carry over open-segment tails.
+    any_start = jnp.any(f, axis=1)
+    tv = tuple(v[:, -1] for v in vals)
+    tr = any_start
+    shift = 1
+    while shift < rows:
+        pv = tuple(jnp.pad(x, (shift, 0), constant_values=cval)[:rows]
+                   for x, cval in zip(tv, idents))
+        pr = jnp.pad(tr, (shift, 0))[:rows]
+        comp = combine(pv, tv)
+        tv = tuple(jnp.where(tr, tv[i], comp[i]) for i in range(4))
+        tr = tr | pr
+        shift *= 2
+    carry = tuple(jnp.concatenate([jnp.full((1,), cval, jnp.float32), x[:-1]])
+                  for x, cval in zip(tv, idents))
+
+    comp = combine(tuple(x[:, None] for x in carry), vals)
+    out = tuple(jnp.where(started, vals[i], comp[i]) for i in range(4))
+    return tuple(x.reshape(-1)[:n] for x in out)

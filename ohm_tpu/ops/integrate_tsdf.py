@@ -190,17 +190,22 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
 
     arena = dict(arena)
     if cfg.per_visit:
-        # PER-VISIT truncation parity (reference ohm/VoxelTsdfCompute.h:87-137
-        # applies calculateTsdf — blend, truncate, weight-clamp — at every
-        # visit; round-2 truncated once per batch, VERDICT item 6).  In the
-        # weighted-sum domain U_j = d_j * W_j the per-visit rule is
-        #   U_j = clamp(U_{j-1} + w_j*sdf_j, -trunc*W_j, +trunc*W_j),
-        #   W_j = W_0 + sum w  (visits with W_j < 1e-5 are skipped),
-        # a segmented composition of shift-then-clamp maps
-        # (ops.blocked.segment_compose_shift_clamp).  Known divergence: the
-        # per-visit weight cap min(W, max_weight) is applied once per batch,
-        # so denominators differ only when W crosses max_weight (1e4
-        # default) mid-batch.
+        # PER-VISIT parity (reference ohm/VoxelTsdfCompute.h:87-137 applies
+        # calculateTsdf — blend, truncate, weight-clamp — at every visit;
+        # round-2 truncated once per batch, VERDICT item 6).  Each visit is
+        # the monotone affine+clamp map
+        #   d -> clamp((d*wc + sdf_j*u_j) / (wc + u_j), -trunc, +trunc)
+        # where wc is the running CLAMPED weight before the visit.  The
+        # clamped weight recursion telescopes (min(min(x,W)+u, W) ==
+        # min(x+u, W) for u >= 0), so wc_prev = min(w0 + S_{j-1}, W) in
+        # closed form from a blocked segment prefix sum, and the whole
+        # segment folds into one composed (A, B, LO, HI) map
+        # (ops.blocked.segment_compose_affine_clamp) — exact per-visit
+        # semantics INCLUDING mid-batch max_weight saturation (round 4;
+        # closes the round-3 "per-batch weight clamp" divergence).  Residual
+        # slack: a near-zero-weight visit (reference :127 skips it) still
+        # contributes its sub-1e-5 update weight to the running sum — below
+        # f32 noise at any realistic weight.
         from ohm_tpu.ops import blocked
 
         first = jnp.concatenate([jnp.array([True]), ids_s[1:] != ids_s[:-1]])
@@ -225,7 +230,7 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
             wd = jnp.stack([arena["tsdf_weight"], arena["tsdf_distance"]], axis=-1)
             seed = wd[jnp.where(freal, fids, 0)]
             seed_w = jnp.where(freal, seed[:, 0], 0.0)
-            seed_dw = jnp.where(freal, seed[:, 0] * seed[:, 1], 0.0)
+            seed_d = jnp.where(freal, seed[:, 1], 0.0)
             tgt = jnp.where(freal, safe_pos, n_rec)
             w0_stream = jnp.zeros(n_rec + 1, jnp.float32).at[tgt].set(
                 seed_w, indices_are_sorted=True, unique_indices=True,
@@ -234,9 +239,9 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
             # firsts) IS the broadcast — blocked.segment_sums requires
             # NON-NEGATIVE values (its base propagation is a cummax).
             w0_s = blocked.segment_sums(w0_stream, first)
-            # d0*w0 can be NEGATIVE (stored distance sign), which the cummax
+            # d0 can be NEGATIVE (stored distance sign), which the cummax
             # base propagation corrupts — but it is only consumed at segment
-            # LASTS (u_k below), so scatter it AT the last positions instead
+            # LASTS (d_k below), so scatter it AT the last positions instead
             # of broadcasting.  Sorted segment structure gives the lasts for
             # free: last_k = first_{k+1} - 1, and the final real segment
             # ends at total_real - 1 (sentinels sort to the stream tail).
@@ -248,8 +253,8 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
                                jnp.where(next_f != big, next_f - 1, total_real - 1),
                                big)
             ltgt = jnp.where(freal, lpos_c, n_rec)
-            d0w0_s = jnp.zeros(n_rec + 1, jnp.float32).at[ltgt].set(
-                seed_dw, indices_are_sorted=True, unique_indices=True,
+            d0_s = jnp.zeros(n_rec + 1, jnp.float32).at[ltgt].set(
+                seed_d, indices_are_sorted=True, unique_indices=True,
                 mode="drop")[:n_rec]
             # A segment whose seed missed the window must DROP its update
             # (counted), not run from a zero seed; 'seeded' is also read
@@ -262,18 +267,27 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
             dropped = dropped + seed_dropped
         else:
             w0_s = arena["tsdf_weight"][ids_s]
-            d0w0_s = w0_s * arena["tsdf_distance"][ids_s]
+            d0_s = arena["tsdf_distance"][ids_s]
             seeded = jnp.ones_like(first)
         s_w = blocked.segment_sums(w_s, first)
         w_run = w0_s + s_w
-        alive = w_run >= jnp.float32(1e-5)
+        # Running clamped weight BEFORE each visit (exclusive prefix).
+        wc_prev = jnp.minimum(w_run - w_s, jnp.float32(cfg.max_weight))
+        new_w_vis = wc_prev + w_s
+        # Reference :127 skips a visit whose new weight is near zero; a
+        # skipped visit is the identity map.
+        alive_vis = new_w_vis >= jnp.float32(1e-5)
         fbig = jnp.float32(3.0e38)
-        c_map = jnp.where(alive, wsdf_s, 0.0)
-        lo_map = jnp.where(alive, -trunc * w_run, -fbig)
-        hi_map = jnp.where(alive, trunc * w_run, fbig)
-        C, LO, HI = blocked.segment_compose_shift_clamp(c_map, lo_map, hi_map, first)
-        u_k = jnp.minimum(jnp.maximum(d0w0_s + C, LO), HI)
-        d_k = u_k / jnp.maximum(w_run, jnp.float32(1e-5))
+        denom = jnp.where(alive_vis, new_w_vis, 1.0)
+        a_map = jnp.where(alive_vis, wc_prev / denom, 1.0)
+        b_map = jnp.where(alive_vis, wsdf_s / denom, 0.0)
+        lo_map = jnp.where(alive_vis, -trunc, -fbig)
+        hi_map = jnp.where(alive_vis, trunc, fbig)
+        A, Bm, LO, HI = blocked.segment_compose_affine_clamp(
+            a_map, b_map, lo_map, hi_map, first)
+        d_k = jnp.minimum(jnp.maximum(A * d0_s + Bm, LO), HI)
+        alive = w_run >= jnp.float32(1e-5)
+        # Stored weight: the per-visit clamp telescopes to one final min.
         w_k = jnp.minimum(w_run, jnp.float32(cfg.max_weight))
         upd = last & alive & real_seg & seeded
         (pend_w, pend_d), drop2 = compact_deposit(upd, (w_k, d_k))

