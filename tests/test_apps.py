@@ -480,3 +480,61 @@ def test_debug_draw_snapshot(tmp_path):
     assert ell["scale"] == pytest.approx([0.05] * 3, abs=1e-6)
     # Mean offset applied: centre is near the sample, not the voxel centre.
     assert np.allclose(ell["pos"], [0.9, 0.1, 0.1], atol=0.2)
+
+
+def test_ray_mapper_trace_incremental_protocol(tmp_path):
+    """Round-4 trace depth (reference RayMapperTrace.cpp viewer protocol):
+    occupancy_mesh_update carries stable vertex indices with free-list reuse
+    (OccupancyMesh::update), and ndt_sector events replace each (region,
+    octant) sector's full ellipsoid set by shape id / destroy emptied
+    sectors (drawNdt's MultiShape setReplace + destroy)."""
+    import json
+
+    from ohm_tpu.core.map import OccupancyMap, MapFlag
+    from ohm_tpu.oracle.ndt import RayMapperNdt
+    from ohm_tpu.utils.trace import Trace, RayMapperTrace
+
+    m = OccupancyMap(resolution=0.25, flags=MapFlag.VOXEL_MEAN)
+    m.layout.add_covariance()
+    m.ensure_chunk_layers()
+    inner = RayMapperNdt(m)
+    trace_file = str(tmp_path / "rmtrace2.jsonl")
+    hit_a = np.array([[0.0, 0.0, 0.0], [1.0, 0.05, 0.05]] * 5)
+    # The through-rays pass exactly through A's Gaussian mean (NDT-OM miss
+    # evidence is strongest where the Gaussian says matter should be;
+    # far-from-mean passes produce p~0.5, no adjustment) and their sample
+    # voxel lies in the NEXT region, so freeing A empties A's sector and
+    # must destroy it.
+    through = np.array([[0.0, 0.0, 0.0], [5.0, 0.25, 0.25]] * 60)
+    hit_b = np.array([[0.0, 0.0, 0.0], [-1.0, 0.0, 0.0]] * 5)
+    with Trace(trace_file) as tr:
+        mp = RayMapperTrace(inner, tr)
+        mp.integrate_rays(hit_a)     # voxel A occupied
+        mp.integrate_rays(through)   # A freed by misses
+        mp.integrate_rays(hit_b)     # voxel B occupied: index reuse
+    events = [json.loads(l) for l in open(trace_file)]
+    mesh = [e for e in events if e["event"] == "occupancy_mesh_update"]
+    assert len(mesh) == 3
+    a_idx = [v["i"] for v in mesh[0]["added"]
+             if abs(v["pos"][0] - 1.125) < 0.2]
+    assert len(a_idx) == 1, "voxel A not added in batch 1"
+    assert a_idx[0] in mesh[1]["removed"], "voxel A not removed when freed"
+    # Free-list reuse: 3 additions, 1 removal — with reuse the index space
+    # stays {0, 1}; without it a third index would appear.
+    all_added = [v["i"] for e in mesh for v in e["added"]]
+    assert len(all_added) == 3 and len(mesh[1]["removed"]) == 1
+    assert max(all_added) == 1, "freed vertex index not reused (free list)"
+    assert a_idx[0] in all_added[1:], "A's slot never reassigned"
+
+    sect = [e for e in events if e["event"] == "ndt_sector"]
+    dest = [e for e in events if e["event"] == "ndt_sector_destroy"]
+    assert sect, "no ndt_sector replace events"
+    assert all(e["replace"] for e in sect)
+    assert all(len(e["shape_id"]) == 4 and 0 <= e["shape_id"][3] < 8 for e in sect)
+    # A's sector was created in batch 1 and destroyed when A freed.
+    a_sector = sect[0]["shape_id"]
+    assert any(e["shape_id"] == a_sector for e in dest), \
+        "emptied sector not destroyed"
+    # Ellipsoid payloads carry pose + axes (viewer-replayable).
+    e0 = sect[0]["ellipsoids"][0]
+    assert set(e0) >= {"pos", "scale", "axes"}
