@@ -7,9 +7,11 @@ and .laz through a from-scratch LASzip codec (ohm_tpu/native/laszip.cpp:
 pointwise-chunked compressor 2, record version 2 item codecs POINT10 /
 GPSTIME11 / RGB12 / BYTE — LAS 1.2 point formats 0-3 plus extra bytes —
 and layered compressor 3, version 3 item codecs POINT14 / RGB14 /
-RGBNIR14 / BYTE14 — LAS 1.4 point formats 6-8).  Variable-chunked layered
-streams and the v4 selective-update codecs are rejected with a clear
-error.  Round-trips are pinned by tests/test_laz.py; cross-implementation
+RGBNIR14 / BYTE14 — LAS 1.4 point formats 6-8).  Both fixed- and
+VARIABLE-chunked streams are handled (variable chunk tables carry
+per-chunk point-count/byte-size pairs — the framing spatially-sorted and
+COPC-style writers emit); the v4 selective-update codecs are rejected with
+a clear error.  Round-trips are pinned by tests/test_laz.py; cross-implementation
 bit-compatibility of the layered codecs could not be verified in this
 environment (no third-party .laz available) — docs/STATUS.md carries the
 caveat.
@@ -113,10 +115,6 @@ def _read_laz_records(data: bytes, filename: str, point_offset: int,
             "supported")
     layered = vlr["compressor"] == 3
     if layered:
-        if vlr["chunk_size"] == 0xFFFFFFFF:
-            raise NotImplementedError(
-                f"{filename}: variable-chunked layered LAZ is not supported "
-                "— rewrite with a fixed chunk size")
         for t, s, v in vlr["items"]:
             if t not in _LZ_LAYERED or v != 3:
                 raise NotImplementedError(
@@ -133,6 +131,7 @@ def _read_laz_records(data: bytes, filename: str, point_offset: int,
         raise ValueError(f"{filename}: laszip item sizes {sizes} != record "
                          f"length {rec_len}")
 
+    chunk_counts = None
     if vlr["compressor"] == 1:  # pointwise: one chunk, no table
         stream = np.frombuffer(data, np.uint8, offset=point_offset)
         chunk_size, starts = 0xFFFFFFFF, [0]
@@ -148,13 +147,20 @@ def _read_laz_records(data: bytes, filename: str, point_offset: int,
         version, n_chunks = struct.unpack_from("<II", data, table_off)
         if version != 0:
             raise ValueError(f"{filename}: LASzip chunk table v{version}")
-        chunk_bytes = native.laz_read_chunk_table(
-            np.frombuffer(data, np.uint8, offset=table_off + 8), n_chunks)
-        starts = np.concatenate([[0], np.cumsum(chunk_bytes[:-1])])
         chunk_size = vlr["chunk_size"]
+        payload = np.frombuffer(data, np.uint8, offset=table_off + 8)
+        if chunk_size == 0xFFFFFFFF:
+            # Variable chunking (spatially-sorted / COPC-style writers): the
+            # table carries per-chunk (point count, byte size) pairs.
+            chunk_counts, chunk_bytes = native.laz_read_chunk_table_variable(
+                payload, n_chunks)
+        else:
+            chunk_bytes = native.laz_read_chunk_table(payload, n_chunks)
+        starts = np.concatenate([[0], np.cumsum(chunk_bytes[:-1])])
     types = [t for t, _, _ in vlr["items"]]
     return native.laz_decompress(stream, types, sizes, n_points, chunk_size,
-                                 starts, layered=layered)
+                                 starts, layered=layered,
+                                 chunk_counts=chunk_counts)
 
 
 def read_las(filename: str) -> dict:
@@ -282,14 +288,18 @@ def write_las(filename: str, points, timestamps=None, intensities=None,
 def write_laz(filename: str, points, timestamps=None, intensities=None,
               return_numbers=None, number_of_returns=None,
               scale=(1e-3, 1e-3, 1e-3), chunk_size: int = 50000,
-              point_format: int = 1, scanner_channels=None) -> None:
+              point_format: int = 1, scanner_channels=None,
+              chunk_counts=None) -> None:
     """Write a LASzip-compressed .laz.
 
     ``point_format`` 1 (default): LAS 1.2, pointwise-chunked compressor 2
     with POINT10 + GPSTIME11 v2 item codecs.  ``point_format`` 6: LAS 1.4,
     layered compressor 3 with the POINT14 v3 item codec (the "native
     extension" framing modern fmt-6+ sensors emit).  Both carry a standard
-    chunk table."""
+    chunk table.  ``chunk_counts`` (a per-chunk point-count list summing to
+    >= n) selects VARIABLE chunking — chunk_size 0xFFFFFFFF in the VLR and
+    a (count, byte-size)-pair chunk table, the framing spatially-sorted
+    writers emit."""
     from ohm_tpu import native
 
     points = np.asarray(points, np.float64).reshape(-1, 3)
@@ -313,6 +323,8 @@ def write_laz(filename: str, points, timestamps=None, intensities=None,
     else:
         raise ValueError(f"write_laz: unsupported point_format {point_format}"
                          " (1 or 6)")
+    if chunk_counts is not None:
+        chunk_size = 0xFFFFFFFF
     vlr_payload = struct.pack("<HHBBHIIqqH", compressor, 0, version[0],
                               version[1], 0, 0, chunk_size, 0, 0, len(items))
     for t, s, v in items:
@@ -329,7 +341,7 @@ def write_laz(filename: str, points, timestamps=None, intensities=None,
     if n:
         stream, chunk_bytes = native.laz_compress(
             rec, [t for t, _, _ in items], [s for _, s, _ in items],
-            chunk_size, layered=(compressor == 3))
+            chunk_size, layered=(compressor == 3), chunk_counts=chunk_counts)
     else:
         stream, chunk_bytes = b"", []
     table_off = point_offset + 8 + len(stream)
@@ -339,4 +351,8 @@ def write_laz(filename: str, points, timestamps=None, intensities=None,
         f.write(struct.pack("<q", table_off))
         f.write(stream)
         f.write(struct.pack("<II", 0, len(chunk_bytes)))
-        f.write(native.laz_write_chunk_table(chunk_bytes))
+        if chunk_counts is not None:
+            f.write(native.laz_write_chunk_table_variable(
+                list(chunk_counts)[:len(chunk_bytes)], chunk_bytes))
+        else:
+            f.write(native.laz_write_chunk_table(chunk_bytes))

@@ -296,18 +296,22 @@ def get_laz_lib():
     lib = ctypes.CDLL(_LAZ_LIB)
     for fn in ("laszip_decompress", "laszip_compress",
                "laszip_decompress_layered", "laszip_compress_layered",
-               "laszip_read_chunk_table", "laszip_write_chunk_table"):
+               "laszip_read_chunk_table", "laszip_write_chunk_table",
+               "laszip_read_chunk_table_variable",
+               "laszip_write_chunk_table_variable"):
         getattr(lib, fn).restype = ctypes.c_int64
     _laz_lib = lib
     return lib
 
 
 def laz_decompress(stream: np.ndarray, item_types, item_sizes, n_points: int,
-                   chunk_size: int, chunk_starts, layered: bool = False) -> np.ndarray:
+                   chunk_size: int, chunk_starts, layered: bool = False,
+                   chunk_counts=None) -> np.ndarray:
     """Decompress a LASzip point stream into raw point records
     (u8[n_points, point_size]).  ``chunk_starts`` are byte offsets of each
     chunk within ``stream``; ``layered`` selects the compressor-3 framing
-    (LAS 1.4 point formats 6+)."""
+    (LAS 1.4 point formats 6+).  ``chunk_counts`` gives per-chunk point
+    counts for variable-chunked streams (chunk_size == 0xFFFFFFFF)."""
     lib = get_laz_lib()
     if lib is None:
         raise RuntimeError("LASzip codec unavailable (no C++ compiler)")
@@ -317,6 +321,11 @@ def laz_decompress(stream: np.ndarray, item_types, item_sizes, n_points: int,
     point_size = int(sizes.sum())
     stream = np.ascontiguousarray(stream, np.uint8)
     out = np.zeros(n_points * point_size, np.uint8)
+    if chunk_counts is not None:
+        chunk_counts = np.ascontiguousarray(chunk_counts, np.int64)
+        counts_ptr = _ptr(chunk_counts, ctypes.c_int64)
+    else:
+        counts_ptr = None
     fn = lib.laszip_decompress_layered if layered else lib.laszip_decompress
     rc = fn(
         _ptr(stream, ctypes.c_uint8), ctypes.c_int64(stream.size),
@@ -324,16 +333,19 @@ def laz_decompress(stream: np.ndarray, item_types, item_sizes, n_points: int,
         ctypes.c_int32(len(types)), ctypes.c_int64(n_points),
         ctypes.c_uint32(chunk_size & 0xFFFFFFFF),
         _ptr(starts, ctypes.c_int64), ctypes.c_int32(len(starts)),
-        _ptr(out, ctypes.c_uint8))
+        counts_ptr, _ptr(out, ctypes.c_uint8))
     if rc != 0:
         raise ValueError(f"LASzip decompression failed (code {rc})")
     return out.reshape(n_points, point_size)
 
 
 def laz_compress(records: np.ndarray, item_types, item_sizes,
-                 chunk_size: int = 50000, layered: bool = False):
+                 chunk_size: int = 50000, layered: bool = False,
+                 chunk_counts=None):
     """Compress raw point records (u8[n_points, point_size]) into a LASzip
     stream (``layered`` = compressor-3 framing for LAS 1.4 formats 6+).
+    ``chunk_counts`` selects VARIABLE chunking with the given per-chunk
+    point counts (pass chunk_size=0xFFFFFFFF in the VLR in that case).
     Returns (stream bytes, chunk byte lengths)."""
     lib = get_laz_lib()
     if lib is None:
@@ -343,8 +355,15 @@ def laz_compress(records: np.ndarray, item_types, item_sizes,
     types = np.ascontiguousarray(item_types, np.int32)
     sizes = np.ascontiguousarray(item_sizes, np.int32)
     assert int(sizes.sum()) == point_size
-    eff_chunk = n_points if chunk_size == 0xFFFFFFFF else chunk_size
-    n_chunk_cap = max(1, -(-n_points // max(eff_chunk, 1)))
+    if chunk_counts is not None:
+        chunk_counts = np.ascontiguousarray(chunk_counts, np.int64)
+        assert int(chunk_counts.sum()) >= n_points, "chunk counts must cover all points"
+        counts_ptr = _ptr(chunk_counts, ctypes.c_int64)
+        n_chunk_cap = len(chunk_counts)
+    else:
+        counts_ptr = None
+        eff_chunk = n_points if chunk_size == 0xFFFFFFFF else chunk_size
+        n_chunk_cap = max(1, -(-n_points // max(eff_chunk, 1)))
     chunk_bytes = np.zeros(n_chunk_cap, np.int64)
     n_chunks = np.zeros(1, np.int32)
     cap = records.size + 4096 + 64 * n_chunk_cap
@@ -355,7 +374,7 @@ def laz_compress(records: np.ndarray, item_types, item_sizes,
             _ptr(records, ctypes.c_uint8), ctypes.c_int64(n_points),
             _ptr(types, ctypes.c_int32), _ptr(sizes, ctypes.c_int32),
             ctypes.c_int32(len(types)), ctypes.c_uint32(chunk_size & 0xFFFFFFFF),
-            _ptr(out, ctypes.c_uint8), ctypes.c_int64(cap),
+            counts_ptr, _ptr(out, ctypes.c_uint8), ctypes.c_int64(cap),
             _ptr(chunk_bytes, ctypes.c_int64), _ptr(n_chunks, ctypes.c_int32))
         if total == -1:  # incompressible input: retry with a larger buffer
             cap *= 2
@@ -389,4 +408,36 @@ def laz_write_chunk_table(chunk_bytes) -> bytes:
         _ptr(out, ctypes.c_uint8), ctypes.c_int64(cap))
     if n < 0:
         raise ValueError("LASzip chunk table encode overflow")
+    return bytes(out[:n])
+
+
+def laz_read_chunk_table_variable(payload: np.ndarray, n_chunks: int):
+    """Decode a VARIABLE chunk table payload (chunk_size == 0xFFFFFFFF):
+    per-chunk (point count, byte size) pairs.  Returns (counts, bytes)."""
+    lib = get_laz_lib()
+    payload = np.ascontiguousarray(payload, np.uint8)
+    counts = np.zeros(n_chunks, np.int64)
+    nbytes = np.zeros(n_chunks, np.int64)
+    rc = lib.laszip_read_chunk_table_variable(
+        _ptr(payload, ctypes.c_uint8), ctypes.c_int64(payload.size),
+        ctypes.c_int32(n_chunks), _ptr(counts, ctypes.c_int64),
+        _ptr(nbytes, ctypes.c_int64))
+    if rc != 0:
+        raise ValueError(f"LASzip variable chunk table decode failed (code {rc})")
+    return counts, nbytes
+
+
+def laz_write_chunk_table_variable(chunk_counts, chunk_bytes) -> bytes:
+    lib = get_laz_lib()
+    counts = np.ascontiguousarray(chunk_counts, np.int64)
+    arr = np.ascontiguousarray(chunk_bytes, np.int64)
+    assert len(counts) == len(arr)
+    cap = 16 + 16 * max(len(arr), 1)
+    out = np.zeros(cap, np.uint8)
+    n = lib.laszip_write_chunk_table_variable(
+        _ptr(counts, ctypes.c_int64), _ptr(arr, ctypes.c_int64),
+        ctypes.c_int32(len(arr)), _ptr(out, ctypes.c_uint8),
+        ctypes.c_int64(cap))
+    if n < 0:
+        raise ValueError("LASzip variable chunk table encode overflow")
     return bytes(out[:n])

@@ -1652,13 +1652,17 @@ extern "C" {
 //     i within `in` (n_chunks entries; derived from the chunk table).
 //   item_types/item_sizes: the LASzip VLR item list (POINT10/GPSTIME11/
 //     RGB12/BYTE only).
+//   chunk_counts: per-chunk point counts for VARIABLE-chunked streams
+//     (chunk_size == 0xFFFFFFFF in the VLR; counts come from the variable
+//     chunk table), or NULL for fixed chunking.
 //   out: n_points * point_size bytes.
 // Returns 0 on success, <0 on error (-1 bad item, -2 chunk bounds).
 int64_t laszip_decompress(const uint8_t* in, int64_t in_len,
                           const int32_t* item_types, const int32_t* item_sizes,
                           int32_t n_items, int64_t n_points,
                           uint32_t chunk_size, const int64_t* chunk_starts,
-                          int32_t n_chunks, uint8_t* out) {
+                          int32_t n_chunks, const int64_t* chunk_counts,
+                          uint8_t* out) {
   I64 point_size = 0;
   for (I32 i = 0; i < n_items; ++i) {
     const I32 t = item_types[i];
@@ -1687,11 +1691,11 @@ int64_t laszip_decompress(const uint8_t* in, int64_t in_len,
     }
     ++p;
     dec.init(in, in_len, off);
+    const I64 span = chunk_counts          ? chunk_counts[c]
+                     : (chunk_size == 0xFFFFFFFFu) ? n_points
+                                                   : (I64)chunk_size;
     const I64 chunk_end =
-        (chunk_size == 0xFFFFFFFFu)
-            ? n_points
-            : ((p - 1) + (I64)chunk_size < n_points ? (p - 1) + (I64)chunk_size
-                                                    : n_points);
+        ((p - 1) + span < n_points ? (p - 1) + span : n_points);
     for (; p < chunk_end; ++p) {
       rec = out + p * point_size;
       for (I32 i = 0; i < n_items; ++i) {
@@ -1711,11 +1715,14 @@ int64_t laszip_decompress(const uint8_t* in, int64_t in_len,
 // Compress points into a pointwise-chunked LASzip stream (no chunk-table
 // framing — the caller assembles offset field + stream + chunk table).
 // chunk_bytes_out[i] receives the byte length of chunk i (capacity must be
-// >= ceil(n_points/chunk_size)).  Returns total bytes written, or -1 if
+// >= ceil(n_points/chunk_size)).  chunk_counts (or NULL for fixed chunking)
+// gives explicit per-chunk point counts for a VARIABLE-chunked stream; the
+// counts must sum to >= n_points.  Returns total bytes written, or -1 if
 // out_cap was too small (re-call with a larger buffer), -2 on a bad item.
 int64_t laszip_compress(const uint8_t* in, int64_t n_points,
                         const int32_t* item_types, const int32_t* item_sizes,
-                        int32_t n_items, uint32_t chunk_size, uint8_t* out,
+                        int32_t n_items, uint32_t chunk_size,
+                        const int64_t* chunk_counts, uint8_t* out,
                         int64_t out_cap, int64_t* chunk_bytes_out,
                         int32_t* n_chunks_out) {
   I64 point_size = 0;
@@ -1745,11 +1752,11 @@ int64_t laszip_compress(const uint8_t* in, int64_t n_points,
     }
     ++p;
     enc.init(out, out_cap, pos);
-    const I64 chunk_end = (chunk_size == 0xFFFFFFFFu)
-                              ? n_points
-                              : ((p - 1) + (I64)chunk_size < n_points
-                                     ? (p - 1) + (I64)chunk_size
-                                     : n_points);
+    const I64 span = chunk_counts          ? chunk_counts[n_chunks]
+                     : (chunk_size == 0xFFFFFFFFu) ? n_points
+                                                   : (I64)chunk_size;
+    const I64 chunk_end =
+        ((p - 1) + span < n_points ? (p - 1) + span : n_points);
     for (; p < chunk_end; ++p) {
       rec = in + p * point_size;
       for (I32 i = 0; i < n_items; ++i) {
@@ -1807,6 +1814,53 @@ int64_t laszip_write_chunk_table(const int64_t* chunk_bytes, int32_t n_chunks,
   return enc.overflow ? -1 : enc.pos;
 }
 
+// VARIABLE-chunked table payload (VLR chunk_size == 0xFFFFFFFF): each entry
+// carries the chunk's point COUNT (IC context 0) then its byte size (IC
+// context 1), both predicted from the previous entry's raw value — the
+// layout LASzip's read_chunk_table uses when chunk totals are present.
+int64_t laszip_read_chunk_table_variable(const uint8_t* in, int64_t in_len,
+                                         int32_t n_chunks,
+                                         int64_t* chunk_counts_out,
+                                         int64_t* chunk_bytes_out) {
+  Decoder dec;
+  dec.init(in, in_len, 0);
+  IntegerCompressor ic(32, 2);
+  ic.setup(false);
+  I32 prev_count = 0;
+  I32 prev_bytes = 0;
+  for (I32 i = 0; i < n_chunks; ++i) {
+    const I32 cnt = ic.decompress(dec, prev_count, 0);
+    const I32 nb = ic.decompress(dec, prev_bytes, 1);
+    chunk_counts_out[i] = (I64)(U32)cnt;
+    chunk_bytes_out[i] = (I64)(U32)nb;
+    prev_count = cnt;
+    prev_bytes = nb;
+  }
+  return 0;
+}
+
+int64_t laszip_write_chunk_table_variable(const int64_t* chunk_counts,
+                                          const int64_t* chunk_bytes,
+                                          int32_t n_chunks, uint8_t* out,
+                                          int64_t cap) {
+  Encoder enc;
+  enc.init(out, cap, 0);
+  IntegerCompressor ic(32, 2);
+  ic.setup(true);
+  I32 prev_count = 0;
+  I32 prev_bytes = 0;
+  for (I32 i = 0; i < n_chunks; ++i) {
+    const I32 cnt = (I32)(U32)chunk_counts[i];
+    const I32 nb = (I32)(U32)chunk_bytes[i];
+    ic.compress(enc, prev_count, cnt, 0);
+    ic.compress(enc, prev_bytes, nb, 1);
+    prev_count = cnt;
+    prev_bytes = nb;
+  }
+  enc.done();
+  return enc.overflow ? -1 : enc.pos;
+}
+
 // ------------------------------------------------------------------------ //
 // Layered (compressor 3) entry points for LAS 1.4 point formats 6-10.
 //
@@ -1832,7 +1886,8 @@ int64_t laszip_decompress_layered(const uint8_t* in, int64_t in_len,
                                   const int32_t* item_sizes, int32_t n_items,
                                   int64_t n_points, uint32_t chunk_size,
                                   const int64_t* chunk_starts,
-                                  int32_t n_chunks, uint8_t* out) {
+                                  int32_t n_chunks, const int64_t* chunk_counts,
+                                  uint8_t* out) {
   I64 point_size = 0;
   I32 total_layers = 0;
   for (I32 i = 0; i < n_items; ++i) {
@@ -1841,7 +1896,8 @@ int64_t laszip_decompress_layered(const uint8_t* in, int64_t in_len,
     total_layers += nl;
     point_size += item_sizes[i];
   }
-  if (chunk_size == 0xFFFFFFFFu) return -4;  // variable chunking unsupported
+  // Variable chunking needs the per-chunk counts from the chunk table.
+  if (chunk_size == 0xFFFFFFFFu && !chunk_counts) return -4;
   LayeredCodecs codecs;
   std::vector<Decoder> dec(total_layers);
   I64 p = 0;
@@ -1881,9 +1937,9 @@ int64_t laszip_decompress_layered(const uint8_t* in, int64_t in_len,
       dec[j].init(in, pay + nbytes, pay);
       pay += nbytes;
     }
+    const I64 span = chunk_counts ? chunk_counts[c] : (I64)chunk_size;
     const I64 chunk_end =
-        ((p - 1) + (I64)chunk_size < n_points ? (p - 1) + (I64)chunk_size
-                                              : n_points);
+        ((p - 1) + span < n_points ? (p - 1) + span : n_points);
     for (; p < chunk_end; ++p) {
       rec = out + p * point_size;
       I32 lj = 0;
@@ -1917,7 +1973,8 @@ int64_t laszip_decompress_layered(const uint8_t* in, int64_t in_len,
 int64_t laszip_compress_layered(const uint8_t* in, int64_t n_points,
                                 const int32_t* item_types,
                                 const int32_t* item_sizes, int32_t n_items,
-                                uint32_t chunk_size, uint8_t* out,
+                                uint32_t chunk_size, const int64_t* chunk_counts,
+                                uint8_t* out,
                                 int64_t out_cap, int64_t* chunk_bytes_out,
                                 int32_t* n_chunks_out) {
   I64 point_size = 0;
@@ -1928,7 +1985,7 @@ int64_t laszip_compress_layered(const uint8_t* in, int64_t n_points,
     total_layers += nl;
     point_size += item_sizes[i];
   }
-  if (chunk_size == 0xFFFFFFFFu) return -4;
+  if (chunk_size == 0xFFFFFFFFu && !chunk_counts) return -4;
   LayeredCodecs codecs;
   std::vector<Encoder> enc(total_layers);
   std::vector<std::vector<U8>> bufs(total_layers);
@@ -1937,8 +1994,8 @@ int64_t laszip_compress_layered(const uint8_t* in, int64_t n_points,
   I64 p = 0;
   while (p < n_points) {
     const I64 chunk_start = pos;
-    const I64 pts_here =
-        (I64)chunk_size < n_points - p ? (I64)chunk_size : n_points - p;
+    const I64 span = chunk_counts ? chunk_counts[n_chunks] : (I64)chunk_size;
+    const I64 pts_here = span < n_points - p ? span : n_points - p;
     // Worst-case per-layer budget: a layer never exceeds its field's raw
     // bytes by more than the coder's constant tail.
     for (I32 j = 0, i = 0; i < n_items; ++i) {
@@ -1970,9 +2027,8 @@ int64_t laszip_compress_layered(const uint8_t* in, int64_t n_points,
       rec += item_sizes[i];
     }
     ++p;
-    const I64 chunk_end = ((p - 1) + (I64)chunk_size < n_points
-                               ? (p - 1) + (I64)chunk_size
-                               : n_points);
+    const I64 chunk_end =
+        ((p - 1) + span < n_points ? (p - 1) + span : n_points);
     for (; p < chunk_end; ++p) {
       rec = in + p * point_size;
       I32 lj = 0;

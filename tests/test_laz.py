@@ -286,3 +286,77 @@ def test_slam_loader_reads_fmt6_laz(tmp_path):
     cloud = load_cloud(path)
     assert np.allclose(cloud["points"], pts, atol=6e-4)
     assert np.array_equal(cloud["timestamps"], ts)
+
+
+# ------------------------------------------------------------------------- #
+# Variable chunking (VLR chunk_size == 0xFFFFFFFF; per-chunk count/byte-size
+# pair chunk table — the framing spatially-sorted / COPC-style writers emit).
+
+
+def test_variable_chunk_table_codec_roundtrip():
+    counts = [7, 50000, 13, 1000, 3]
+    sizes = [911, 1 << 20, 64, 12345, 17]
+    payload = native.laz_write_chunk_table_variable(counts, sizes)
+    out_counts, out_sizes = native.laz_read_chunk_table_variable(
+        np.frombuffer(payload, np.uint8), len(counts))
+    assert out_counts.tolist() == counts
+    assert out_sizes.tolist() == sizes
+
+
+def test_pointwise_variable_chunks_roundtrip():
+    rng = np.random.default_rng(31)
+    rec = _fmt1_records(rng, 5000)
+    counts = [7, 1200, 1, 2500, 1292]  # sums to 5000, wildly uneven
+    stream, chunk_bytes = native.laz_compress(rec, [6, 7], [20, 8],
+                                              0xFFFFFFFF, chunk_counts=counts)
+    assert len(chunk_bytes) == len(counts)
+    starts = np.concatenate([[0], np.cumsum(chunk_bytes)[:-1]])
+    out = native.laz_decompress(np.frombuffer(stream, np.uint8), [6, 7],
+                                [20, 8], len(rec), 0xFFFFFFFF, starts,
+                                chunk_counts=counts)
+    assert np.array_equal(out, rec)
+
+
+def test_layered_variable_chunks_roundtrip():
+    rng = np.random.default_rng(32)
+    rec = _fmt6_records(rng, 4000)
+    counts = [900, 3, 2100, 997]
+    stream, chunk_bytes = native.laz_compress(rec, [10], [30], 0xFFFFFFFF,
+                                              layered=True, chunk_counts=counts)
+    assert len(chunk_bytes) == len(counts)
+    starts = np.concatenate([[0], np.cumsum(chunk_bytes)[:-1]])
+    out = native.laz_decompress(np.frombuffer(stream, np.uint8), [10], [30],
+                                len(rec), 0xFFFFFFFF, starts, layered=True,
+                                chunk_counts=counts)
+    np.testing.assert_array_equal(out.reshape(rec.shape), rec)
+
+
+def test_write_laz_variable_chunks_file_roundtrip(tmp_path):
+    """Full .laz files with variable chunking through the generic read_las
+    entry, both pointwise (fmt 1) and layered (fmt 6)."""
+    from ohm_tpu.io.las import read_las, write_laz
+
+    rng = np.random.default_rng(33)
+    n = 3000
+    pts = rng.uniform(-40, 40, (n, 3))
+    ts = np.sort(rng.uniform(0, 60, n))
+    for fmt in (1, 6):
+        path = str(tmp_path / f"var{fmt}.laz")
+        write_laz(path, pts, timestamps=ts, point_format=fmt,
+                  chunk_counts=[100, 1500, 7, 1393])
+        out = read_las(path)
+        assert np.allclose(out["points"], pts, atol=6e-4)
+        assert np.array_equal(out["timestamps"], ts)
+
+
+def test_write_laz_variable_chunks_short_last(tmp_path):
+    """Chunk counts overshooting the point total: the last chunk is short."""
+    from ohm_tpu.io.las import read_las, write_laz
+
+    rng = np.random.default_rng(34)
+    n = 777
+    pts = rng.uniform(-4, 4, (n, 3))
+    path = str(tmp_path / "short.laz")
+    write_laz(path, pts, point_format=6, chunk_counts=[500, 500])
+    out = read_las(path)
+    assert np.allclose(out["points"], pts, atol=6e-4)
