@@ -352,7 +352,12 @@ def write_laz(filename: str, points, timestamps=None, intensities=None,
         f.write(stream)
         f.write(struct.pack("<II", 0, len(chunk_bytes)))
         if chunk_counts is not None:
-            f.write(native.laz_write_chunk_table_variable(
-                list(chunk_counts)[:len(chunk_bytes)], chunk_bytes))
+            # Record ACTUAL per-chunk counts (the last chunk may be short of
+            # its requested count) — third-party readers trust the table.
+            actual, left = [], n
+            for c in list(chunk_counts)[:len(chunk_bytes)]:
+                actual.append(min(int(c), left))
+                left -= actual[-1]
+            f.write(native.laz_write_chunk_table_variable(actual, chunk_bytes))
         else:
             f.write(native.laz_write_chunk_table(chunk_bytes))
