@@ -115,13 +115,19 @@ def walk_rays_unordered(start_abs, end_abs, start_frac, direction, length,
         n_b = n_ax[:, b_axis][:, None]
         est = jnp.floor((t_a - e0_b) * inv_d[:, b_axis][:, None]).astype(jnp.int32)
         c = jnp.clip(est - 3, 0, n_b)
-        # Forward correction: 7 bounded steps cover the estimate error
-        # (f32 inversion is within ~1 of exact; +-3 margin is generous).
-        for _ in range(7):
-            t_c = e0_b + c.astype(jnp.float32) * d_b
-            mt_c = jax.lax.bitcast_convert_type(t_c, jnp.int32) & ~3
-            lt = (c < n_b) & (mt_c < mt_a)
-            c = c + lt.astype(jnp.int32)
+        # Correction over the 8-wide error window (f32 inversion is within
+        # ~1 of exact; +-3 margin is generous): binary advance instead of 7
+        # forward steps.  p(m) = (m < n_b) & (mt(m) < mt_a) is monotone
+        # non-increasing in m — event times are non-negative and
+        # non-decreasing, so their masked-int images order like the floats —
+        # hence advancing by `step` exactly when p(c + step - 1) holds lands
+        # on the same count as stepping forward one at a time.
+        for step in (4, 2, 1):
+            m = c + (step - 1)
+            t_m = e0_b + m.astype(jnp.float32) * d_b
+            mt_m = jax.lax.bitcast_convert_type(t_m, jnp.int32) & ~3
+            adv = (m < n_b) & (mt_m < mt_a)
+            c = c + jnp.where(adv, step, 0)
         if b_axis > a_axis:  # higher axis wins ties (walkSelectNextAxis)
             t_c = e0_b + c.astype(jnp.float32) * d_b
             mt_c = jax.lax.bitcast_convert_type(t_c, jnp.int32) & ~3
