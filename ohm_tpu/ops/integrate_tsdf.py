@@ -25,7 +25,6 @@ from ohm_tpu.ops.ddawalk import walk_rays
 from ohm_tpu.ops.integrate import (
     IntegrateConfig,
     _resolve_slots,
-    _segment_reduce,
     _unique_scatter_indices,
     _unpack_batch,
 )
@@ -91,6 +90,16 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
 
     trunc = jnp.float32(cfg.default_truncation_distance)
 
+    # With the default weighting (no dropoff, sparsity factor 0/1 — the
+    # reference's own defaults, ohm/VoxelTsdf.h:27-37) every valid record's
+    # update weight is exactly 1.0, so the weight never needs to ride the
+    # sorts as a payload operand: it is (id != sentinel) after any reorder.
+    # Sort cost scales with operand count (~1.3 ns/elem/word), so this drops
+    # one f32 word from both the group-compaction row sort and the global
+    # sort on the common path.
+    uniform_w = (cfg.dropoff_epsilon <= 0.0
+                 and cfg.sparsity_compensation_factor in (0.0, 1.0))
+
     def weight_of(sdf):
         w = jnp.ones_like(sdf)
         if cfg.dropoff_epsilon > 0:
@@ -100,8 +109,12 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
             w = jnp.where(jnp.abs(sdf) < trunc, w * jnp.float32(cfg.sparsity_compensation_factor), w)
         return w
 
-    w_w = jnp.where(rec_valid, weight_of(sdf_w), 0.0)
-    w_e = jnp.where(end_active, weight_of(sdf_e), 0.0)
+    if uniform_w:
+        w_w = rec_valid.astype(jnp.float32)
+        w_e = end_active.astype(jnp.float32)
+    else:
+        w_w = jnp.where(rec_valid, weight_of(sdf_w), 0.0)
+        w_e = jnp.where(end_active, weight_of(sdf_e), 0.0)
 
     walk_ids = walk_flat.reshape(-1)
     walk_w = w_w.reshape(-1)
@@ -121,34 +134,71 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
     if base.group_cap and B % G == 0 and base.group_cap < G * S:
         # Group compaction (see integrate.expand_records_jit): sentinel-keyed
         # padding sorts to the back of each 64-segment row and is truncated
-        # at the host-computed exact cap; the w / w*sdf / order payloads ride.
+        # at the host-computed exact cap; only the payloads the chosen
+        # semantics actually consume ride the row sort (the visit-order key
+        # only matters per-visit; the weight only when non-uniform).
         from ohm_tpu.ops.integrate import group_rows
-        rows, ridx_r, rw, rwsdf = jax.lax.sort(
-            (group_rows(walk_ids, B, S, G), group_rows(ridx, B, S, G),
-             group_rows(walk_w, B, S, G), group_rows(walk_wsdf, B, S, G)),
-            num_keys=1, dimension=1)
+        row_ops = [group_rows(walk_ids, B, S, G)]
+        if cfg.per_visit:
+            row_ops.append(group_rows(ridx, B, S, G))
+        if not uniform_w:
+            row_ops.append(group_rows(walk_w, B, S, G))
+        row_ops.append(group_rows(walk_wsdf, B, S, G))
+        sorted_rows = jax.lax.sort(tuple(row_ops), num_keys=1, dimension=1)
+        rows = sorted_rows[0]
         n_valid = jnp.sum(jnp.where(walk_ids < base.sentinel, 1, 0))
-        rows = rows[:, :base.group_cap]
-        n_kept = jnp.sum(jnp.where(rows < base.sentinel, 1, 0))
+        rows_c = rows[:, :base.group_cap]
+        n_kept = jnp.sum(jnp.where(rows_c < base.sentinel, 1, 0))
         compaction_dropped = (n_valid - n_kept).astype(jnp.int32)
-        walk_ids = rows.reshape(-1)
-        ridx = ridx_r[:, :base.group_cap].reshape(-1)
-        walk_w = rw[:, :base.group_cap].reshape(-1)
-        walk_wsdf = rwsdf[:, :base.group_cap].reshape(-1)
+        walk_ids = rows_c.reshape(-1)
+        j = 1
+        if cfg.per_visit:
+            ridx = sorted_rows[j][:, :base.group_cap].reshape(-1)
+            j += 1
+        if not uniform_w:
+            walk_w = sorted_rows[j][:, :base.group_cap].reshape(-1)
+            j += 1
+        else:
+            walk_w = (walk_ids != base.sentinel).astype(jnp.float32)
+        walk_wsdf = sorted_rows[j][:, :base.group_cap].reshape(-1)
 
     end_ridx = row_order
     ids = jnp.concatenate([walk_ids, end_flat_masked])
-    ridx_all = jnp.concatenate([ridx, end_ridx])
     w_all = jnp.concatenate([walk_w, w_e])
     wsdf_all = jnp.concatenate([walk_wsdf, w_e * sdf_e])
 
     if cfg.per_visit:
-        sorted_all = jax.lax.sort((ids, ridx_all, w_all, wsdf_all), num_keys=2)
-        ids_s, _, w_s, wsdf_s = sorted_all
+        ridx_all = jnp.concatenate([ridx, end_ridx])
+        if uniform_w:
+            ids_s, _, wsdf_s = jax.lax.sort((ids, ridx_all, wsdf_all), num_keys=2)
+            w_s = (ids_s != base.sentinel).astype(jnp.float32)
+        else:
+            ids_s, _, w_s, wsdf_s = jax.lax.sort(
+                (ids, ridx_all, w_all, wsdf_all), num_keys=2)
+        # Only the segment-last mask is needed per-visit (the running sums
+        # come from blocked prefix scans below); skip _segment_reduce's
+        # associative_scan entirely rather than leaning on XLA DCE.
+        last = jnp.concatenate([ids_s[1:] != ids_s[:-1], jnp.array([True])])
+        w_sum = wsdf_sum = None
     else:
-        sorted_all = jax.lax.sort((ids, w_all, wsdf_all), num_keys=1)
-        ids_s, w_s, wsdf_s = sorted_all
-    last, (w_sum, wsdf_sum) = _segment_reduce(ids_s, [(w_s, "sum"), (wsdf_s, "sum")], base)
+        if uniform_w:
+            ids_s, wsdf_s = jax.lax.sort((ids, wsdf_all), num_keys=1)
+            w_s = (ids_s != base.sentinel).astype(jnp.float32)
+        else:
+            ids_s, w_s, wsdf_s = jax.lax.sort((ids, w_all, wsdf_all), num_keys=1)
+        # Segment totals via blocked prefix sums (~0.33 ns/elem) instead of
+        # _segment_reduce's associative_scan (~5.5 ns/elem on this
+        # toolchain; ops/blocked.py).  segment_sums requires NON-NEGATIVE
+        # values, so the signed w*sdf stream splits into its positive and
+        # negative parts (error stays segment-local in each part; along a
+        # ray sdf is almost entirely one-signed, so no cancellation blowup).
+        from ohm_tpu.ops import blocked as _blocked
+
+        first_b = jnp.concatenate([jnp.array([True]), ids_s[1:] != ids_s[:-1]])
+        last = jnp.concatenate([ids_s[1:] != ids_s[:-1], jnp.array([True])])
+        w_sum = _blocked.segment_sums(w_s, first_b)
+        wsdf_sum = (_blocked.segment_sums(jnp.maximum(wsdf_s, 0.0), first_b)
+                    - _blocked.segment_sums(jnp.maximum(-wsdf_s, 0.0), first_b))
 
     n_rec = ids_s.shape[0]
     cap = base.scatter_cap if 0 < base.scatter_cap < n_rec else 0
@@ -266,8 +316,16 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
                             - jnp.sum(freal.astype(jnp.int32)))
             dropped = dropped + seed_dropped
         else:
-            w0_s = arena["tsdf_weight"][ids_s]
-            d0_s = arena["tsdf_distance"][ids_s]
+            # One stacked pair gather, not two plane gathers: gathers are
+            # row-latency-bound (~15 ns/row at 1.19M records), so fetching
+            # (w0, d0) as one [n_rec, 2] row gather halves the dominant cost
+            # of the uncapped seed path (37 -> 18 ms measured,
+            # scripts/probe_tsdf3.py gfull2 vs gfullp).
+            wd = jnp.stack([arena["tsdf_weight"], arena["tsdf_distance"]],
+                           axis=-1)
+            seed = wd[ids_s]
+            w0_s = seed[:, 0]
+            d0_s = seed[:, 1]
             seeded = jnp.ones_like(first)
         s_w = blocked.segment_sums(w_s, first)
         w_run = w0_s + s_w
