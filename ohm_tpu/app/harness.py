@@ -52,6 +52,9 @@ class MapOptions:
     ray_length_max: float = 0.0
     # Data source options (reference: ohmapp/DataSource.h:75-87):
     point_limit: int = 0  # process at most this many sample points (0 = all)
+    #: Force a batch when the sensor moves more than this (m) from the
+    #: batch's first origin (ohmapp/SlamIOSource.cpp:28); <= 0 disables.
+    sensor_batch_delta: float = 0.0
     start_time: float = 0.0  # skip data before first_timestamp + start_time
     time_limit: float = 0.0  # process at most this data-time interval
     stats_mode: str = "off"  # off | console | csv
@@ -256,6 +259,10 @@ class MapHarness:
             progress.start_thread()
 
         opts = self.map_options
+        if opts.sensor_batch_delta > 0 and hasattr(self.source, "sensor_batch_delta"):
+            # Propagate sensor-motion batch forcing to the data source
+            # (reference: ohmapp/SlamIOSource.cpp:125).
+            self.source.sensor_batch_delta = opts.sensor_batch_delta
         stats_csv = None
         if opts.stats_mode == "csv":
             stats_csv = open(self.output.base_name + "_stats.csv", "w")

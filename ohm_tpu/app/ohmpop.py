@@ -42,6 +42,9 @@ def build_parser():
     p.add_argument("--return-number-mode", choices=["off", "auto", "explicit"], default="off",
                    help="dual-return handling: secondary samples layer + stats")
     p.add_argument("--batch-size", type=int, default=4096)
+    p.add_argument("--batch-delta", type=float, default=0.0,
+                   help="maximum sensor movement (m) before forcing a batch up; "
+                        "zero/negative to disable")
     p.add_argument("--device", choices=["tpu", "cpu"], default="tpu")
     p.add_argument("--arena-capacity", type=int, default=2048, help="device region arena capacity")
     p.add_argument("--ray-cloud", action="store_true", help="cloud normals encode sample->sensor")
@@ -65,7 +68,8 @@ def main(argv=None):
     base = args.output or os.path.splitext(args.cloud)[0]
     source = SlamCloudLoader(args.cloud, args.trajectory, ray_cloud=args.ray_cloud,
                              fixed_origin=args.sensor,
-                             return_number_mode=args.return_number_mode)
+                             return_number_mode=args.return_number_mode,
+                             sensor_batch_delta=args.batch_delta)
     map_options = MapOptions(
         resolution=args.resolution, region_dim=args.dim,
         hit_probability=args.hit, miss_probability=args.miss,
@@ -78,6 +82,7 @@ def main(argv=None):
         tsdf_max_weight=args.tsdf_max_weight, tsdf_truncation=args.tsdf_truncation,
         device=args.device, arena_capacity=args.arena_capacity,
         batch_size=args.batch_size, ray_length_max=args.ray_length_max,
+        sensor_batch_delta=args.batch_delta,
         point_limit=args.point_limit, start_time=args.start_time,
         time_limit=args.time_limit, stats_mode=args.stats,
         return_number_mode=args.return_number_mode,

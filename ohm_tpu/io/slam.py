@@ -237,9 +237,14 @@ class SlamCloudLoader:
 
     def __init__(self, cloud_file: str, trajectory_file: str | None = None,
                  ray_cloud: bool = False, fixed_origin=(0.0, 0.0, 0.0),
-                 return_number_mode: str = "off"):
+                 return_number_mode: str = "off",
+                 sensor_batch_delta: float = 0.0):
         self.cloud = load_cloud(cloud_file)
         self.ray_cloud = ray_cloud
+        # Force a batch when the sensor moves more than this from the batch's
+        # first origin (reference: ohmapp/SlamIOSource.cpp:28,263,304 — the
+        # pending sample starts the next batch).  <= 0 disables.
+        self.sensor_batch_delta = float(sensor_batch_delta)
         self.fixed_origin = np.asarray(fixed_origin, np.float64)
         self.trajectory = load_trajectory(trajectory_file) if trajectory_file else None
         self._cursor = 0
@@ -282,6 +287,16 @@ class SlamCloudLoader:
         if self._cursor >= len(pts):
             return None
         end = min(self._cursor + batch_size, len(pts))
+        if self.sensor_batch_delta > 0 and end - self._cursor > 1:
+            # Cut the batch at the first sample whose sensor origin moved more
+            # than the delta from the batch's first origin
+            # (ohmapp/SlamIOSource.cpp:300-304: that sample starts the NEXT
+            # batch with a fresh batch_origin).
+            window = self.origins[self._cursor:end]
+            d2 = np.sum((window - window[0]) ** 2, axis=1)
+            exceeded = np.nonzero(d2 > self.sensor_batch_delta ** 2)[0]
+            if exceeded.size and exceeded[0] > 0:
+                end = self._cursor + int(exceeded[0])
         sl = slice(self._cursor, end)
         self._cursor = end
         n = end - sl.start

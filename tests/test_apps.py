@@ -131,6 +131,40 @@ def test_slam_loader_interpolates(scene):
     assert times is not None
 
 
+def test_slam_loader_sensor_batch_delta(scene):
+    """--batch-delta forces a batch when the sensor moves more than the
+    threshold from the batch's first origin (ohmapp/SlamIOSource.cpp:28,
+    300-304: the exceeding sample starts the NEXT batch)."""
+    from ohm_tpu.io.slam import SlamCloudLoader
+
+    delta = 0.5
+    loader = SlamCloudLoader(scene["cloud"], scene["traj"],
+                             sensor_batch_delta=delta)
+    total = 0
+    sizes = []
+    while True:
+        batch = loader.next_batch(100000)  # batch_size alone would take all
+        if batch is None:
+            break
+        rays = batch[0]
+        origins = rays[0::2]
+        n = len(origins)
+        total += n
+        sizes.append(n)
+        # Every origin in the batch is within delta of the batch's first
+        # origin (strictly: only the batch-starting sample may exceed).
+        d = np.linalg.norm(origins - origins[0], axis=1)
+        assert np.all(d[:-1] <= delta + 1e-9)
+    assert total == scene["n"]
+    # Sensor travels ~3 m at 0.3 m/s over the scene -> several forced cuts.
+    assert len(sizes) >= 4
+
+    # Disabled (default) takes everything in one batch.
+    loader2 = SlamCloudLoader(scene["cloud"], scene["traj"])
+    batch = loader2.next_batch(100000)
+    assert len(batch[0]) // 2 == scene["n"]
+
+
 def test_transform_samples():
     from ohm_tpu.io.slam import transform_samples
 
