@@ -89,8 +89,11 @@ class VoxelArena:
         self.stats = {"hits": 0, "misses": 0, "evictions": 0}
 
         # +1 sentinel element (dropped-record gather target) + scratch tail
-        # of unique dummy scatter slots (ops.integrate._unique_scatter_indices).
+        # of unique dummy scatter slots (ops.integrate._unique_scatter_indices),
+        # rounded up to a 512 multiple so the Pallas deposit can view the
+        # flat arena as (n/512, 512) planes without a copy (ops.deposit_pallas).
         n = self.capacity * self.voxels_per_region + 1 + self.scatter_pad
+        n = -(-n // 512) * 512
         self.arrays: dict[str, jax.Array] = {}
         for name in layer_names:
             dtype, clear = self._clear_value(name)

@@ -147,6 +147,19 @@ class TpuRayMapper:
             import os
             rayflow = os.environ.get("OHM_RAYFLOW", "1") != "0"
         self.rayflow = bool(rayflow)
+        #: MXU one-hot matmul deposit (ops.deposit_pallas): the unique
+        #: scatter + dense sweep replaced by a slot-grid Pallas kernel
+        #: (2.8 vs 9.2 ms at bench shapes).  OHM_PALLAS: "1" (default) =
+        #: compiled kernel when running on real TPU, "2" = interpret mode
+        #: (differential tests on CPU), "0" = off.  Per-config gating
+        #: (traversal payloads, V % 512) happens in apply_records.
+        _pallas_env = _os.environ.get("OHM_PALLAS", "1")
+        if _pallas_env == "2":
+            self.pallas_deposit = 2
+        elif _pallas_env == "0":
+            self.pallas_deposit = 0
+        else:
+            self.pallas_deposit = 1 if jax.default_backend() == "tpu" else 0
         self._config(0)  # validate int32 addressing headroom at construction
         self._stats = {"rays": 0, "segments": 0, "batches": 0, "missed_updates": 0,
                        "overflow": 0, "dropped_updates": 0, "compaction_dropped": 0}
@@ -425,6 +438,7 @@ class TpuRayMapper:
             rayw_fdict=rayw_fdict,
             unordered_walk=bool(group_cap) and not (
                 int(ray_flags) & RayFlag.STOP_ON_FIRST_OCCUPIED),
+            pallas_deposit=self.pallas_deposit,
         )
 
     def integrate_rays(self, rays, intensities=None, timestamps=None, ray_update_flags: int = 0) -> int:

@@ -1,0 +1,155 @@
+"""Differential tests for the MXU one-hot matmul deposit
+(ops.deposit_pallas) against the unique-scatter + dense-sweep path it
+replaces.  Runs the kernel in interpret mode on CPU; the compiled TPU
+variant is covered by tests/test_tpu_hw.py and bench.py."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ohm_tpu.core.rayflags import RayFlag
+from ohm_tpu.ops import deposit_pallas
+from ohm_tpu.ops.integrate import (
+    IntegrateConfig,
+    _apply_occupancy_dense,
+    sorted_hit_miss_counts,
+)
+
+
+def _cfg(**kw):
+    base = dict(
+        resolution=0.1, region_shift=3, capacity=16, max_steps=64,
+        hit_value=0.85, miss_value=-0.15, occupancy_threshold=0.0,
+        min_value=-100.0, max_value=250.0, scatter_pad=8192,
+        pallas_deposit=2)
+    base.update(kw)
+    return IntegrateConfig(**base)
+
+
+def _stream(cfg, n=6000, seed=0, hit_frac=0.1, sentinel_frac=0.05):
+    rng = np.random.default_rng(seed)
+    live = max(2, cfg.capacity * 2 // 3)
+    slots = rng.integers(0, live, n)
+    vox = rng.integers(0, cfg.voxels_per_region, n)
+    flat = slots * cfg.voxels_per_region + vox
+    # duplicate hot voxels to exercise counts > 1
+    hot = rng.random(n) < 0.3
+    flat[hot] = (slots[hot] * 7) % cfg.sentinel
+    hit = (rng.random(n) < hit_frac).astype(np.int64)
+    sent = rng.random(n) < sentinel_frac
+    flat[sent] = cfg.sentinel
+    hit[sent] = 0
+    key = np.sort((flat << 1) | hit).astype(np.int32)
+    return jnp.asarray(key)
+
+
+def _arena(cfg, seed=1, zero=False):
+    n = cfg.sentinel + 1 + cfg.scatter_pad
+    n = -(-n // 512) * 512
+    rng = np.random.default_rng(seed)
+    unobs = np.float32(-0.0) if zero else np.float32(np.inf)
+    occ = np.full(n, unobs, np.float32)
+    seeded = rng.integers(0, cfg.sentinel, n // 8)
+    occ[seeded] = rng.normal(0, 5, n // 8).astype(np.float32)
+    return jnp.asarray(occ)
+
+
+def _reference_apply(occ, key_s, cfg):
+    ids_s, first, last, n_hit, n_miss = sorted_hit_miss_counts(key_s)
+    new_occ, _, dropped = _apply_occupancy_dense(
+        occ, ids_s, last, n_hit, n_miss, cfg)
+    touched = jnp.sum((last & (ids_s != cfg.sentinel)).astype(jnp.int32))
+    return new_occ, touched, dropped
+
+
+FLAG_CASES = [
+    0,
+    int(RayFlag.EXCLUDE_FREE),
+    int(RayFlag.EXCLUDE_OCCUPIED),
+    int(RayFlag.EXCLUDE_UNOBSERVED),
+    int(RayFlag.EXCLUDE_FREE | RayFlag.EXCLUDE_OCCUPIED),
+]
+
+
+@pytest.mark.parametrize("flags", FLAG_CASES)
+def test_deposit_bit_parity_flags(flags):
+    cfg = _cfg(ray_flags=flags)
+    assert deposit_pallas.deposit_ok(cfg)
+    key_s = _stream(cfg)
+    occ = _arena(cfg)
+    ref, ref_touched, _ = jax.jit(
+        lambda o, k: _reference_apply(o, k, cfg))(occ, key_s)
+    out, touched = jax.jit(
+        lambda o, k: deposit_pallas.deposit_and_sweep(o, k, cfg, interpret=True)
+    )(occ, key_s)
+    ref_np, out_np = np.asarray(ref), np.asarray(out)
+    # Scratch tail differs (the scatter path zero-stamps dummy slots in its
+    # pending plane only; values unchanged) — compare the full arena.
+    assert np.array_equal(
+        ref_np.view(np.uint32), out_np.view(np.uint32)), (
+        np.nonzero(ref_np.view(np.uint32) != out_np.view(np.uint32))[0][:10])
+    assert int(touched) == int(ref_touched)
+
+
+def test_deposit_bit_parity_zero_unobserved_and_saturation():
+    cfg = _cfg(zero_unobserved=True, saturation_min=-20.0, saturation_max=20.0)
+    key_s = _stream(cfg, seed=3)
+    occ = _arena(cfg, seed=4, zero=True)
+    ref, ref_touched, _ = jax.jit(
+        lambda o, k: _reference_apply(o, k, cfg))(occ, key_s)
+    out, touched = jax.jit(
+        lambda o, k: deposit_pallas.deposit_and_sweep(o, k, cfg, interpret=True)
+    )(occ, key_s)
+    assert np.array_equal(np.asarray(ref).view(np.uint32),
+                          np.asarray(out).view(np.uint32))
+    assert int(touched) == int(ref_touched)
+
+
+def test_deposit_pads_unaligned_stream():
+    cfg = _cfg()
+    key_s = _stream(cfg, n=777)  # not a multiple of CHUNK
+    occ = _arena(cfg)
+    ref, ref_touched, _ = jax.jit(
+        lambda o, k: _reference_apply(o, k, cfg))(occ, key_s)
+    out, touched = deposit_pallas.deposit_and_sweep(
+        occ, key_s, cfg, interpret=True)
+    assert np.array_equal(np.asarray(ref).view(np.uint32),
+                          np.asarray(out).view(np.uint32))
+    assert int(touched) == int(ref_touched)
+
+
+def test_deposit_ok_gate():
+    assert not deposit_pallas.deposit_ok(_cfg(region_shift=2))  # V=64
+    assert deposit_pallas.deposit_ok(_cfg(region_shift=4))      # V=4096
+
+
+def test_mapper_end_to_end_pallas_vs_scatter(monkeypatch):
+    """TpuRayMapper with OHM_PALLAS=2 (interpret kernel) produces a
+    bit-identical map to the scatter path on a small scene."""
+    from ohm_tpu import OccupancyMap
+    from ohm_tpu.mapping.tpu_map import TpuRayMapper
+
+    rng = np.random.default_rng(11)
+    n = 400
+    origins = np.zeros((n, 3))
+    samples = rng.uniform(-3, 3, (n, 3))
+    rays = np.empty((2 * n, 3))
+    rays[0::2] = origins
+    rays[1::2] = samples
+
+    def run(env):
+        monkeypatch.setenv("OHM_PALLAS", env)
+        m = OccupancyMap(resolution=0.25, region_voxel_dims=8)
+        mapper = TpuRayMapper(m, capacity=64, validate=True)
+        mapper.integrate_rays(rays)
+        mapper.sync_voxels()
+        occ = np.asarray(mapper.arena.arrays["occupancy"])
+        return occ
+
+    occ_scatter = run("0")
+    occ_pallas = run("2")
+    assert np.array_equal(occ_scatter.view(np.uint32),
+                          occ_pallas.view(np.uint32))
