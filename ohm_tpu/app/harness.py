@@ -242,7 +242,13 @@ class MapHarness:
         from ohm_tpu.utils.cache import enable_persistent_cache
 
         try:
-            enable_persistent_cache()
+            # Only where it's load-bearing (the minutes-per-program remote
+            # TPU compile service).  CPU compiles are fast, and concurrent
+            # processes writing one cache dir have segfaulted in the zstd
+            # cache writer (two pytest runs, round-5 session logs).
+            import jax
+            if jax.default_backend() == "tpu":
+                enable_persistent_cache()
         except Exception:
             pass
         self._install_signals()

@@ -1,4 +1,4 @@
-"""MXU one-hot matmul deposit + fused occupancy sweep (Pallas/Mosaic).
+"""MXU one-hot matmul deposit + fused sweeps (Pallas/Mosaic).
 
 Replaces the apply phase's unique scatter + dense sweep (the single most
 expensive device stage: ~7.1 ms of the 16.8 ms budget at bench shapes,
@@ -13,23 +13,25 @@ matrix multiplication:
     layout: unsupported shape cast", scripts/probe_deposit.py round-4 log)
     and deposit via ONE MXU matmul contracting over the lane dim
     (A[2*HI, 512] . B[LO, 512]^T -> [2*HI, LO] hit/miss count planes),
-  - run the FULL occupancy sweep (ohm/VoxelOccupancyCompute.h semantics +
-    the kRfExclude* matrix of ohm/RayMapperOccupancy.cpp:154-183) on the
-    slot's plane in the same kernel, reading batch-start state exactly like
-    ops.integrate._occupancy_sweep.
+  - run the FULL sweep for the mapper family on the slot's plane in the
+    same kernel, reading batch-start state exactly like the dense sweeps
+    it replaces (ops.integrate._occupancy_sweep; integrate_ndt's NDT
+    apply, which adds a per-voxel miss-delta plane).
 
 Bit-exactness: counts are exact integers (int8 one-hots, int32 matmul
 accumulation, f32 accumulate across chunks — all < 2^24), capped at 65535
-to match the packed-u16 deposit, and the sweep replays _occupancy_sweep's
+to match the packed-u16 deposit, and the sweeps replay the dense sweeps'
 f32 op order — the probe measures 0 bit mismatches against the scatter
 path over a 1.25M-record stream (scripts/probe_deposit.py).
 
 Measured: 2.8 ms vs 9.2 ms for scatter + sweep on the same stream
-(v5e, 1.25 M records, 512-slot arena, 320 live slots).
+(v5e, 1.25 M records, 512-slot arena, 320 live slots); bench device time
+14.23 -> 8.33 ms/batch.
 
-Reference analogue: the per-voxel CAS deposit loop in
-ohmgpu/gpu/RegionUpdate.cl:403-470 — same contract (per-voxel batch
-hit/miss accumulation against batch-start state), TPU-native mechanism.
+Reference analogue: the per-voxel CAS deposit loops in
+ohmgpu/gpu/RegionUpdate.cl:403-470 and ohmgpu/gpu/NdtMap-family kernels —
+same contract (per-voxel batch accumulation against batch-start state),
+TPU-native mechanism.
 """
 
 from __future__ import annotations
@@ -90,20 +92,47 @@ def _sweep_block(initial, hit_cnt, miss_cnt, cfg):
         keep = keep | saturated
     if flags & RayFlag.EXCLUDE_UNOBSERVED:
         keep = keep | unobs
-    return jnp.where(keep, initial, value), touched
+    return jnp.where(keep, initial, value)
 
 
-def deposit_and_sweep(occupancy, key_sorted, cfg, interpret: bool = False):
-    """Deposit a SORTED (flat << 1 | hit) key stream and sweep occupancy.
+def _ndt_sweep_block(initial, hit_cnt, miss_cnt, delta, cfg):
+    """NDT occupancy apply on one slot plane — mirrors integrate_ndt's dense
+    apply op-for-op (no kRfExclude* matrix, miss-delta plane added, +inf
+    unobserved encoding, saturation respected;
+    ohm/RayMapperNdt.cpp:214-215,349-351)."""
+    capf = jnp.float32(65535.0)
+    n_hit_d = jnp.minimum(hit_cnt, capf)
+    n_miss_d = jnp.minimum(miss_cnt, capf)
+    unobs = jnp.isposinf(initial)
+    total = (n_hit_d * jnp.float32(cfg.hit_value)
+             + n_miss_d * jnp.float32(cfg.miss_value)
+             + delta)
+    base_val = jnp.where(unobs, 0.0, initial)
+    value = base_val + total
+    value = jnp.where(total > 0, jnp.minimum(value, jnp.float32(cfg.max_value)), value)
+    value = jnp.where(total < 0, jnp.maximum(value, jnp.float32(cfg.min_value)), value)
+    touched = ((hit_cnt + miss_cnt) > 0) | (delta != 0)
+    saturated = ~unobs & (
+        (initial <= jnp.float32(cfg.saturation_min))
+        | (initial >= jnp.float32(cfg.saturation_max)))
+    keep = ~touched | saturated
+    return jnp.where(keep, initial, value)
 
-    occupancy: f32[T] flat arena (sentinel element + scratch tail included;
-        T must be a multiple of LO — VoxelArena rounds its allocation up).
-    key_sorted: i32[N] ascending; sentinel records (flat == cfg.sentinel)
-        are ignored (they fall outside every slot's range).
+
+def _deposit_core(occupancy, key_sorted, cfg, sweep_fn, extra_planes=(),
+                  interpret: bool = False):
+    """Shared kernel: per-slot count deposit + fused per-slot sweep.
+
+    occupancy: f32[T] flat arena (T % LO == 0 — VoxelArena rounds up).
+    key_sorted: i32[N] ascending (flat << 1 | hit); sentinel records fall
+        outside every slot range and are ignored.
+    sweep_fn(initial, hit_cnt, miss_cnt, *extras) -> swept plane; runs on
+        EVERY slot (zero counts on slots without records — extras may still
+        demand a sweep there, e.g. the NDT miss-delta plane).
+    extra_planes: flat f32[T] arrays blocked per slot like occupancy.
 
     Returns (occupancy', touched) where touched is the distinct-voxel count
-    (matching ops.integrate.apply_records' 'touched' stat).  Nothing is ever
-    dropped (no scatter_cap in this path).
+    of the stream.  Nothing is ever dropped (no scatter_cap in this path).
     """
     cap = cfg.capacity
     v = cfg.voxels_per_region
@@ -126,13 +155,17 @@ def deposit_and_sweep(occupancy, key_sorted, cfg, interpret: bool = False):
     c1 = (bounds[1:] + CHUNK - 1) // CHUNK
 
     occ2d = occupancy.reshape(t // LO, LO)
+    extras2d = [p.reshape(t // LO, LO) for p in extra_planes]
+    n_extra = len(extras2d)
 
-    def kernel(c0_ref, c1_ref, keys_hbm, occ_ref, out_ref,
-               keyvm, accum, sem):
+    def kernel(c0_ref, c1_ref, keys_hbm, occ_ref, *rest):
+        extra_refs = rest[:n_extra]
+        out_ref, keyvm, accum, sem = rest[n_extra:]
         s = pl.program_id(0)
         base = jnp.int32(s) * v
         lo0 = c0_ref[s]
         hi1 = c1_ref[s]
+        accum[...] = jnp.zeros_like(accum)
 
         def get_dma(slot, c):
             return pltpu.make_async_copy(
@@ -141,7 +174,6 @@ def deposit_and_sweep(occupancy, key_sorted, cfg, interpret: bool = False):
 
         @pl.when(hi1 > lo0)
         def _deposit():
-            accum[...] = jnp.zeros_like(accum)
             ihc = jax.lax.broadcasted_iota(jnp.int32, (2 * hi, CHUNK), 0)
             ilc = jax.lax.broadcasted_iota(jnp.int32, (LO, CHUNK), 0)
             get_dma(lo0 & 1, lo0).start()
@@ -176,23 +208,18 @@ def deposit_and_sweep(occupancy, key_sorted, cfg, interpret: bool = False):
                 return _
 
             jax.lax.fori_loop(lo0, hi1, body, 0, unroll=False)
-            swept, _ = _sweep_block(occ_ref[...], accum[:hi], accum[hi:], cfg)
-            out_ref[...] = swept
 
-        @pl.when(hi1 <= lo0)
-        def _passthrough():
-            out_ref[...] = occ_ref[...]
+        out_ref[...] = sweep_fn(occ_ref[...], accum[:hi], accum[hi:],
+                                *[r[...] for r in extra_refs])
 
+    block = pl.BlockSpec((hi, LO), lambda s, *_: (s, 0),
+                         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(cap,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),                     # keys2d
-            pl.BlockSpec((hi, LO), lambda s, *_: (s, 0),
-                         memory_space=pltpu.VMEM),                 # occ block
-        ],
-        out_specs=pl.BlockSpec((hi, LO), lambda s, *_: (s, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]       # keys2d
+        + [block] * (1 + n_extra),                         # occ + extras
+        out_specs=block,
         scratch_shapes=[
             pltpu.VMEM((2, _ROWS, 128), jnp.int32),
             pltpu.VMEM((2 * hi, LO), jnp.float32),
@@ -209,7 +236,7 @@ def deposit_and_sweep(occupancy, key_sorted, cfg, interpret: bool = False):
         # grid blocks beyond slot `cap` (sentinel + scratch tail rows) are
         # never written and keep their contents either way.
         input_output_aliases={3: 0},
-    )(c0, c1, keys2d, occ2d)
+    )(c0, c1, keys2d, occ2d, *extras2d)
 
     # touched = distinct non-sentinel voxel ids in the sorted stream — a
     # cheap fused diff over keys the deposit already reads (a per-slot SMEM
@@ -218,3 +245,26 @@ def deposit_and_sweep(occupancy, key_sorted, cfg, interpret: bool = False):
     last = jnp.concatenate([ids[1:] != ids[:-1], jnp.array([True])])
     touched = jnp.sum((last & (ids != cfg.sentinel)).astype(jnp.int32))
     return out2d.reshape(-1), touched
+
+
+def deposit_and_sweep(occupancy, key_sorted, cfg, interpret: bool = False):
+    """Occupancy-family deposit: replaces sorted_hit_miss_counts +
+    _apply_occupancy_dense + _occupancy_sweep in ops.integrate.apply_records.
+    Returns (occupancy', touched)."""
+    return _deposit_core(
+        occupancy, key_sorted, cfg,
+        lambda initial, h, m: _sweep_block(initial, h, m, cfg),
+        interpret=interpret)
+
+
+def deposit_and_sweep_ndt(occupancy, key_sorted, delta_plane, cfg,
+                          interpret: bool = False):
+    """NDT-family deposit: standard hit/miss counts from the sorted key
+    stream plus the Gaussian miss-delta plane (integrate_ndt's pending_delta,
+    an arena-shaped f32 scatter of the compacted NDT miss phase).  The sweep
+    runs on every slot — a slot can carry deltas without std records.
+    Returns (occupancy', touched_std)."""
+    return _deposit_core(
+        occupancy, key_sorted, cfg,
+        lambda initial, h, m, d: _ndt_sweep_block(initial, h, m, d, cfg),
+        extra_planes=(delta_plane,), interpret=interpret)

@@ -230,7 +230,25 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
         # the std deposit below only carries std_miss records' traversal).
         arena["traversal"] = arena["traversal"].at[ndt_trav[0]].add(
             ndt_trav[1], unique_indices=True)
-    if base.row_cap > 0 and compacted:
+    from ohm_tpu.ops import deposit_pallas
+    use_pallas = (base.pallas_deposit and not base.with_traversal
+                  and deposit_pallas.deposit_ok(base))
+    if use_pallas:
+        # MXU one-hot matmul deposit + fused NDT sweep (ops.deposit_pallas):
+        # one key-only sort, then the kernel deposits std hit/miss counts
+        # and applies the NDT occupancy math (including the miss-delta
+        # plane) per slot — replacing the unique scatter AND the dense
+        # apply below.  Bit-identical (tests/test_pallas_deposit.py).
+        key = jnp.concatenate([
+            (jnp.where(std_miss, ids_c, base.sentinel) << 1),
+            (jnp.where(end_any, end_flat, base.sentinel) << 1)
+            | end_is_hit.astype(jnp.int32),
+        ])
+        key_s = jax.lax.sort((key,), num_keys=1)[0]
+        new_occupancy, touched_std = deposit_pallas.deposit_and_sweep_ndt(
+            arena["occupancy"], key_s, pending_delta, base,
+            interpret=base.pallas_deposit == 2)
+    elif base.row_cap > 0 and compacted:
         # Fused two-level deposit (integrate.apply_records_fused_jit):
         # compaction rows are already sorted, so per-row PARTIAL std-miss
         # counts come from segment sums (weight masks out Gaussian-handled
@@ -279,7 +297,11 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
         idx_s = _unique_scatter_indices(ids_s, last, base)
         cap = jnp.float32(65535.0)
         packed = (jnp.minimum(n_hit, cap).astype(jnp.uint32) << 16) | jnp.minimum(n_miss, cap).astype(jnp.uint32)
-        packed = jnp.where(last, packed, jnp.uint32(0))
+        # Zero sentinel-group records too (as in _apply_occupancy_dense):
+        # the sentinel segment's last record otherwise deposits its capped
+        # counts into a scratch-tail slot and the dense sweep turns it into
+        # a garbage "observed" value accumulating across batches.
+        packed = jnp.where(last & (ids_s != base.sentinel), packed, jnp.uint32(0))
         pending_counts = jnp.zeros(arena["occupancy"].shape, jnp.uint32).at[idx_s].set(packed, unique_indices=True)
 
         if base.with_traversal:
@@ -293,23 +315,26 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
     # NDT semantics: no kRfExclude* state matrix; hits via occupancyAdjustUp
     # (clamp max), misses via occupancyAdjustDown (clamp min), saturation
     # respected (ohm/RayMapperNdt.cpp:214-215,349-351).
+    # (The Pallas deposit fuses this sweep in-kernel —
+    # deposit_pallas._ndt_sweep_block mirrors it op-for-op.)
     initial = arena["occupancy"]
-    unobs = _unobserved(initial)
-    n_hit_d = (pending_counts >> 16).astype(jnp.float32)
-    n_miss_d = (pending_counts & jnp.uint32(0xFFFF)).astype(jnp.float32)
-    total = (n_hit_d * jnp.float32(base.hit_value)
-             + n_miss_d * jnp.float32(base.miss_value)
-             + pending_delta)
-    base_val = jnp.where(unobs, 0.0, initial)
-    value = base_val + total
-    value = jnp.where(total > 0, jnp.minimum(value, jnp.float32(base.max_value)), value)
-    value = jnp.where(total < 0, jnp.maximum(value, jnp.float32(base.min_value)), value)
-    touched = (pending_counts != 0) | (pending_delta != 0)
-    saturated = ~unobs & (
-        (initial <= jnp.float32(base.saturation_min)) | (initial >= jnp.float32(base.saturation_max))
-    )
-    keep = ~touched | saturated
-    new_occupancy = jnp.where(keep, initial, value)
+    if not use_pallas:
+        unobs = _unobserved(initial)
+        n_hit_d = (pending_counts >> 16).astype(jnp.float32)
+        n_miss_d = (pending_counts & jnp.uint32(0xFFFF)).astype(jnp.float32)
+        total = (n_hit_d * jnp.float32(base.hit_value)
+                 + n_miss_d * jnp.float32(base.miss_value)
+                 + pending_delta)
+        base_val = jnp.where(unobs, 0.0, initial)
+        value = base_val + total
+        value = jnp.where(total > 0, jnp.minimum(value, jnp.float32(base.max_value)), value)
+        value = jnp.where(total < 0, jnp.maximum(value, jnp.float32(base.min_value)), value)
+        touched = (pending_counts != 0) | (pending_delta != 0)
+        saturated = ~unobs & (
+            (initial <= jnp.float32(base.saturation_min)) | (initial >= jnp.float32(base.saturation_max))
+        )
+        keep = ~touched | saturated
+        new_occupancy = jnp.where(keep, initial, value)
 
     # ---------------------------------------------------------------- #
     # Hit phase: batch covariance merge per unique sample voxel.

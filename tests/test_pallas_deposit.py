@@ -153,3 +153,37 @@ def test_mapper_end_to_end_pallas_vs_scatter(monkeypatch):
     occ_pallas = run("2")
     assert np.array_equal(occ_scatter.view(np.uint32),
                           occ_pallas.view(np.uint32))
+
+
+def test_ndt_end_to_end_pallas_vs_scatter(monkeypatch):
+    """TpuNdtMap with the NDT-mode kernel (std counts + miss-delta plane,
+    fused NDT sweep) is bit-identical to the scatter + dense-apply path."""
+    from ohm_tpu import OccupancyMap
+    from ohm_tpu.mapping.ndt_map import TpuNdtMap
+    from ohm_tpu.oracle.ndt import NdtParams
+
+    rng = np.random.default_rng(7)
+    n = 240
+    origins = np.zeros((n, 3))
+    # Repeated wall hits so Gaussians form and the miss phase engages.
+    samples = np.column_stack([
+        np.full(n, 2.0) + rng.normal(0, 0.02, n),
+        rng.uniform(-1, 1, n), rng.uniform(-1, 1, n)])
+    rays = np.empty((2 * n, 3))
+    rays[0::2] = origins
+    rays[1::2] = samples
+
+    def run(env):
+        monkeypatch.setenv("OHM_PALLAS", env)
+        m = OccupancyMap(resolution=0.25, region_voxel_dims=8)
+        mapper = TpuNdtMap(m, NdtParams(), capacity=64, validate=True)
+        for i in range(0, 2 * n, 120):
+            mapper.integrate_rays(rays[i:i + 120])
+        mapper.sync_voxels()
+        return (np.asarray(mapper.arena.arrays["occupancy"]),
+                np.asarray(mapper.arena.arrays["cov"]))
+
+    occ_a, cov_a = run("0")
+    occ_b, cov_b = run("2")
+    assert np.array_equal(occ_a.view(np.uint32), occ_b.view(np.uint32))
+    assert np.array_equal(cov_a.view(np.uint32), cov_b.view(np.uint32))
