@@ -120,7 +120,7 @@ def _ndt_sweep_block(initial, hit_cnt, miss_cnt, delta, cfg):
 
 
 def _deposit_core(occupancy, key_sorted, cfg, sweep_fn, extra_planes=(),
-                  interpret: bool = False):
+                  interpret: bool = False, bounds_key=None, key2_sorted=None):
     """Shared kernel: per-slot count deposit + fused per-slot sweep.
 
     occupancy: f32[T] flat arena (T % LO == 0 — VoxelArena rounds up).
@@ -130,9 +130,17 @@ def _deposit_core(occupancy, key_sorted, cfg, sweep_fn, extra_planes=(),
         EVERY slot (zero counts on slots without records — extras may still
         demand a sweep there, e.g. the NDT miss-delta plane).
     extra_planes: flat f32[T] arrays blocked per slot like occupancy.
+    bounds_key: optional i32[N] ascending stream from which stream-1 chunk
+        bounds are computed instead of key_sorted — lets the caller MASK
+        entries of key_sorted to sentinel (breaking global sortedness) as
+        long as the unmasked ordering is preserved: the bounds cover every
+        unmasked position and the in-slot test ignores masked records.
+    key2_sorted: optional second ascending (flat << 1 | hit) stream (e.g.
+        sample/end records) deposited into the same count planes before the
+        sweep — counts must merge before the nonlinear sweep math.
 
     Returns (occupancy', touched) where touched is the distinct-voxel count
-    of the stream.  Nothing is ever dropped (no scatter_cap in this path).
+    of the stream(s).  Nothing is ever dropped (no scatter_cap in this path).
     """
     cap = cfg.capacity
     v = cfg.voxels_per_region
@@ -140,111 +148,132 @@ def _deposit_core(occupancy, key_sorted, cfg, sweep_fn, extra_planes=(),
     t = occupancy.shape[0]
     if t % LO:
         raise ValueError(f"arena length {t} not a multiple of {LO}")
-    n = key_sorted.shape[0]
-    pad = (-n) % CHUNK
-    if pad:
-        # Sentinel keys are the stream maximum, so appending keeps sortedness.
-        key_sorted = jnp.concatenate(
-            [key_sorted, jnp.full((pad,), (cfg.sentinel << 1) | 1, jnp.int32)])
-    keys2d = key_sorted.reshape(-1, 128)
+    sent_key = jnp.int32((cfg.sentinel << 1) | 1)
 
-    flat_s = key_sorted >> 1
-    bounds = jnp.searchsorted(
-        flat_s, jnp.arange(cap + 1, dtype=jnp.int32) * v).astype(jnp.int32)
-    c0 = bounds[:-1] // CHUNK
-    c1 = (bounds[1:] + CHUNK - 1) // CHUNK
+    def _pad_and_bounds(keys, bkeys):
+        pad = (-keys.shape[0]) % CHUNK
+        if pad:
+            # Sentinel keys are the stream maximum: appending keeps order.
+            keys = jnp.concatenate([keys, jnp.full((pad,), sent_key, jnp.int32)])
+            bkeys = jnp.concatenate([bkeys, jnp.full((pad,), sent_key, jnp.int32)])
+        bounds = jnp.searchsorted(
+            bkeys >> 1, jnp.arange(cap + 1, dtype=jnp.int32) * v).astype(jnp.int32)
+        return (keys.reshape(-1, 128), bounds[:-1] // CHUNK,
+                (bounds[1:] + CHUNK - 1) // CHUNK)
+
+    keys2d, c0, c1 = _pad_and_bounds(
+        key_sorted, key_sorted if bounds_key is None else bounds_key)
+    streams = [keys2d]
+    if key2_sorted is not None:
+        keys2d_b, c0b, c1b = _pad_and_bounds(key2_sorted, key2_sorted)
+        streams.append(keys2d_b)
+        c0 = jnp.concatenate([c0, c0b])
+        c1 = jnp.concatenate([c1, c1b])
 
     occ2d = occupancy.reshape(t // LO, LO)
     extras2d = [p.reshape(t // LO, LO) for p in extra_planes]
     n_extra = len(extras2d)
 
-    def kernel(c0_ref, c1_ref, keys_hbm, occ_ref, *rest):
-        extra_refs = rest[:n_extra]
-        out_ref, keyvm, accum, sem = rest[n_extra:]
+    n_streams = len(streams)
+
+    def kernel(c0_ref, c1_ref, *refs):
+        keys_hbms = refs[:n_streams]
+        occ_ref = refs[n_streams]
+        extra_refs = refs[n_streams + 1:n_streams + 1 + n_extra]
+        out_ref, cnt_ref, keyvm, accum, sem = refs[n_streams + 1 + n_extra:]
         s = pl.program_id(0)
         base = jnp.int32(s) * v
-        lo0 = c0_ref[s]
-        hi1 = c1_ref[s]
         accum[...] = jnp.zeros_like(accum)
+        ihc = jax.lax.broadcasted_iota(jnp.int32, (2 * hi, CHUNK), 0)
+        ilc = jax.lax.broadcasted_iota(jnp.int32, (LO, CHUNK), 0)
 
-        def get_dma(slot, c):
-            return pltpu.make_async_copy(
-                keys_hbm.at[pl.ds(c * _ROWS, _ROWS), :],
-                keyvm.at[slot], sem.at[slot])
+        for si in range(n_streams):
+            lo0 = c0_ref[si * cap + s]
+            hi1 = c1_ref[si * cap + s]
+            keys_hbm = keys_hbms[si]
 
-        @pl.when(hi1 > lo0)
-        def _deposit():
-            ihc = jax.lax.broadcasted_iota(jnp.int32, (2 * hi, CHUNK), 0)
-            ilc = jax.lax.broadcasted_iota(jnp.int32, (LO, CHUNK), 0)
-            get_dma(lo0 & 1, lo0).start()
+            def get_dma(slot, c, keys_hbm=keys_hbm):
+                return pltpu.make_async_copy(
+                    keys_hbm.at[pl.ds(c * _ROWS, _ROWS), :],
+                    keyvm.at[slot], sem.at[slot])
 
-            def body(c, _):
-                slot = c & 1
+            @pl.when(hi1 > lo0)
+            def _deposit(lo0=lo0, hi1=hi1, get_dma=get_dma):
+                get_dma(lo0 & 1, lo0).start()
 
-                @pl.when(c + 1 < hi1)
-                def _prefetch():
-                    get_dma((c + 1) & 1, c + 1).start()
+                def body(c, _):
+                    slot = c & 1
 
-                get_dma(slot, c).wait()
-                # Lane-concatenate the chunk's rows into one (1, CHUNK)
-                # record row; both one-hot factors build in one shot and
-                # ONE k=CHUNK int8 MXU matmul deposits the whole chunk.
-                k = jnp.concatenate(
-                    [keyvm[slot, r:r + 1, :] for r in range(_ROWS)], axis=1)
-                flat = k >> 1
-                hit = k & 1
-                in_slot = (flat >= base) & (flat < base + v)
-                vloc = flat - base
-                lo_b = vloc & (LO - 1)
-                hi_b = (vloc >> 9) & (hi - 1) if hi > 1 else vloc >> 9
-                # hit rows [0, hi), miss rows [hi, 2*hi) in one factor
-                w = jnp.where(ihc < hi, hit, 1 - hit)
-                oh_hi = jnp.where(((ihc % hi) == hi_b) & in_slot,
-                                  w, 0).astype(jnp.int8)       # (2*hi, CHUNK)
-                oh_lo = (ilc == lo_b).astype(jnp.int8)         # (LO, CHUNK)
-                accum[...] += jax.lax.dot_general(
-                    oh_hi, oh_lo, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32).astype(jnp.float32)
-                return _
+                    @pl.when(c + 1 < hi1)
+                    def _prefetch():
+                        get_dma((c + 1) & 1, c + 1).start()
 
-            jax.lax.fori_loop(lo0, hi1, body, 0, unroll=False)
+                    get_dma(slot, c).wait()
+                    # Lane-concatenate the chunk's rows into one (1, CHUNK)
+                    # record row; both one-hot factors build in one shot and
+                    # ONE k=CHUNK int8 MXU matmul deposits the whole chunk.
+                    k = jnp.concatenate(
+                        [keyvm[slot, r:r + 1, :] for r in range(_ROWS)], axis=1)
+                    flat = k >> 1
+                    hit = k & 1
+                    in_slot = (flat >= base) & (flat < base + v)
+                    vloc = flat - base
+                    lo_b = vloc & (LO - 1)
+                    hi_b = (vloc >> 9) & (hi - 1) if hi > 1 else vloc >> 9
+                    # hit rows [0, hi), miss rows [hi, 2*hi) in one factor
+                    w = jnp.where(ihc < hi, hit, 1 - hit)
+                    oh_hi = jnp.where(((ihc % hi) == hi_b) & in_slot,
+                                      w, 0).astype(jnp.int8)   # (2*hi, CHUNK)
+                    oh_lo = (ilc == lo_b).astype(jnp.int8)     # (LO, CHUNK)
+                    accum[...] += jax.lax.dot_general(
+                        oh_hi, oh_lo, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32).astype(jnp.float32)
+                    return _
 
-        out_ref[...] = sweep_fn(occ_ref[...], accum[:hi], accum[hi:],
-                                *[r[...] for r in extra_refs])
+                jax.lax.fori_loop(lo0, hi1, body, 0, unroll=False)
+
+        swept = sweep_fn(occ_ref[...], accum[:hi], accum[hi:],
+                         *[r[...] for r in extra_refs])
+        out_ref[...] = swept
+        # Per-slot touched-voxel count from the exact integer count planes
+        # (works with masked/multi-stream inputs where a host-side diff over
+        # the keys would miscount).  Scalar VMEM stores don't lower, so the
+        # count broadcasts through a one-position mask of the (8, 128) block.
+        cnt = jnp.sum(((accum[:hi] + accum[hi:]) > 0).astype(jnp.int32))
+        zr = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        zc = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        cnt_ref[...] = jnp.where((zr == 0) & (zc == 0), cnt, 0)
 
     block = pl.BlockSpec((hi, LO), lambda s, *_: (s, 0),
                          memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(cap,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]       # keys2d
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_streams  # key streams
         + [block] * (1 + n_extra),                         # occ + extras
-        out_specs=block,
+        out_specs=[block,
+                   pl.BlockSpec((8, 128), lambda s, *_: (s, 0),
+                                memory_space=pltpu.VMEM)],
         scratch_shapes=[
             pltpu.VMEM((2, _ROWS, 128), jnp.int32),
             pltpu.VMEM((2 * hi, LO), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    out2d = pl.pallas_call(
+    out2d, cnts = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(occ2d.shape, jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct(occ2d.shape, jnp.float32),
+                   jax.ShapeDtypeStruct((cap * 8, 128), jnp.int32)],
         grid_spec=grid_spec,
         interpret=interpret,
-        # operand order after scalar prefetch: keys2d (2), occ2d (3).
+        # operand order after scalar prefetch: key streams, then occ2d.
         # Aliasing occ in->out makes the update in-place under donation;
         # grid blocks beyond slot `cap` (sentinel + scratch tail rows) are
         # never written and keep their contents either way.
-        input_output_aliases={3: 0},
-    )(c0, c1, keys2d, occ2d, *extras2d)
+        input_output_aliases={2 + n_streams: 0},
+    )(c0, c1, *streams, occ2d, *extras2d)
 
-    # touched = distinct non-sentinel voxel ids in the sorted stream — a
-    # cheap fused diff over keys the deposit already reads (a per-slot SMEM
-    # count output would violate Mosaic's (8,128) min output-block rule).
-    ids = flat_s
-    last = jnp.concatenate([ids[1:] != ids[:-1], jnp.array([True])])
-    touched = jnp.sum((last & (ids != cfg.sentinel)).astype(jnp.int32))
-    return out2d.reshape(-1), touched
+    return out2d.reshape(-1), jnp.sum(cnts)
 
 
 def deposit_and_sweep(occupancy, key_sorted, cfg, interpret: bool = False):
@@ -258,13 +287,140 @@ def deposit_and_sweep(occupancy, key_sorted, cfg, interpret: bool = False):
 
 
 def deposit_and_sweep_ndt(occupancy, key_sorted, delta_plane, cfg,
-                          interpret: bool = False):
-    """NDT-family deposit: standard hit/miss counts from the sorted key
-    stream plus the Gaussian miss-delta plane (integrate_ndt's pending_delta,
-    an arena-shaped f32 scatter of the compacted NDT miss phase).  The sweep
-    runs on every slot — a slot can carry deltas without std records.
-    Returns (occupancy', touched_std)."""
+                          interpret: bool = False, bounds_key=None,
+                          key2_sorted=None):
+    """NDT-family deposit: standard hit/miss counts from the (optionally
+    masked — see _deposit_core bounds_key) walk key stream plus the sorted
+    end/sample stream, plus the Gaussian miss-delta plane (integrate_ndt's
+    pending_delta, an arena-shaped f32 scatter of the compacted NDT miss
+    phase).  The sweep runs on every slot — a slot can carry deltas without
+    std records.  Returns (occupancy', touched_std)."""
     return _deposit_core(
         occupancy, key_sorted, cfg,
         lambda initial, h, m, d: _ndt_sweep_block(initial, h, m, d, cfg),
-        extra_planes=(delta_plane,), interpret=interpret)
+        extra_planes=(delta_plane,), interpret=interpret,
+        bounds_key=bounds_key, key2_sorted=key2_sorted)
+
+
+# Gather-kernel chunking: i32 VMEM blocks need >= 8 sublanes.
+_GROWS = 8
+GCHUNK = _GROWS * 128
+
+
+def gather_plane(plane, flat_sorted, cfg, interpret: bool = False):
+    """Per-record gather from an arena plane over a flat-SORTED id stream —
+    the MXU/matmul replacement for XLA's latency-bound random gather
+    (~11 ms per 1M records on this chip vs ~2 ms here).
+
+    plane: int8[T] flat arena layer (T % LO == 0); values to gather.
+    flat_sorted: i32[N] ascending flat voxel ids; sentinel/padding ids
+        (>= cfg.sentinel) gather 0.
+
+    Chunk-grid structure (records stay in stream order, so the output block
+    mapping is static — no write collisions): per 1024-record chunk, loop the
+    chunk's contiguous slot span (precomputed in XLA and scalar-prefetched);
+    per slot, the gather is one int8 MXU matmul
+    T1 = plane_slot[hi, LO] @ one_hot_lo[LO, GCHUNK] followed by a
+    sublane-masked reduction against one_hot_hi.  A resident-slot cache in
+    kernel scratch persists across sequential grid steps, so each live slot's
+    plane is DMA'd ONCE per call (sorted stream => slot runs are contiguous).
+
+    Returns i32[N].
+    """
+    v = cfg.voxels_per_region
+    hi = v // LO
+    vshift = (v - 1).bit_length()
+    t = plane.shape[0]
+    if t % LO:
+        raise ValueError(f"plane length {t} not a multiple of {LO}")
+    n = flat_sorted.shape[0]
+    pad = (-n) % GCHUNK
+    if pad:
+        flat_sorted = jnp.concatenate(
+            [flat_sorted, jnp.full((pad,), cfg.sentinel, jnp.int32)])
+    keys2d = flat_sorted.reshape(-1, 128)
+    n_rows = keys2d.shape[0]
+    n_chunks = n_rows // _GROWS
+    plane2d = plane.reshape(t // LO, LO)
+
+    # Per-chunk slot spans from the chunk-boundary records (stream sorted):
+    # s_first from the chunk's first id, s_last from its last REAL id (a
+    # sentinel-only chunk yields an empty span).
+    first_ids = flat_sorted[::GCHUNK]
+    last_ids = flat_sorted[GCHUNK - 1::GCHUNK]
+    # Last REAL id of the chunk: if the chunk tail is sentinel, the last real
+    # id is <= the sentinel anyway and the extra slots in the span just mask
+    # to zero — but an all-sentinel chunk must produce an empty span.
+    s_first = jnp.where(first_ids < cfg.sentinel, first_ids >> vshift,
+                        jnp.int32(1 << 30)).astype(jnp.int32)
+    s_end = (jnp.minimum(last_ids, cfg.sentinel - 1) >> vshift) + 1
+    s_end = jnp.maximum(s_end, jnp.where(first_ids < cfg.sentinel, 0,
+                                         jnp.int32(-(1 << 30)))).astype(jnp.int32)
+
+    def kernel(sf_ref, se_ref, keys_ref, plane_hbm, out_ref,
+               planevm, resident, sem):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            resident[0] = -1
+
+        k = jnp.concatenate(
+            [keys_ref[r:r + 1, :] for r in range(_GROWS)], axis=1)  # (1,GCHUNK)
+        real = k < cfg.sentinel
+
+        acc0 = jnp.zeros((1, GCHUNK), jnp.int32)
+        ihr = jax.lax.broadcasted_iota(jnp.int32, (hi, GCHUNK), 0)
+        ilc = jax.lax.broadcasted_iota(jnp.int32, (LO, GCHUNK), 0)
+
+        def body(s, acc):
+            @pl.when(resident[0] != s)
+            def _fetch():
+                cp = pltpu.make_async_copy(
+                    plane_hbm.at[pl.ds(s * hi, hi), :], planevm, sem)
+                cp.start()
+                cp.wait()
+                resident[0] = s
+
+            base = s * v
+            in_slot = real & (k >= base) & (k < base + v)
+            vloc = k - base
+            lo_b = vloc & (LO - 1)
+            hi_b = (vloc >> 9) & (hi - 1) if hi > 1 else vloc >> 9
+            oh_lo = jnp.where(in_slot, (ilc == lo_b).astype(jnp.int8),
+                              jnp.int8(0))                      # (LO, GCHUNK)
+            t1 = jax.lax.dot_general(
+                planevm[...], oh_lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)               # (hi, GCHUNK)
+            oh_hi = ((ihr == hi_b) & in_slot).astype(jnp.int32)
+            return acc + jnp.sum(t1 * oh_hi, axis=0, keepdims=True)
+
+        acc = jax.lax.fori_loop(sf_ref[step], se_ref[step], body, acc0,
+                                unroll=False)
+        for r in range(_GROWS):
+            out_ref[r:r + 1, :] = acc[:, r * 128:(r + 1) * 128]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((_GROWS, 128), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),     # keys chunk
+            pl.BlockSpec(memory_space=pl.ANY),         # plane (HBM)
+        ],
+        out_specs=pl.BlockSpec((_GROWS, 128), lambda c, *_: (c, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((hi, LO), jnp.int8),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_rows, 128), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(s_first, s_end, keys2d, plane2d)
+
+    return out.reshape(-1)[:n]

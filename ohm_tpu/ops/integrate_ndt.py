@@ -147,29 +147,64 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
     # One dense elementwise plane + ONE gather per record (instead of separate
     # occupancy and count gathers — record gathers are latency-bound at
     # ~25 ns/element, the dense plane is HBM-streaming).
-    gauss_plane = (~_unobserved(arena["occupancy"])
-                   & (arena["mean_count"] >= cfg.sample_threshold))
-    is_ndt = gauss_plane[ids_c] & (ids_c != base.sentinel)
+    from ohm_tpu.ops import blocked, deposit_pallas
 
-    # Compact: flagged records first, original order preserved within groups.
-    # The key encodes the position (flagged keep pos, unflagged get pos + M),
-    # so ONE sort operand suffices — position and flaggedness both decode
-    # from the sorted key, and the is_ndt gather disappears.
-    mpos = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0).squeeze(-1)
-    sort_key = jnp.where(is_ndt, mpos, mpos + M)  # flagged sort below unflagged
+    use_pallas = (base.pallas_deposit and not base.with_traversal
+                  and deposit_pallas.deposit_ok(base))
     K = min(cfg.miss_k, M)
-    skey = jax.lax.sort((sort_key,), num_keys=1)[0][:K]
-    active_k = skey < M
-    sel_k = jnp.where(active_k, skey, skey - M)
-    # Graceful overflow: flagged records beyond K revert to standard misses.
-    from ohm_tpu.ops import blocked
-    ndt_rank = blocked.cumsum(is_ndt.astype(jnp.int32)) - is_ndt.astype(jnp.int32)
-    ndt_applied = is_ndt & (ndt_rank < K)
-    overflow_ndt = jnp.sum((is_ndt & ~ndt_applied).astype(jnp.int32))
+    if use_pallas:
+        # Sorted-stream miss phase: ONE flat-id sort (original positions as
+        # payload), then the classification gather runs as the MXU gather
+        # kernel over the sorted stream (~4.6 vs ~11 ms per 1M records:
+        # ops.deposit_pallas.gather_plane), compaction selects in sorted
+        # order, and the std deposit below reuses THE SAME sorted stream via
+        # masked keys + unmasked bounds — no second full-stream sort and no
+        # scatter back to original order anywhere.
+        sids, spos = jax.lax.sort((ids_c, pos_c), num_keys=1)
+        gauss8 = (~_unobserved(arena["occupancy"])
+                  & (arena["mean_count"] >= cfg.sample_threshold)
+                  ).astype(jnp.int8)
+        is_ndt = deposit_pallas.gather_plane(
+            gauss8, sids, base, interpret=base.pallas_deposit == 2) > 0
+        seq = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0).squeeze(-1)
+        sort_key = jnp.where(is_ndt, seq, seq + M)
+        skey = jax.lax.sort((sort_key,), num_keys=1)[0][:K]
+        active_k = skey < M
+        sel_k = jnp.where(active_k, skey, skey - M)  # SORTED-stream positions
+        # Graceful overflow: flagged records beyond K revert to standard
+        # misses.  Selection is rank-in-sorted-order, so the expensive rank
+        # cumsum only runs when the count actually overflows K.
+        n_flag = jnp.sum(is_ndt.astype(jnp.int32))
+        ndt_applied = jax.lax.cond(
+            n_flag <= K,
+            lambda: is_ndt,
+            lambda: is_ndt & (blocked.cumsum(is_ndt.astype(jnp.int32))
+                              - is_ndt.astype(jnp.int32) < K))
+        overflow_ndt = jnp.maximum(n_flag - K, 0)
+        ids_k = jnp.where(active_k, sids[sel_k], base.sentinel)
+        pos_k = spos[sel_k]  # original record position in the [B, S] walk
+    else:
+        gauss_plane = (~_unobserved(arena["occupancy"])
+                       & (arena["mean_count"] >= cfg.sample_threshold))
+        is_ndt = gauss_plane[ids_c] & (ids_c != base.sentinel)
 
-    ids_k = ids_c[sel_k]
-    ids_k = jnp.where(active_k, ids_k, base.sentinel)
-    pos_k = pos_c[sel_k]  # original record position in the [B, S] walk
+        # Compact: flagged records first, original order preserved within
+        # groups.  The key encodes the position (flagged keep pos, unflagged
+        # get pos + M), so ONE sort operand suffices — position and
+        # flaggedness both decode from the sorted key.
+        mpos = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0).squeeze(-1)
+        sort_key = jnp.where(is_ndt, mpos, mpos + M)
+        skey = jax.lax.sort((sort_key,), num_keys=1)[0][:K]
+        active_k = skey < M
+        sel_k = jnp.where(active_k, skey, skey - M)
+        # Graceful overflow: flagged records beyond K revert to std misses.
+        ndt_rank = blocked.cumsum(is_ndt.astype(jnp.int32)) - is_ndt.astype(jnp.int32)
+        ndt_applied = is_ndt & (ndt_rank < K)
+        overflow_ndt = jnp.sum((is_ndt & ~ndt_applied).astype(jnp.int32))
+
+        ids_k = ids_c[sel_k]
+        ids_k = jnp.where(active_k, ids_k, base.sentinel)
+        pos_k = pos_c[sel_k]  # original record position in the [B, S] walk
     vox_k = walk["voxels"].reshape(N, 3)[pos_k]
     ray_k = pos_k // S
 
@@ -218,7 +253,9 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
 
     # ---------------------------------------------------------------- #
     # Standard (non-Gaussian) miss + hit counts via the occupancy machinery.
-    std_miss = (ids_c != base.sentinel) & ~ndt_applied
+    # (Under the Pallas path, ndt_applied is in SORTED-stream order and the
+    # std-miss mask is applied to the sorted ids instead.)
+    std_miss = None if use_pallas else (ids_c != base.sentinel) & ~ndt_applied
     end_any = end_is_hit | end_is_miss
     end_trav = (jnp.where(end_any, b["length"] - walk["end_enter"], 0.0)
                 if base.with_traversal else None)
@@ -230,24 +267,24 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
         # the std deposit below only carries std_miss records' traversal).
         arena["traversal"] = arena["traversal"].at[ndt_trav[0]].add(
             ndt_trav[1], unique_indices=True)
-    from ohm_tpu.ops import deposit_pallas
-    use_pallas = (base.pallas_deposit and not base.with_traversal
-                  and deposit_pallas.deposit_ok(base))
     if use_pallas:
         # MXU one-hot matmul deposit + fused NDT sweep (ops.deposit_pallas):
-        # one key-only sort, then the kernel deposits std hit/miss counts
-        # and applies the NDT occupancy math (including the miss-delta
-        # plane) per slot — replacing the unique scatter AND the dense
+        # the walk stream REUSES the miss phase's flat-sort — Gaussian-
+        # handled records mask to sentinel keys (breaking strict sortedness),
+        # with chunk bounds computed from the unmasked ids; the (small)
+        # sorted end/sample stream deposits into the same count planes in a
+        # second kernel pass before the fused NDT sweep (including the
+        # miss-delta plane) — replacing the unique scatter AND the dense
         # apply below.  Bit-identical (tests/test_pallas_deposit.py).
-        key = jnp.concatenate([
-            (jnp.where(std_miss, ids_c, base.sentinel) << 1),
-            (jnp.where(end_any, end_flat, base.sentinel) << 1)
-            | end_is_hit.astype(jnp.int32),
-        ])
-        key_s = jax.lax.sort((key,), num_keys=1)[0]
+        std_miss_s = (sids != base.sentinel) & ~ndt_applied
+        walk_keys = jnp.where(std_miss_s, sids << 1, base.sentinel << 1)
+        end_keys = jax.lax.sort(
+            ((jnp.where(end_any, end_flat, base.sentinel) << 1)
+             | end_is_hit.astype(jnp.int32),), num_keys=1)[0]
         new_occupancy, touched_std = deposit_pallas.deposit_and_sweep_ndt(
-            arena["occupancy"], key_s, pending_delta, base,
-            interpret=base.pallas_deposit == 2)
+            arena["occupancy"], walk_keys, pending_delta, base,
+            interpret=base.pallas_deposit == 2,
+            bounds_key=sids << 1, key2_sorted=end_keys)
     elif base.row_cap > 0 and compacted:
         # Fused two-level deposit (integrate.apply_records_fused_jit):
         # compaction rows are already sorted, so per-row PARTIAL std-miss

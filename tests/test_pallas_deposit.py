@@ -155,6 +155,21 @@ def test_mapper_end_to_end_pallas_vs_scatter(monkeypatch):
                           occ_pallas.view(np.uint32))
 
 
+def test_gather_plane_matches_xla_gather():
+    cfg = _cfg(capacity=24)
+    rng = np.random.default_rng(9)
+    t = -(-(cfg.sentinel + 1 + cfg.scatter_pad) // 512) * 512
+    plane = (rng.random(t) < 0.3).astype(np.int8)
+    n = 3000
+    flat = np.sort(rng.integers(0, cfg.sentinel, n))
+    # Append sentinel records (sorted stream tail).
+    flat = np.concatenate([flat, np.full(50, cfg.sentinel)]).astype(np.int32)
+    out = deposit_pallas.gather_plane(
+        jnp.asarray(plane), jnp.asarray(flat), cfg, interpret=True)
+    expect = np.where(flat < cfg.sentinel, plane[np.minimum(flat, t - 1)], 0)
+    assert np.array_equal(np.asarray(out), expect.astype(np.int32))
+
+
 def test_ndt_end_to_end_pallas_vs_scatter(monkeypatch):
     """TpuNdtMap with the NDT-mode kernel (std counts + miss-delta plane,
     fused NDT sweep) is bit-identical to the scatter + dense-apply path."""
