@@ -175,6 +175,25 @@ def _deposit_core(occupancy, key_sorted, cfg, sweep_fn, extra_planes=(),
     n_extra = len(extras2d)
 
     n_streams = len(streams)
+    # Dead-slot elision: most arena slots carry no records for a given batch
+    # (bench: ~320 live of 1024), and a fixed (hi, LO) block swap per slot
+    # dominated the kernel at large capacities (7.4 ms vs 2.8 at bench
+    # shapes).  The block index maps are data-dependent: dead slots map to
+    # ONE dummy block in the scratch-tail rows, which Pallas's revisit
+    # elision fetches/flushes once per dead RUN instead of once per slot.
+    # The dummy block is written back unchanged (passthrough), so the
+    # sentinel element + scratch tail it covers stay intact.
+    if t // LO < (cap + 1) * hi:
+        raise ValueError("arena tail too small for the dummy deposit block")
+
+    def _live(s, c0_ref, c1_ref):
+        l = c1_ref[s] > c0_ref[s]
+        for si in range(1, n_streams):
+            l = l | (c1_ref[si * cap + s] > c0_ref[si * cap + s])
+        return l
+
+    def _block_ix(s, c0_ref, c1_ref):
+        return (jnp.where(_live(s, c0_ref, c1_ref), s, cap), 0)
 
     def kernel(c0_ref, c1_ref, *refs):
         keys_hbms = refs[:n_streams]
@@ -183,69 +202,81 @@ def _deposit_core(occupancy, key_sorted, cfg, sweep_fn, extra_planes=(),
         out_ref, cnt_ref, keyvm, accum, sem = refs[n_streams + 1 + n_extra:]
         s = pl.program_id(0)
         base = jnp.int32(s) * v
-        accum[...] = jnp.zeros_like(accum)
-        ihc = jax.lax.broadcasted_iota(jnp.int32, (2 * hi, CHUNK), 0)
-        ilc = jax.lax.broadcasted_iota(jnp.int32, (LO, CHUNK), 0)
-
-        for si in range(n_streams):
-            lo0 = c0_ref[si * cap + s]
-            hi1 = c1_ref[si * cap + s]
-            keys_hbm = keys_hbms[si]
-
-            def get_dma(slot, c, keys_hbm=keys_hbm):
-                return pltpu.make_async_copy(
-                    keys_hbm.at[pl.ds(c * _ROWS, _ROWS), :],
-                    keyvm.at[slot], sem.at[slot])
-
-            @pl.when(hi1 > lo0)
-            def _deposit(lo0=lo0, hi1=hi1, get_dma=get_dma):
-                get_dma(lo0 & 1, lo0).start()
-
-                def body(c, _):
-                    slot = c & 1
-
-                    @pl.when(c + 1 < hi1)
-                    def _prefetch():
-                        get_dma((c + 1) & 1, c + 1).start()
-
-                    get_dma(slot, c).wait()
-                    # Lane-concatenate the chunk's rows into one (1, CHUNK)
-                    # record row; both one-hot factors build in one shot and
-                    # ONE k=CHUNK int8 MXU matmul deposits the whole chunk.
-                    k = jnp.concatenate(
-                        [keyvm[slot, r:r + 1, :] for r in range(_ROWS)], axis=1)
-                    flat = k >> 1
-                    hit = k & 1
-                    in_slot = (flat >= base) & (flat < base + v)
-                    vloc = flat - base
-                    lo_b = vloc & (LO - 1)
-                    hi_b = (vloc >> 9) & (hi - 1) if hi > 1 else vloc >> 9
-                    # hit rows [0, hi), miss rows [hi, 2*hi) in one factor
-                    w = jnp.where(ihc < hi, hit, 1 - hit)
-                    oh_hi = jnp.where(((ihc % hi) == hi_b) & in_slot,
-                                      w, 0).astype(jnp.int8)   # (2*hi, CHUNK)
-                    oh_lo = (ilc == lo_b).astype(jnp.int8)     # (LO, CHUNK)
-                    accum[...] += jax.lax.dot_general(
-                        oh_hi, oh_lo, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.int32).astype(jnp.float32)
-                    return _
-
-                jax.lax.fori_loop(lo0, hi1, body, 0, unroll=False)
-
-        swept = sweep_fn(occ_ref[...], accum[:hi], accum[hi:],
-                         *[r[...] for r in extra_refs])
-        out_ref[...] = swept
-        # Per-slot touched-voxel count from the exact integer count planes
-        # (works with masked/multi-stream inputs where a host-side diff over
-        # the keys would miscount).  Scalar VMEM stores don't lower, so the
-        # count broadcasts through a one-position mask of the (8, 128) block.
-        cnt = jnp.sum(((accum[:hi] + accum[hi:]) > 0).astype(jnp.int32))
+        live = _live(s, c0_ref, c1_ref)
         zr = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         zc = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        cnt_ref[...] = jnp.where((zr == 0) & (zc == 0), cnt, 0)
 
-    block = pl.BlockSpec((hi, LO), lambda s, *_: (s, 0),
-                         memory_space=pltpu.VMEM)
+        @pl.when(live)
+        def _live_step():
+            accum[...] = jnp.zeros_like(accum)
+            ihc = jax.lax.broadcasted_iota(jnp.int32, (2 * hi, CHUNK), 0)
+            ilc = jax.lax.broadcasted_iota(jnp.int32, (LO, CHUNK), 0)
+
+            for si in range(n_streams):
+                lo0 = c0_ref[si * cap + s]
+                hi1 = c1_ref[si * cap + s]
+                keys_hbm = keys_hbms[si]
+
+                def get_dma(slot, c, keys_hbm=keys_hbm):
+                    return pltpu.make_async_copy(
+                        keys_hbm.at[pl.ds(c * _ROWS, _ROWS), :],
+                        keyvm.at[slot], sem.at[slot])
+
+                @pl.when(hi1 > lo0)
+                def _deposit(lo0=lo0, hi1=hi1, get_dma=get_dma):
+                    get_dma(lo0 & 1, lo0).start()
+
+                    def body(c, _):
+                        slot = c & 1
+
+                        @pl.when(c + 1 < hi1)
+                        def _prefetch():
+                            get_dma((c + 1) & 1, c + 1).start()
+
+                        get_dma(slot, c).wait()
+                        # Lane-concatenate the chunk's rows into one
+                        # (1, CHUNK) record row; both one-hot factors build
+                        # in one shot and ONE k=CHUNK int8 MXU matmul
+                        # deposits the whole chunk.
+                        k = jnp.concatenate(
+                            [keyvm[slot, r:r + 1, :] for r in range(_ROWS)],
+                            axis=1)
+                        flat = k >> 1
+                        hit = k & 1
+                        in_slot = (flat >= base) & (flat < base + v)
+                        vloc = flat - base
+                        lo_b = vloc & (LO - 1)
+                        hi_b = (vloc >> 9) & (hi - 1) if hi > 1 else vloc >> 9
+                        # hit rows [0, hi), miss rows [hi, 2*hi) in one factor
+                        w = jnp.where(ihc < hi, hit, 1 - hit)
+                        oh_hi = jnp.where(((ihc % hi) == hi_b) & in_slot,
+                                          w, 0).astype(jnp.int8)  # (2hi,CHUNK)
+                        oh_lo = (ilc == lo_b).astype(jnp.int8)    # (LO,CHUNK)
+                        accum[...] += jax.lax.dot_general(
+                            oh_hi, oh_lo, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32).astype(jnp.float32)
+                        return _
+
+                    jax.lax.fori_loop(lo0, hi1, body, 0, unroll=False)
+
+            swept = sweep_fn(occ_ref[...], accum[:hi], accum[hi:],
+                             *[r[...] for r in extra_refs])
+            out_ref[...] = swept
+            # Per-slot touched-voxel count from the exact integer count
+            # planes (works with masked/multi-stream inputs where a host-side
+            # key diff would miscount).  Scalar VMEM stores don't lower, so
+            # the count broadcasts through a one-position mask.
+            cnt = jnp.sum(((accum[:hi] + accum[hi:]) > 0).astype(jnp.int32))
+            cnt_ref[...] = jnp.where((zr == 0) & (zc == 0), cnt, 0)
+
+        @pl.when(~live)
+        def _dead_step():
+            # Dummy block passthrough (keeps the scratch-tail rows intact on
+            # flush) + a zero count block.
+            out_ref[...] = occ_ref[...]
+            cnt_ref[...] = jnp.zeros_like(cnt_ref)
+
+    block = pl.BlockSpec((hi, LO), _block_ix, memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(cap,),
@@ -424,3 +455,272 @@ def gather_plane(plane, flat_sorted, cfg, interpret: bool = False):
     )(s_first, s_end, keys2d, plane2d)
 
     return out.reshape(-1)[:n]
+
+
+def gather_planes_f32(planes, flat_sorted, cfg, interpret: bool = False):
+    """Multi-channel EXACT f32 gather over a flat-SORTED id stream.
+
+    Same chunk-grid / resident-slot structure as gather_plane, with f32 MXU
+    matmuls: each gathered value is the single nonzero product of a one-hot
+    row, so the result is exact (modulo +0.0 normalisation of stored -0.0).
+    All channels share the one-hot factors; each adds one plane DMA and one
+    matmul per resident-slot switch/chunk.
+
+    planes: tuple of f32[T] flat arena layers (T % LO == 0).
+    flat_sorted: i32[N] ascending; ids >= cfg.sentinel gather 0.0.
+    Returns tuple of f32[N].
+
+    Replaces the per-visit TSDF seed pair gather (one [n_rec, 2] row gather
+    = 17.9 ms/batch, docs/PERF.md round-4) at ~2 ms/channel-megarecord.
+    """
+    v = cfg.voxels_per_region
+    hi = v // LO
+    vshift = (v - 1).bit_length()
+    n_ch = len(planes)
+    t = planes[0].shape[0]
+    if t % LO:
+        raise ValueError(f"plane length {t} not a multiple of {LO}")
+    n = flat_sorted.shape[0]
+    pad = (-n) % GCHUNK
+    if pad:
+        flat_sorted = jnp.concatenate(
+            [flat_sorted, jnp.full((pad,), cfg.sentinel, jnp.int32)])
+    keys2d = flat_sorted.reshape(-1, 128)
+    n_rows = keys2d.shape[0]
+    n_chunks = n_rows // _GROWS
+    planes2d = [p.reshape(t // LO, LO) for p in planes]
+
+    first_ids = flat_sorted[::GCHUNK]
+    last_ids = flat_sorted[GCHUNK - 1::GCHUNK]
+    s_first = jnp.where(first_ids < cfg.sentinel, first_ids >> vshift,
+                        jnp.int32(1 << 30)).astype(jnp.int32)
+    s_end = (jnp.minimum(last_ids, cfg.sentinel - 1) >> vshift) + 1
+    s_end = jnp.maximum(s_end, jnp.where(first_ids < cfg.sentinel, 0,
+                                         jnp.int32(-(1 << 30)))).astype(jnp.int32)
+
+    def kernel(sf_ref, se_ref, keys_ref, *refs):
+        plane_hbms = refs[:n_ch]
+        out_refs = refs[n_ch:2 * n_ch]
+        planevm, resident, sem = refs[2 * n_ch:]
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            resident[0] = -1
+
+        k = jnp.concatenate(
+            [keys_ref[r:r + 1, :] for r in range(_GROWS)], axis=1)  # (1,GCHUNK)
+        real = k < cfg.sentinel
+
+        acc0 = tuple(jnp.zeros((1, GCHUNK), jnp.float32) for _ in range(n_ch))
+        ihr = jax.lax.broadcasted_iota(jnp.int32, (hi, GCHUNK), 0)
+        ilc = jax.lax.broadcasted_iota(jnp.int32, (LO, GCHUNK), 0)
+
+        def body(s, accs):
+            @pl.when(resident[0] != s)
+            def _fetch():
+                for ch in range(n_ch):
+                    cp = pltpu.make_async_copy(
+                        plane_hbms[ch].at[pl.ds(s * hi, hi), :],
+                        planevm.at[ch], sem)
+                    cp.start()
+                    cp.wait()
+                resident[0] = s
+
+            base = s * v
+            in_slot = real & (k >= base) & (k < base + v)
+            vloc = k - base
+            lo_b = vloc & (LO - 1)
+            hi_b = (vloc >> 9) & (hi - 1) if hi > 1 else vloc >> 9
+            oh_lo = jnp.where(in_slot, (ilc == lo_b).astype(jnp.float32),
+                              jnp.float32(0))                   # (LO, GCHUNK)
+            oh_hi = jnp.where((ihr == hi_b) & in_slot,
+                              jnp.float32(1), jnp.float32(0))   # (hi, GCHUNK)
+            outs = []
+            for ch in range(n_ch):
+                t1 = jax.lax.dot_general(
+                    planevm[ch], oh_lo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)         # (hi, GCHUNK)
+                outs.append(accs[ch]
+                            + jnp.sum(t1 * oh_hi, axis=0, keepdims=True))
+            return tuple(outs)
+
+        accs = jax.lax.fori_loop(sf_ref[step], se_ref[step], body, acc0,
+                                 unroll=False)
+        for ch in range(n_ch):
+            for r in range(_GROWS):
+                out_refs[ch][r:r + 1, :] = accs[ch][:, r * 128:(r + 1) * 128]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec((_GROWS, 128), lambda c, *_: (c, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n_ch,
+        out_specs=[pl.BlockSpec((_GROWS, 128), lambda c, *_: (c, 0),
+                                memory_space=pltpu.VMEM)] * n_ch,
+        scratch_shapes=[
+            pltpu.VMEM((n_ch, hi, LO), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((n_rows, 128), jnp.float32)] * n_ch,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(s_first, s_end, keys2d, *planes2d)
+
+    return tuple(o.reshape(-1)[:n] for o in outs)
+
+
+def tsdf_set_deposit(weight_plane, dist_plane, flat_sorted, w_vals, d_vals,
+                     cfg, interpret: bool = False):
+    """TSDF pair deposit: per-voxel (weight, distance) SET at unique voxel
+    records + fused select sweep, as two f32 payload matmuls per chunk.
+
+    flat_sorted: i32[N] ascending flat ids; exactly ONE record per voxel may
+        carry a nonzero payload (the segment-last record in the per-visit
+        pipeline) — the one-hot deposit sum then has a single nonzero
+        product per voxel, so the payload lands EXACTLY (f32).
+    w_vals/d_vals: f32[N] payloads, zero except at the depositing record.
+        Voxels whose deposited weight is 0 keep their stored pair
+        (w_vals > 0 is the touched predicate, matching integrate_tsdf's
+        pend_w > 0 select).
+
+    Returns (weight_plane', dist_plane').  Replaces the compacted
+    sort + two windowed scatters of integrate_tsdf.compact_deposit
+    (~3.7 ms per scatter at bench shapes, docs/PERF.md).
+    """
+    cap = cfg.capacity
+    v = cfg.voxels_per_region
+    hi = v // LO
+    t = weight_plane.shape[0]
+    if t % LO:
+        raise ValueError(f"arena length {t} not a multiple of {LO}")
+    if t // LO < (cap + 1) * hi:
+        raise ValueError("arena tail too small for the dummy deposit block")
+    n = flat_sorted.shape[0]
+    pad = (-n) % CHUNK
+    if pad:
+        flat_sorted = jnp.concatenate(
+            [flat_sorted, jnp.full((pad,), cfg.sentinel, jnp.int32)])
+        zpad = jnp.zeros((pad,), jnp.float32)
+        w_vals = jnp.concatenate([w_vals, zpad])
+        d_vals = jnp.concatenate([d_vals, zpad])
+    keys2d = flat_sorted.reshape(-1, 128)
+    w2d = w_vals.reshape(-1, 128)
+    d2d = d_vals.reshape(-1, 128)
+
+    bounds = jnp.searchsorted(
+        flat_sorted, jnp.arange(cap + 1, dtype=jnp.int32) * v).astype(jnp.int32)
+    c0 = bounds[:-1] // CHUNK
+    c1 = (bounds[1:] + CHUNK - 1) // CHUNK
+
+    wp2d = weight_plane.reshape(t // LO, LO)
+    dp2d = dist_plane.reshape(t // LO, LO)
+
+    def _block_ix(s, c0_ref, c1_ref):
+        return (jnp.where(c1_ref[s] > c0_ref[s], s, cap), 0)
+
+    def kernel(c0_ref, c1_ref, keys_hbm, wv_hbm, dv_hbm, wp_ref, dp_ref,
+               wout_ref, dout_ref, keyvm, wvm, dvm, accw, accd, sem):
+        s = pl.program_id(0)
+        base = jnp.int32(s) * v
+        lo0 = c0_ref[s]
+        hi1 = c1_ref[s]
+        live = hi1 > lo0
+
+        @pl.when(live)
+        def _live_step():
+            accw[...] = jnp.zeros_like(accw)
+            accd[...] = jnp.zeros_like(accd)
+            ihc = jax.lax.broadcasted_iota(jnp.int32, (hi, CHUNK), 0)
+            ilc = jax.lax.broadcasted_iota(jnp.int32, (LO, CHUNK), 0)
+
+            def get_dma(slot, c):
+                return [
+                    pltpu.make_async_copy(
+                        keys_hbm.at[pl.ds(c * _ROWS, _ROWS), :],
+                        keyvm.at[slot], sem.at[slot, 0]),
+                    pltpu.make_async_copy(
+                        wv_hbm.at[pl.ds(c * _ROWS, _ROWS), :],
+                        wvm.at[slot], sem.at[slot, 1]),
+                    pltpu.make_async_copy(
+                        dv_hbm.at[pl.ds(c * _ROWS, _ROWS), :],
+                        dvm.at[slot], sem.at[slot, 2]),
+                ]
+
+            for cp in get_dma(lo0 & 1, lo0):
+                cp.start()
+
+            def body(c, _):
+                slot = c & 1
+
+                @pl.when(c + 1 < hi1)
+                def _prefetch():
+                    for cp in get_dma((c + 1) & 1, c + 1):
+                        cp.start()
+
+                for cp in get_dma(slot, c):
+                    cp.wait()
+                k = jnp.concatenate(
+                    [keyvm[slot, r:r + 1, :] for r in range(_ROWS)], axis=1)
+                wv = jnp.concatenate(
+                    [wvm[slot, r:r + 1, :] for r in range(_ROWS)], axis=1)
+                dv = jnp.concatenate(
+                    [dvm[slot, r:r + 1, :] for r in range(_ROWS)], axis=1)
+                in_slot = (k >= base) & (k < base + v)
+                vloc = k - base
+                lo_b = vloc & (LO - 1)
+                hi_b = (vloc >> 9) & (hi - 1) if hi > 1 else vloc >> 9
+                match = (ihc == hi_b) & in_slot
+                oh_w = jnp.where(match, wv, jnp.float32(0))   # (hi, CHUNK)
+                oh_d = jnp.where(match, dv, jnp.float32(0))
+                oh_lo = jnp.where(in_slot, (ilc == lo_b).astype(jnp.float32),
+                                  jnp.float32(0))             # (LO, CHUNK)
+                accw[...] += jax.lax.dot_general(
+                    oh_w, oh_lo, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                accd[...] += jax.lax.dot_general(
+                    oh_d, oh_lo, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return _
+
+            jax.lax.fori_loop(lo0, hi1, body, 0, unroll=False)
+            touched = accw[...] > 0
+            wout_ref[...] = jnp.where(touched, accw[...], wp_ref[...])
+            dout_ref[...] = jnp.where(touched, accd[...], dp_ref[...])
+
+        @pl.when(~live)
+        def _dead_step():
+            wout_ref[...] = wp_ref[...]
+            dout_ref[...] = dp_ref[...]
+
+    block = pl.BlockSpec((hi, LO), _block_ix, memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(cap,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3 + [block, block],
+        out_specs=[block, block],
+        scratch_shapes=[
+            pltpu.VMEM((2, _ROWS, 128), jnp.int32),
+            pltpu.VMEM((2, _ROWS, 128), jnp.float32),
+            pltpu.VMEM((2, _ROWS, 128), jnp.float32),
+            pltpu.VMEM((hi, LO), jnp.float32),
+            pltpu.VMEM((hi, LO), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    wout, dout = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct(wp2d.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(dp2d.shape, jnp.float32)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+        # operands after prefetch: keys(2), wv(3), dv(4), wp(5), dp(6)
+        input_output_aliases={5: 0, 6: 1},
+    )(c0, c1, keys2d, w2d, d2d, wp2d, dp2d)
+
+    return wout.reshape(-1), dout.reshape(-1)

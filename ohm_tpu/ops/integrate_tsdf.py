@@ -260,7 +260,20 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
 
         first = jnp.concatenate([jnp.array([True]), ids_s[1:] != ids_s[:-1]])
         real_seg = ids_s != base.sentinel
-        if cap:
+        from ohm_tpu.ops import deposit_pallas
+        use_pallas = (base.pallas_deposit and deposit_pallas.deposit_ok(base))
+        if use_pallas:
+            # MXU gather kernel over the already-sorted id stream: the
+            # batch-start (w0, d0) pair lands EXACTLY at EVERY record (one
+            # nonzero one-hot product each), replacing both the compacted
+            # seed window (sort + windowed gather + 3 scatters) and the
+            # full-stream row gather (17.9 ms/batch, docs/PERF.md).  No
+            # window: nothing seed-drops.
+            w0_s, d0_s = deposit_pallas.gather_planes_f32(
+                (arena["tsdf_weight"], arena["tsdf_distance"]), ids_s, base,
+                interpret=base.pallas_deposit == 2)
+            seeded = jnp.ones_like(first)
+        elif cap:
             # Compacted seed fetch: the batch-start (w0, d0) of each touched
             # voxel is needed at every record, but a full-stream gather from
             # the multi-hundred-MB arena runs ~25 ns/element (latency-bound;
@@ -348,11 +361,23 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
         # Stored weight: the per-visit clamp telescopes to one final min.
         w_k = jnp.minimum(w_run, jnp.float32(cfg.max_weight))
         upd = last & alive & real_seg & seeded
-        (pend_w, pend_d), drop2 = compact_deposit(upd, (w_k, d_k))
-        dropped = dropped + drop2
-        pend_t = pend_w > 0  # w_k >= 1e-5 whenever upd
-        arena["tsdf_weight"] = jnp.where(pend_t, pend_w, arena["tsdf_weight"])
-        arena["tsdf_distance"] = jnp.where(pend_t, pend_d, arena["tsdf_distance"])
+        if use_pallas:
+            # Pair SET-deposit kernel: the voxel-last (w_k, d_k) payloads
+            # land through two f32 payload matmuls with the keep/replace
+            # select fused per slot plane — replaces the compacted sort +
+            # two windowed scatters (~3.7 ms each, docs/PERF.md).
+            wv = jnp.where(upd, w_k, 0.0)
+            dv = jnp.where(upd, d_k, 0.0)
+            arena["tsdf_weight"], arena["tsdf_distance"] = (
+                deposit_pallas.tsdf_set_deposit(
+                    arena["tsdf_weight"], arena["tsdf_distance"], ids_s,
+                    wv, dv, base, interpret=base.pallas_deposit == 2))
+        else:
+            (pend_w, pend_d), drop2 = compact_deposit(upd, (w_k, d_k))
+            dropped = dropped + drop2
+            pend_t = pend_w > 0  # w_k >= 1e-5 whenever upd
+            arena["tsdf_weight"] = jnp.where(pend_t, pend_w, arena["tsdf_weight"])
+            arena["tsdf_distance"] = jnp.where(pend_t, pend_d, arena["tsdf_distance"])
     else:
         # Batch blend: one accumulate + one truncation per batch (faster;
         # diverges from per-visit truncation on voxels whose record sdfs

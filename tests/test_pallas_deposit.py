@@ -170,6 +170,83 @@ def test_gather_plane_matches_xla_gather():
     assert np.array_equal(np.asarray(out), expect.astype(np.int32))
 
 
+def test_gather_planes_f32_exact():
+    cfg = _cfg(capacity=24)
+    rng = np.random.default_rng(13)
+    t = -(-(cfg.sentinel + 1 + cfg.scatter_pad) // 512) * 512
+    w = rng.normal(0, 3, t).astype(np.float32)
+    d = rng.normal(0, 0.1, t).astype(np.float32)
+    n = 2500
+    flat = np.concatenate([np.sort(rng.integers(0, cfg.sentinel, n)),
+                           np.full(40, cfg.sentinel)]).astype(np.int32)
+    gw, gd = deposit_pallas.gather_planes_f32(
+        (jnp.asarray(w), jnp.asarray(d)), jnp.asarray(flat), cfg,
+        interpret=True)
+    real = flat < cfg.sentinel
+    expect_w = np.where(real, w[np.minimum(flat, t - 1)], 0.0)
+    expect_d = np.where(real, d[np.minimum(flat, t - 1)], 0.0)
+    assert np.array_equal(np.asarray(gw), expect_w.astype(np.float32))
+    assert np.array_equal(np.asarray(gd), expect_d.astype(np.float32))
+
+
+def test_tsdf_set_deposit_exact():
+    cfg = _cfg(capacity=24)
+    rng = np.random.default_rng(17)
+    t = -(-(cfg.sentinel + 1 + cfg.scatter_pad) // 512) * 512
+    w0 = np.abs(rng.normal(0, 3, t)).astype(np.float32)
+    d0 = rng.normal(0, 0.1, t).astype(np.float32)
+    n = 4000
+    flat = np.sort(rng.integers(0, cfg.sentinel, n)).astype(np.int32)
+    # exactly one depositing record per voxel: the run-last
+    last = np.concatenate([flat[1:] != flat[:-1], [True]])
+    upd = last & (rng.random(n) < 0.8)
+    wv = np.where(upd, np.abs(rng.normal(1, 0.5, n)) + 1e-4, 0.0).astype(np.float32)
+    dv = np.where(upd, rng.normal(0, 0.1, n), 0.0).astype(np.float32)
+    wout, dout = deposit_pallas.tsdf_set_deposit(
+        jnp.asarray(w0), jnp.asarray(d0), jnp.asarray(flat),
+        jnp.asarray(wv), jnp.asarray(dv), cfg, interpret=True)
+    exp_w, exp_d = w0.copy(), d0.copy()
+    exp_w[flat[upd]] = wv[upd]
+    exp_d[flat[upd]] = dv[upd]
+    assert np.array_equal(np.asarray(wout), exp_w)
+    assert np.array_equal(np.asarray(dout), exp_d)
+
+
+def test_tsdf_end_to_end_pallas_vs_scatter(monkeypatch):
+    """TpuTsdfMap per-visit with the gather + set-deposit kernels matches
+    the scatter path (allclose: the kernel seeds every record exactly while
+    the scatter path's -0.0/+0.0 normalisation can differ in zero signs)."""
+    from ohm_tpu import OccupancyMap
+    from ohm_tpu.mapping.tsdf_map import TpuTsdfMap
+    from ohm_tpu.oracle.tsdf import TsdfOptions
+
+    rng = np.random.default_rng(23)
+    n = 300
+    origins = np.zeros((n, 3))
+    samples = np.column_stack([
+        np.full(n, 2.0) + rng.normal(0, 0.05, n),
+        rng.uniform(-1, 1, n), rng.uniform(-1, 1, n)])
+    rays = np.empty((2 * n, 3))
+    rays[0::2] = origins
+    rays[1::2] = samples
+
+    def run(env):
+        monkeypatch.setenv("OHM_PALLAS", env)
+        m = OccupancyMap(resolution=0.25, region_voxel_dims=8)
+        mapper = TpuTsdfMap(m, TsdfOptions(default_truncation_distance=0.3),
+                            capacity=64, validate=True)
+        for i in range(0, 2 * n, 120):
+            mapper.integrate_rays(rays[i:i + 120])
+        mapper.sync_voxels()
+        return (np.asarray(mapper.arena.arrays["tsdf_weight"]),
+                np.asarray(mapper.arena.arrays["tsdf_distance"]))
+
+    w_a, d_a = run("0")
+    w_b, d_b = run("2")
+    np.testing.assert_allclose(w_a, w_b, rtol=0, atol=0)
+    np.testing.assert_allclose(d_a, d_b, rtol=0, atol=0)
+
+
 def test_ndt_end_to_end_pallas_vs_scatter(monkeypatch):
     """TpuNdtMap with the NDT-mode kernel (std counts + miss-delta plane,
     fused NDT sweep) is bit-identical to the scatter + dense-apply path."""
