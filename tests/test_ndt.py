@@ -154,6 +154,7 @@ def test_ndt_miss_differential():
     compare_cov_layers(cpu_map, dev_map, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_ndt_miss_preserves_consistent_surface():
     """NDT semantics: rays grazing an established surface erode it less than
     plain occupancy would (the NDT value proposition — NdtTests geometry)."""
@@ -326,6 +327,7 @@ def test_ndt_tm_intensity_recursion_differential(k_per_batch, cov_rtol):
     assert checked >= 1
 
 
+@pytest.mark.slow
 def test_ndt_traversal_accumulates_on_gaussian_voxels():
     """Regression: traversal must accumulate on EVERY visited voxel
     (ohm/RayMapperNdt.cpp:217-225), including voxels whose miss took the
@@ -379,6 +381,7 @@ def test_ndt_traversal_accumulates_on_gaussian_voxels():
         assert checked > 0
 
 
+@pytest.mark.slow
 def test_ndt_miss_k_auto_sizes_and_stays_exact():
     """The miss-phase K auto-shrinks from the flagged-count readback (every
     K-stream cost scales with it); with no overflow the result must equal
@@ -417,6 +420,7 @@ def test_ndt_miss_k_auto_sizes_and_stays_exact():
             np.testing.assert_array_equal(a.layers[ci][f], b.layers[ci][f])
 
 
+@pytest.mark.slow
 def test_ndt_miss_k_exact_mode_never_degrades():
     """miss_k="exact" pins the miss-phase K to the full record stream, so no
     Gaussian-flagged record can ever degrade to a standard miss (reference

@@ -123,6 +123,7 @@ def test_tsdf_per_visit_truncation_parity_mixed_ranges():
     compare_tsdf(cpu_map, dev_map, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_tsdf_capped_seed_matches_uncapped_with_negative_distances():
     """Regression: the capped per-visit seed path broadcast d0*w0 through
     blocked.segment_sums, whose cummax base propagation silently corrupts
