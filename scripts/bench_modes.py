@@ -239,6 +239,53 @@ def main():
     print(json.dumps(r), flush=True)
     results.append(r)
 
+    # --- sharded routing overhead: n=1 mesh on the REAL chip ------------------
+    # ShardedRayFlowMapper degenerates to one shard: every ray routes to the
+    # single owner, so the measured gap vs TpuRayMapper is pure routing
+    # machinery cost (source split + all_to_all + stacked wire), the number
+    # the round-4 VERDICT item 6 asked for.
+    try:
+        from jax.sharding import Mesh
+        from ohm_tpu.parallel.rayflow import ShardedRayFlowMapper
+
+        mesh1 = Mesh(np.array(jax.devices()[:1]), axis_names=("shard",))
+        m_s1 = OccupancyMap(resolution=0.1, flags=MapFlag.NONE)
+        sh1 = ShardedRayFlowMapper(m_s1, mesh1, kind="occupancy",
+                                   capacity=1024)
+        m_y = OccupancyMap(resolution=0.1, flags=MapFlag.NONE)
+        yard = TpuRayMapper(m_y, capacity=1024)
+        batches = [benchmod.box_scene_rays(rays_per_batch, rng)
+                   for _ in range(max(4, n_batches // 2))]
+        for b in batches:
+            sh1.integrate_rays(b)
+            yard.integrate_rays(b)
+        jax.block_until_ready(sh1.arena.state["occupancy"])
+        float(jnp.ravel(yard.arena.arrays["occupancy"])[0])
+        t0 = time.perf_counter()
+        for b in batches:
+            sh1.integrate_rays(b)
+        jax.block_until_ready(sh1.arena.state["occupancy"])
+        t_sh = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for b in batches:
+            yard.integrate_rays(b)
+        float(jnp.ravel(yard.arena.arrays["occupancy"])[0])
+        t_yd = time.perf_counter() - t0
+        n_tot = rays_per_batch * len(batches)
+        r = {"metric": "sharded_n1_overhead",
+             "sharded_rays_per_sec": round(n_tot / t_sh, 1),
+             "single_rays_per_sec": round(n_tot / t_yd, 1),
+             "overhead_frac": round(t_sh / t_yd - 1.0, 3),
+             "wire_bytes_per_ray": round(
+                 sh1.stats["wire_bytes"] / max(sh1.stats["rays"], 1), 1),
+             "routed_copies_per_ray": round(
+                 sh1.stats["routed_rays"] / max(sh1.stats["rays"], 1), 3)}
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    except Exception as e:  # never block the remaining configs
+        print(json.dumps({"metric": "sharded_n1_overhead",
+                          "error": str(e)[:200]}), flush=True)
+
     # --- config 3: NDT-OM ------------------------------------------------------
     m3 = OccupancyMap(resolution=0.2, flags=MapFlag.NONE)
     mp3 = TpuNdtMap(m3, capacity=1024)

@@ -67,6 +67,7 @@ def test_fused_bit_identical_occupancy(rayflow):
         assert (a[~ia] == b[~ib]).all()
 
 
+@pytest.mark.slow
 def test_fused_traversal_reassociation_only():
     rng = np.random.default_rng(11)
     batches = [_box_rays(512, rng) for _ in range(5)]
@@ -79,6 +80,7 @@ def test_fused_traversal_reassociation_only():
         assert np.abs(ta - tb).max() < 2e-4
 
 
+@pytest.mark.slow
 def test_fused_flag_matrix_bit_identical():
     """Fused vs split-phase equality must hold across the RayFlag matrix
     (exclusions run partly in expand, partly in the shared dense sweep)."""
@@ -118,6 +120,7 @@ def test_fused_flag_matrix_bit_identical():
             assert (a[~ia] == b[~ib]).all(), flags
 
 
+@pytest.mark.slow
 def test_fused_ndt_bit_identical_occupancy():
     """The NDT std-count fused deposit must reproduce the unfused pipeline's
     occupancy bit-exactly (integer partial counts; the NDT miss deltas are

@@ -12,6 +12,7 @@ ohm/RayMapperOccupancy.cpp:171-183).
 """
 
 import numpy as np
+import pytest
 
 from ohm_tpu.core.map import OccupancyMap, MapFlag
 from ohm_tpu.core.layout import OCCUPANCY_LAYER, TRAVERSAL_LAYER
@@ -143,6 +144,7 @@ def test_rayflow_ndt_matches_segmented():
     assert checked > 0
 
 
+@pytest.mark.slow
 def test_rayflow_ndt_tm_intensity_multiplicity_matches_oracle():
     """Regression: the NDT-TM intensity merge is a SEQUENTIAL recursion, and
     the rayflow wire's snake permutation reorders same-voxel samples — the
@@ -369,6 +371,7 @@ def test_coalesced_async_matches_sequential():
     assert trav_c == trav_s
 
 
+@pytest.mark.slow
 def test_coalesced_async_with_eviction_pressure():
     """A tiny arena forces evictions between queued batches: NeedsEviction
     must flush the pending group (never reassigning a slot a pending wire
@@ -405,6 +408,7 @@ def test_coalesced_async_with_eviction_pressure():
     assert occ_c == occ_s
 
 
+@pytest.mark.slow
 def test_coalesced_async_ndt_and_tsdf_match_sequential():
     """NDT/TSDF mappers ride the coalesced path through their
     _dispatch_rayflow overrides."""
