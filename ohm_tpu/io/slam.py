@@ -227,6 +227,67 @@ def transform_samples(sample_times, local_samples, traj_times, traj_pos, traj_qu
     return rays
 
 
+def transform_samples_device(sample_times, local_samples, traj_times,
+                             traj_pos, traj_quat=None):
+    """Device-side sample transform (jit): the direct analogue of the
+    reference's GPU kernel (ohmgpu/gpu/TransformSamples.cl:1-219 — per-ray
+    binary search into the uploaded trajectory window, lerp + slerp in f32).
+
+    The trajectory window and local samples upload once; searchsorted +
+    vectorised lerp/slerp replace the per-thread binary search.  f32 device
+    math like the reference kernel; the f64 host variant (transform_samples)
+    remains the loader default.  Returns a device array of interleaved
+    (2N, 3) f32 rays.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _run(st, local, tt, tp, tq):
+        idx = jnp.clip(jnp.searchsorted(tt, st), 1, tt.shape[0] - 1)
+        t0 = tt[idx - 1]
+        t1 = tt[idx]
+        w = jnp.clip(jnp.where(t1 > t0, (st - t0) / jnp.maximum(t1 - t0, 1e-12),
+                               0.0), 0, 1)[:, None]
+        origins = tp[idx - 1] * (1 - w) + tp[idx] * w
+        if tq is None:
+            samples = origins + local
+        else:
+            q0 = tq[idx - 1]
+            q1 = tq[idx]
+            d = jnp.sum(q0 * q1, axis=-1, keepdims=True)
+            q1 = jnp.where(d < 0, -q1, q1)
+            d = jnp.abs(d)
+            theta = jnp.arccos(jnp.clip(d, -1.0, 1.0))
+            sin_t = jnp.sin(theta)
+            near = sin_t[:, 0] < 1e-6
+            w0 = jnp.where(near[:, None], 1 - w,
+                           jnp.sin((1 - w) * theta) / jnp.maximum(sin_t, 1e-12))
+            w1 = jnp.where(near[:, None], w,
+                           jnp.sin(w * theta) / jnp.maximum(sin_t, 1e-12))
+            q = q0 * w0 + q1 * w1
+            q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+            u = q[:, :3]
+            s = q[:, 3:4]
+            rot = (2 * jnp.sum(u * local, axis=-1, keepdims=True) * u
+                   + (s * s - jnp.sum(u * u, axis=-1, keepdims=True)) * local
+                   + 2 * s * jnp.cross(u, local))
+            samples = origins + rot
+        n = local.shape[0]
+        rays = jnp.zeros((2 * n, 3), jnp.float32)
+        rays = rays.at[0::2].set(origins)
+        return rays.at[1::2].set(samples)
+
+    import numpy as _np
+    st = jnp.asarray(_np.asarray(sample_times), jnp.float32)
+    local = jnp.asarray(_np.asarray(local_samples).reshape(-1, 3), jnp.float32)
+    tt = jnp.asarray(_np.asarray(traj_times), jnp.float32)
+    tp = jnp.asarray(_np.asarray(traj_pos), jnp.float32)
+    tq = None if traj_quat is None else jnp.asarray(_np.asarray(traj_quat),
+                                                    jnp.float32)
+    return _run(st, local, tt, tp, tq)
+
+
 class SlamCloudLoader:
     """Streams (origin, sample) pairs from a cloud + trajectory.
 

@@ -572,3 +572,29 @@ def test_ray_mapper_trace_incremental_protocol(tmp_path):
     # Ellipsoid payloads carry pose + axes (viewer-replayable).
     e0 = sect[0]["ellipsoids"][0]
     assert set(e0) >= {"pos", "scale", "axes"}
+
+
+def test_transform_samples_device_matches_host():
+    """Device-side sample transform (io.slam.transform_samples_device — the
+    TransformSamples.cl analogue) agrees with the f64 host path to f32
+    tolerance on a rotating + translating trajectory."""
+    from ohm_tpu.io.slam import transform_samples, transform_samples_device
+
+    rng = np.random.default_rng(31)
+    n = 500
+    tt = np.linspace(0.0, 5.0, 20)
+    tp = np.column_stack([tt * 0.5, np.sin(tt), np.zeros_like(tt)])
+    ang = tt * 0.3
+    tq = np.column_stack([np.zeros_like(tt), np.zeros_like(tt),
+                          np.sin(ang / 2), np.cos(ang / 2)])
+    st = rng.uniform(0.05, 4.95, n)
+    local = rng.uniform(-2, 2, (n, 3))
+
+    host = transform_samples(st, local, tt, tp, tq)
+    dev = np.asarray(transform_samples_device(st, local, tt, tp, tq))
+    np.testing.assert_allclose(dev, host, atol=5e-4)
+
+    # No-rotation variant.
+    host2 = transform_samples(st, local, tt, tp, None)
+    dev2 = np.asarray(transform_samples_device(st, local, tt, tp, None))
+    np.testing.assert_allclose(dev2, host2, atol=5e-4)

@@ -221,7 +221,7 @@ def test_tsdf_end_to_end_pallas_vs_scatter(monkeypatch):
     from ohm_tpu.oracle.tsdf import TsdfOptions
 
     rng = np.random.default_rng(23)
-    n = 300
+    n = 160
     origins = np.zeros((n, 3))
     samples = np.column_stack([
         np.full(n, 2.0) + rng.normal(0, 0.05, n),
@@ -234,9 +234,9 @@ def test_tsdf_end_to_end_pallas_vs_scatter(monkeypatch):
         monkeypatch.setenv("OHM_PALLAS", env)
         m = OccupancyMap(resolution=0.25, region_voxel_dims=8)
         mapper = TpuTsdfMap(m, TsdfOptions(default_truncation_distance=0.3),
-                            capacity=64, validate=True)
-        for i in range(0, 2 * n, 120):
-            mapper.integrate_rays(rays[i:i + 120])
+                            capacity=32, validate=True)
+        for i in range(0, 2 * n, 160):
+            mapper.integrate_rays(rays[i:i + 160])
         mapper.sync_voxels()
         return (np.asarray(mapper.arena.arrays["tsdf_weight"]),
                 np.asarray(mapper.arena.arrays["tsdf_distance"]))
@@ -255,7 +255,7 @@ def test_ndt_end_to_end_pallas_vs_scatter(monkeypatch):
     from ohm_tpu.oracle.ndt import NdtParams
 
     rng = np.random.default_rng(7)
-    n = 240
+    n = 160
     origins = np.zeros((n, 3))
     # Repeated wall hits so Gaussians form and the miss phase engages.
     samples = np.column_stack([
@@ -268,9 +268,9 @@ def test_ndt_end_to_end_pallas_vs_scatter(monkeypatch):
     def run(env):
         monkeypatch.setenv("OHM_PALLAS", env)
         m = OccupancyMap(resolution=0.25, region_voxel_dims=8)
-        mapper = TpuNdtMap(m, NdtParams(), capacity=64, validate=True)
-        for i in range(0, 2 * n, 120):
-            mapper.integrate_rays(rays[i:i + 120])
+        mapper = TpuNdtMap(m, NdtParams(), capacity=32, validate=True)
+        for i in range(0, 2 * n, 160):
+            mapper.integrate_rays(rays[i:i + 160])
         mapper.sync_voxels()
         return (np.asarray(mapper.arena.arrays["occupancy"]),
                 np.asarray(mapper.arena.arrays["cov"]))
