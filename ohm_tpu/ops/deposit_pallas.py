@@ -203,8 +203,14 @@ def _deposit_core(occupancy, key_sorted, cfg, sweep_fn, extra_planes=(),
         s = pl.program_id(0)
         base = jnp.int32(s) * v
         live = _live(s, c0_ref, c1_ref)
-        zr = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        zc = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+        # The touched-count output block has a CONSTANT index: it stays
+        # resident in VMEM across the whole (sequential) grid and flushes
+        # once at the end — a per-slot-indexed count plane cost ~1024 tiny
+        # DMA flushes per call.
+        @pl.when(s == 0)
+        def _zero_counts():
+            cnt_ref[...] = jnp.zeros_like(cnt_ref)
 
         @pl.when(live)
         def _live_step():
@@ -262,19 +268,21 @@ def _deposit_core(occupancy, key_sorted, cfg, sweep_fn, extra_planes=(),
             swept = sweep_fn(occ_ref[...], accum[:hi], accum[hi:],
                              *[r[...] for r in extra_refs])
             out_ref[...] = swept
-            # Per-slot touched-voxel count from the exact integer count
-            # planes (works with masked/multi-stream inputs where a host-side
-            # key diff would miscount).  Scalar VMEM stores don't lower, so
-            # the count broadcasts through a one-position mask.
+            # Touched-voxel count from the exact integer count planes
+            # (works with masked/multi-stream inputs where a host-side key
+            # diff would miscount).  Scalar VMEM stores don't lower, so the
+            # count accumulates through a one-position mask of the resident
+            # block.
             cnt = jnp.sum(((accum[:hi] + accum[hi:]) > 0).astype(jnp.int32))
-            cnt_ref[...] = jnp.where((zr == 0) & (zc == 0), cnt, 0)
+            zr = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            zc = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            cnt_ref[...] += jnp.where((zr == 0) & (zc == 0), cnt, 0)
 
         @pl.when(~live)
         def _dead_step():
-            # Dummy block passthrough (keeps the scratch-tail rows intact on
-            # flush) + a zero count block.
+            # Dummy block passthrough (keeps the scratch-tail rows intact
+            # on flush).
             out_ref[...] = occ_ref[...]
-            cnt_ref[...] = jnp.zeros_like(cnt_ref)
 
     block = pl.BlockSpec((hi, LO), _block_ix, memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -283,7 +291,7 @@ def _deposit_core(occupancy, key_sorted, cfg, sweep_fn, extra_planes=(),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_streams  # key streams
         + [block] * (1 + n_extra),                         # occ + extras
         out_specs=[block,
-                   pl.BlockSpec((8, 128), lambda s, *_: (s, 0),
+                   pl.BlockSpec((8, 128), lambda s, *_: (0, 0),
                                 memory_space=pltpu.VMEM)],
         scratch_shapes=[
             pltpu.VMEM((2, _ROWS, 128), jnp.int32),
@@ -294,7 +302,7 @@ def _deposit_core(occupancy, key_sorted, cfg, sweep_fn, extra_planes=(),
     out2d, cnts = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct(occ2d.shape, jnp.float32),
-                   jax.ShapeDtypeStruct((cap * 8, 128), jnp.int32)],
+                   jax.ShapeDtypeStruct((8, 128), jnp.int32)],
         grid_spec=grid_spec,
         interpret=interpret,
         # operand order after scalar prefetch: key streams, then occ2d.

@@ -251,7 +251,7 @@ def main():
         mesh1 = Mesh(np.array(jax.devices()[:1]), axis_names=("shard",))
         m_s1 = OccupancyMap(resolution=0.1, flags=MapFlag.NONE)
         sh1 = ShardedRayFlowMapper(m_s1, mesh1, kind="occupancy",
-                                   capacity=1024)
+                                   capacity=1024, scatter_pad=1 << 22)
         m_y = OccupancyMap(resolution=0.1, flags=MapFlag.NONE)
         yard = TpuRayMapper(m_y, capacity=1024)
         batches = [benchmod.box_scene_rays(rays_per_batch, rng)
