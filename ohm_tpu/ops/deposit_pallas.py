@@ -468,11 +468,14 @@ def gather_plane(plane, flat_sorted, cfg, interpret: bool = False):
 def gather_planes_f32(planes, flat_sorted, cfg, interpret: bool = False):
     """Multi-channel EXACT f32 gather over a flat-SORTED id stream.
 
-    Same chunk-grid / resident-slot structure as gather_plane, with f32 MXU
-    matmuls: each gathered value is the single nonzero product of a one-hot
-    row, so the result is exact (modulo +0.0 normalisation of stored -0.0).
-    All channels share the one-hot factors; each adds one plane DMA and one
-    matmul per resident-slot switch/chunk.
+    Same chunk-grid / resident-slot structure as gather_plane.  Exactness
+    mechanism: the f32 plane splits into FOUR u8 byte planes (each exact in
+    bf16), each gathers through a single-pass bf16 matmul (one nonzero
+    product per output), and the bytes recombine in int32 — bit-exact for
+    every f32 pattern including -0.0/inf/NaN.  A plain f32 dot is NOT
+    usable: this Mosaic lowers it as single-pass bf16 (measured rel err
+    2^-8 on chip) and the exact Precision.HIGHEST costs ~6 passes; the
+    u8 split costs 4.  All channels share the one-hot factors.
 
     planes: tuple of f32[T] flat arena layers (T % LO == 0).
     flat_sorted: i32[N] ascending; ids >= cfg.sentinel gather 0.0.
@@ -520,7 +523,7 @@ def gather_planes_f32(planes, flat_sorted, cfg, interpret: bool = False):
             [keys_ref[r:r + 1, :] for r in range(_GROWS)], axis=1)  # (1,GCHUNK)
         real = k < cfg.sentinel
 
-        acc0 = tuple(jnp.zeros((1, GCHUNK), jnp.float32) for _ in range(n_ch))
+        acc0 = tuple(jnp.zeros((1, GCHUNK), jnp.int32) for _ in range(n_ch))
         ihr = jax.lax.broadcasted_iota(jnp.int32, (hi, GCHUNK), 0)
         ilc = jax.lax.broadcasted_iota(jnp.int32, (LO, GCHUNK), 0)
 
@@ -540,24 +543,31 @@ def gather_planes_f32(planes, flat_sorted, cfg, interpret: bool = False):
             vloc = k - base
             lo_b = vloc & (LO - 1)
             hi_b = (vloc >> 9) & (hi - 1) if hi > 1 else vloc >> 9
-            oh_lo = jnp.where(in_slot, (ilc == lo_b).astype(jnp.float32),
-                              jnp.float32(0))                   # (LO, GCHUNK)
+            oh_lo = jnp.where(in_slot, (ilc == lo_b).astype(jnp.bfloat16),
+                              jnp.bfloat16(0))                  # (LO, GCHUNK)
             oh_hi = jnp.where((ihr == hi_b) & in_slot,
                               jnp.float32(1), jnp.float32(0))   # (hi, GCHUNK)
             outs = []
             for ch in range(n_ch):
-                t1 = jax.lax.dot_general(
-                    planevm[ch], oh_lo, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)         # (hi, GCHUNK)
-                outs.append(accs[ch]
-                            + jnp.sum(t1 * oh_hi, axis=0, keepdims=True))
+                bits = jax.lax.bitcast_convert_type(planevm[ch], jnp.int32)
+                acc_bits = accs[ch]
+                for byte in range(4):
+                    piece = ((bits >> (8 * byte)) & 255).astype(jnp.bfloat16)
+                    t1 = jax.lax.dot_general(
+                        piece, oh_lo, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)     # (hi, GCHUNK)
+                    val = jnp.sum(t1 * oh_hi, axis=0,
+                                  keepdims=True).astype(jnp.int32)
+                    acc_bits = acc_bits + (val << (8 * byte))
+                outs.append(acc_bits)
             return tuple(outs)
 
         accs = jax.lax.fori_loop(sf_ref[step], se_ref[step], body, acc0,
                                  unroll=False)
         for ch in range(n_ch):
+            f32_out = jax.lax.bitcast_convert_type(accs[ch], jnp.float32)
             for r in range(_GROWS):
-                out_refs[ch][r:r + 1, :] = accs[ch][:, r * 128:(r + 1) * 128]
+                out_refs[ch][r:r + 1, :] = f32_out[:, r * 128:(r + 1) * 128]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -642,6 +652,9 @@ def tsdf_set_deposit(weight_plane, dist_plane, flat_sorted, w_vals, d_vals,
 
         @pl.when(live)
         def _live_step():
+            # accw/accd hold FOUR byte planes each (u8x4 split — a plain f32
+            # payload dot lowers as lossy single-pass bf16 on this Mosaic;
+            # see gather_planes_f32).  Bytes recombine in int32 at the sweep.
             accw[...] = jnp.zeros_like(accw)
             accd[...] = jnp.zeros_like(accd)
             ihc = jax.lax.broadcasted_iota(jnp.int32, (hi, CHUNK), 0)
@@ -683,23 +696,38 @@ def tsdf_set_deposit(weight_plane, dist_plane, flat_sorted, w_vals, d_vals,
                 vloc = k - base
                 lo_b = vloc & (LO - 1)
                 hi_b = (vloc >> 9) & (hi - 1) if hi > 1 else vloc >> 9
-                match = (ihc == hi_b) & in_slot
-                oh_w = jnp.where(match, wv, jnp.float32(0))   # (hi, CHUNK)
-                oh_d = jnp.where(match, dv, jnp.float32(0))
-                oh_lo = jnp.where(in_slot, (ilc == lo_b).astype(jnp.float32),
-                                  jnp.float32(0))             # (LO, CHUNK)
-                accw[...] += jax.lax.dot_general(
-                    oh_w, oh_lo, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                accd[...] += jax.lax.dot_general(
-                    oh_d, oh_lo, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                # Masks combine in f32 then convert: Mosaic rejects the i1
+                # (8,128)-tiled mask relayout into bf16 (16,128) tiling
+                # ("Invalid relayout ... vector<64x512xi1>").
+                match_f = ((ihc == hi_b) & in_slot).astype(jnp.float32)
+                oh_lo = (((ilc == lo_b) & in_slot).astype(jnp.float32)
+                         ).astype(jnp.bfloat16)               # (LO, CHUNK)
+                wbits = jax.lax.bitcast_convert_type(wv, jnp.int32)
+                dbits = jax.lax.bitcast_convert_type(dv, jnp.int32)
+                for byte in range(4):
+                    wpiece = ((wbits >> (8 * byte)) & 255).astype(jnp.float32)
+                    dpiece = ((dbits >> (8 * byte)) & 255).astype(jnp.float32)
+                    oh_w = (match_f * wpiece).astype(jnp.bfloat16)
+                    oh_d = (match_f * dpiece).astype(jnp.bfloat16)
+                    accw[byte] += jax.lax.dot_general(
+                        oh_w, oh_lo, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    accd[byte] += jax.lax.dot_general(
+                        oh_d, oh_lo, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
                 return _
 
             jax.lax.fori_loop(lo0, hi1, body, 0, unroll=False)
-            touched = accw[...] > 0
-            wout_ref[...] = jnp.where(touched, accw[...], wp_ref[...])
-            dout_ref[...] = jnp.where(touched, accd[...], dp_ref[...])
+            wbits_p = jnp.zeros((hi, LO), jnp.int32)
+            dbits_p = jnp.zeros((hi, LO), jnp.int32)
+            for byte in range(4):
+                wbits_p = wbits_p + (accw[byte].astype(jnp.int32) << (8 * byte))
+                dbits_p = dbits_p + (accd[byte].astype(jnp.int32) << (8 * byte))
+            w_new = jax.lax.bitcast_convert_type(wbits_p, jnp.float32)
+            d_new = jax.lax.bitcast_convert_type(dbits_p, jnp.float32)
+            touched = w_new > 0
+            wout_ref[...] = jnp.where(touched, w_new, wp_ref[...])
+            dout_ref[...] = jnp.where(touched, d_new, dp_ref[...])
 
         @pl.when(~live)
         def _dead_step():
@@ -716,8 +744,8 @@ def tsdf_set_deposit(weight_plane, dist_plane, flat_sorted, w_vals, d_vals,
             pltpu.VMEM((2, _ROWS, 128), jnp.int32),
             pltpu.VMEM((2, _ROWS, 128), jnp.float32),
             pltpu.VMEM((2, _ROWS, 128), jnp.float32),
-            pltpu.VMEM((hi, LO), jnp.float32),
-            pltpu.VMEM((hi, LO), jnp.float32),
+            pltpu.VMEM((4, hi, LO), jnp.float32),
+            pltpu.VMEM((4, hi, LO), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )

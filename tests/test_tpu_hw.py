@@ -152,3 +152,55 @@ def test_hw_tsdf_per_visit_differential():
         np.testing.assert_allclose(da[active], db[active], atol=2e-5)
         checked += int(active.sum())
     assert checked > 0
+
+
+def test_hw_pallas_deposit_compiled_bit_parity(monkeypatch):
+    """COMPILED MXU deposit kernel vs the scatter path, on the real chip at
+    production region shape (32^3 voxels/region) — the interpret-mode
+    differentials in tests/test_pallas_deposit.py cover logic; this pins
+    the Mosaic-compiled lowering."""
+    from ohm_tpu.mapping.tpu_map import TpuRayMapper
+
+    rng = np.random.default_rng(99)
+    rays = box_rays(2048, rng, half=(6.0, 6.0, 3.0))
+
+    def run(env):
+        monkeypatch.setenv("OHM_PALLAS", env)
+        m = OccupancyMap(resolution=0.1, flags=MapFlag.NONE)
+        mp = TpuRayMapper(m, capacity=256, validate=True)
+        mp.integrate_rays(rays)
+        mp.sync_voxels()
+        return np.asarray(mp.arena.arrays["occupancy"])
+
+    occ_scatter = run("0")
+    occ_kernel = run("1")
+    assert np.array_equal(occ_scatter.view(np.uint32),
+                          occ_kernel.view(np.uint32))
+
+
+def test_hw_pallas_gather_compiled_exact():
+    """COMPILED MXU gather kernels (int8 plane + multi-channel f32) vs XLA
+    gathers on the real chip."""
+    import jax.numpy as jnp
+
+    from ohm_tpu.ops import deposit_pallas
+    from ohm_tpu.ops.integrate import IntegrateConfig
+
+    cfg = IntegrateConfig(resolution=0.1, region_shift=5, capacity=64,
+                          max_steps=64, scatter_pad=1 << 18)
+    t = -(-(cfg.sentinel + 1 + cfg.scatter_pad) // 512) * 512
+    rng = np.random.default_rng(101)
+    plane8 = (rng.random(t) < 0.2).astype(np.int8)
+    w = rng.normal(0, 3, t).astype(np.float32)
+    d = rng.normal(0, 0.1, t).astype(np.float32)
+    n = 200000
+    flat = np.sort(rng.integers(0, cfg.sentinel, n)).astype(np.int32)
+
+    out8 = np.asarray(deposit_pallas.gather_plane(
+        jnp.asarray(plane8), jnp.asarray(flat), cfg))
+    assert np.array_equal(out8, plane8[flat].astype(np.int32))
+
+    gw, gd = deposit_pallas.gather_planes_f32(
+        (jnp.asarray(w), jnp.asarray(d)), jnp.asarray(flat), cfg)
+    assert np.array_equal(np.asarray(gw), w[flat])
+    assert np.array_equal(np.asarray(gd), d[flat])
