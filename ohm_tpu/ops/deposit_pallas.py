@@ -120,7 +120,8 @@ def _ndt_sweep_block(initial, hit_cnt, miss_cnt, delta, cfg):
 
 
 def _deposit_core(occupancy, key_sorted, cfg, sweep_fn, extra_planes=(),
-                  interpret: bool = False, bounds_key=None, key2_sorted=None):
+                  interpret: bool = False, bounds_key=None, key2_sorted=None,
+                  delta_stream=None):
     """Shared kernel: per-slot count deposit + fused per-slot sweep.
 
     occupancy: f32[T] flat arena (T % LO == 0 — VoxelArena rounds up).
@@ -138,6 +139,14 @@ def _deposit_core(occupancy, key_sorted, cfg, sweep_fn, extra_planes=(),
     key2_sorted: optional second ascending (flat << 1 | hit) stream (e.g.
         sample/end records) deposited into the same count planes before the
         sweep — counts must merge before the nonlinear sweep math.
+    delta_stream: optional (keys, vals) sparse f32 per-voxel delta — keys
+        i32[Nd] ascending (flat << 1) with sentinel padding, vals f32[Nd]
+        nonzero at AT MOST ONE record per voxel (exact one-hot payload
+        deposit: u8x4 byte-plane bf16 matmuls, int32 recombination — see
+        gather_planes_f32).  The sweep receives the per-slot delta plane as
+        its first extra argument — replacing an arena-shaped
+        zeros().at[].set() dense scatter (~1.3 ms/batch at bench shapes)
+        with a few payload chunks.
 
     Returns (occupancy', touched) where touched is the distinct-voxel count
     of the stream(s).  Nothing is ever dropped (no scatter_cap in this path).
@@ -169,12 +178,29 @@ def _deposit_core(occupancy, key_sorted, cfg, sweep_fn, extra_planes=(),
         streams.append(keys2d_b)
         c0 = jnp.concatenate([c0, c0b])
         c1 = jnp.concatenate([c1, c1b])
+    n_streams = len(streams)
+
+    dkeys2d = dvals2d = None
+    if delta_stream is not None:
+        dkeys, dvals = delta_stream
+        padd = (-dkeys.shape[0]) % CHUNK
+        if padd:
+            dkeys = jnp.concatenate(
+                [dkeys, jnp.full((padd,), sent_key, jnp.int32)])
+            dvals = jnp.concatenate(
+                [dvals, jnp.zeros((padd,), jnp.float32)])
+        dbounds = jnp.searchsorted(
+            dkeys >> 1, jnp.arange(cap + 1, dtype=jnp.int32) * v
+        ).astype(jnp.int32)
+        dkeys2d = dkeys.reshape(-1, 128)
+        dvals2d = dvals.reshape(-1, 128)
+        c0 = jnp.concatenate([c0, dbounds[:-1] // CHUNK])
+        c1 = jnp.concatenate([c1, (dbounds[1:] + CHUNK - 1) // CHUNK])
 
     occ2d = occupancy.reshape(t // LO, LO)
     extras2d = [p.reshape(t // LO, LO) for p in extra_planes]
     n_extra = len(extras2d)
-
-    n_streams = len(streams)
+    n_bound_streams = n_streams + (1 if delta_stream is not None else 0)
     # Dead-slot elision: most arena slots carry no records for a given batch
     # (bench: ~320 live of 1024), and a fixed (hi, LO) block swap per slot
     # dominated the kernel at large capacities (7.4 ms vs 2.8 at bench
@@ -188,18 +214,29 @@ def _deposit_core(occupancy, key_sorted, cfg, sweep_fn, extra_planes=(),
 
     def _live(s, c0_ref, c1_ref):
         l = c1_ref[s] > c0_ref[s]
-        for si in range(1, n_streams):
+        for si in range(1, n_bound_streams):
             l = l | (c1_ref[si * cap + s] > c0_ref[si * cap + s])
         return l
 
     def _block_ix(s, c0_ref, c1_ref):
         return (jnp.where(_live(s, c0_ref, c1_ref), s, cap), 0)
 
+    has_delta = delta_stream is not None
+
     def kernel(c0_ref, c1_ref, *refs):
         keys_hbms = refs[:n_streams]
-        occ_ref = refs[n_streams]
-        extra_refs = refs[n_streams + 1:n_streams + 1 + n_extra]
-        out_ref, cnt_ref, keyvm, accum, sem = refs[n_streams + 1 + n_extra:]
+        i = n_streams
+        if has_delta:
+            dkeys_hbm, dvals_hbm = refs[i], refs[i + 1]
+            i += 2
+        occ_ref = refs[i]
+        extra_refs = refs[i + 1:i + 1 + n_extra]
+        rest = refs[i + 1 + n_extra:]
+        if has_delta:
+            (out_ref, cnt_ref, keyvm, accum,
+             dkeyvm, dvalvm, accd, sem, dsem) = rest
+        else:
+            out_ref, cnt_ref, keyvm, accum, sem = rest
         s = pl.program_id(0)
         base = jnp.int32(s) * v
         live = _live(s, c0_ref, c1_ref)
@@ -265,8 +302,78 @@ def _deposit_core(occupancy, key_sorted, cfg, sweep_fn, extra_planes=(),
 
                     jax.lax.fori_loop(lo0, hi1, body, 0, unroll=False)
 
+            delta_blocks = []
+            if has_delta:
+                # Sparse per-voxel delta: u8x4 byte-plane payload matmuls
+                # (at most one nonzero-valued record per voxel => each
+                # output is a single product, exact for every f32 pattern;
+                # see gather_planes_f32).
+                accd[...] = jnp.zeros_like(accd)
+                dlo = c0_ref[n_streams * cap + s]
+                dhi = c1_ref[n_streams * cap + s]
+                ihc2 = jax.lax.broadcasted_iota(jnp.int32, (hi, CHUNK), 0)
+
+                def dget_dma(slot, c):
+                    return [
+                        pltpu.make_async_copy(
+                            dkeys_hbm.at[pl.ds(c * _ROWS, _ROWS), :],
+                            dkeyvm.at[slot], dsem.at[slot, 0]),
+                        pltpu.make_async_copy(
+                            dvals_hbm.at[pl.ds(c * _ROWS, _ROWS), :],
+                            dvalvm.at[slot], dsem.at[slot, 1]),
+                    ]
+
+                @pl.when(dhi > dlo)
+                def _delta_deposit():
+                    for cp in dget_dma(dlo & 1, dlo):
+                        cp.start()
+
+                    def dbody(c, _):
+                        slot = c & 1
+
+                        @pl.when(c + 1 < dhi)
+                        def _prefetch():
+                            for cp in dget_dma((c + 1) & 1, c + 1):
+                                cp.start()
+
+                        for cp in dget_dma(slot, c):
+                            cp.wait()
+                        k = jnp.concatenate(
+                            [dkeyvm[slot, r:r + 1, :] for r in range(_ROWS)],
+                            axis=1)
+                        dv = jnp.concatenate(
+                            [dvalvm[slot, r:r + 1, :] for r in range(_ROWS)],
+                            axis=1)
+                        flat = k >> 1
+                        in_slot = (flat >= base) & (flat < base + v)
+                        vloc = flat - base
+                        lo_b = vloc & (LO - 1)
+                        hi_b = (vloc >> 9) & (hi - 1) if hi > 1 else vloc >> 9
+                        # Masks combine in f32 then convert (Mosaic rejects
+                        # the i1 relayout into bf16 tiling).
+                        match_f = ((ihc2 == hi_b) & in_slot).astype(jnp.float32)
+                        oh_lo = (((ilc == lo_b) & in_slot).astype(jnp.float32)
+                                 ).astype(jnp.bfloat16)
+                        bits = jax.lax.bitcast_convert_type(dv, jnp.int32)
+                        for byte in range(4):
+                            piece = ((bits >> (8 * byte)) & 255
+                                     ).astype(jnp.float32)
+                            oh_d = (match_f * piece).astype(jnp.bfloat16)
+                            accd[byte] += jax.lax.dot_general(
+                                oh_d, oh_lo, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                        return _
+
+                    jax.lax.fori_loop(dlo, dhi, dbody, 0, unroll=False)
+
+                dbits = jnp.zeros((hi, LO), jnp.int32)
+                for byte in range(4):
+                    dbits = dbits + (accd[byte].astype(jnp.int32) << (8 * byte))
+                delta_blocks.append(
+                    jax.lax.bitcast_convert_type(dbits, jnp.float32))
+
             swept = sweep_fn(occ_ref[...], accum[:hi], accum[hi:],
-                             *[r[...] for r in extra_refs])
+                             *delta_blocks, *[r[...] for r in extra_refs])
             out_ref[...] = swept
             # Touched-voxel count from the exact integer count planes
             # (works with masked/multi-stream inputs where a host-side key
@@ -285,32 +392,46 @@ def _deposit_core(occupancy, key_sorted, cfg, sweep_fn, extra_planes=(),
             out_ref[...] = occ_ref[...]
 
     block = pl.BlockSpec((hi, LO), _block_ix, memory_space=pltpu.VMEM)
+    n_any = n_streams + (2 if has_delta else 0)
+    scratch = [
+        pltpu.VMEM((2, _ROWS, 128), jnp.int32),
+        pltpu.VMEM((2 * hi, LO), jnp.float32),
+    ]
+    if has_delta:
+        scratch += [
+            pltpu.VMEM((2, _ROWS, 128), jnp.int32),    # delta keys
+            pltpu.VMEM((2, _ROWS, 128), jnp.float32),  # delta vals
+            pltpu.VMEM((4, hi, LO), jnp.float32),      # delta byte planes
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    if has_delta:
+        scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(cap,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_streams  # key streams
-        + [block] * (1 + n_extra),                         # occ + extras
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_any  # key/delta hbm
+        + [block] * (1 + n_extra),                     # occ + extras
         out_specs=[block,
                    pl.BlockSpec((8, 128), lambda s, *_: (0, 0),
                                 memory_space=pltpu.VMEM)],
-        scratch_shapes=[
-            pltpu.VMEM((2, _ROWS, 128), jnp.int32),
-            pltpu.VMEM((2 * hi, LO), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
+    operands = list(streams)
+    if has_delta:
+        operands += [dkeys2d, dvals2d]
     out2d, cnts = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct(occ2d.shape, jnp.float32),
                    jax.ShapeDtypeStruct((8, 128), jnp.int32)],
         grid_spec=grid_spec,
         interpret=interpret,
-        # operand order after scalar prefetch: key streams, then occ2d.
-        # Aliasing occ in->out makes the update in-place under donation;
-        # grid blocks beyond slot `cap` (sentinel + scratch tail rows) are
-        # never written and keep their contents either way.
-        input_output_aliases={2 + n_streams: 0},
-    )(c0, c1, *streams, occ2d, *extras2d)
+        # operand order after scalar prefetch: key streams (+ delta key/val
+        # streams), then occ2d.  Aliasing occ in->out makes the update
+        # in-place under donation; grid blocks beyond slot `cap` (sentinel +
+        # scratch tail rows) are never written and keep their contents
+        # either way.
+        input_output_aliases={2 + n_any: 0},
+    )(c0, c1, *operands, occ2d, *extras2d)
 
     return out2d.reshape(-1), jnp.sum(cnts)
 
@@ -325,19 +446,28 @@ def deposit_and_sweep(occupancy, key_sorted, cfg, interpret: bool = False):
         interpret=interpret)
 
 
-def deposit_and_sweep_ndt(occupancy, key_sorted, delta_plane, cfg,
+def deposit_and_sweep_ndt(occupancy, key_sorted, delta, cfg,
                           interpret: bool = False, bounds_key=None,
                           key2_sorted=None):
     """NDT-family deposit: standard hit/miss counts from the (optionally
     masked — see _deposit_core bounds_key) walk key stream plus the sorted
-    end/sample stream, plus the Gaussian miss-delta plane (integrate_ndt's
-    pending_delta, an arena-shaped f32 scatter of the compacted NDT miss
-    phase).  The sweep runs on every slot — a slot can carry deltas without
-    std records.  Returns (occupancy', touched_std)."""
+    end/sample stream, plus the Gaussian miss-delta — EITHER a dense
+    arena-shaped f32 plane (legacy / NDT-TM path) OR a sparse sorted
+    (keys = flat << 1, vals) stream deposited in-kernel (u8x4 payload
+    matmuls; replaces the dense zeros().at[].set() scatter).  The sweep
+    runs on every slot with records in the UNMASKED bounds stream — a slot
+    can carry deltas without std records because the Gaussian-handled walk
+    records still occupy the bounds.  Returns (occupancy', touched_std)."""
+    if isinstance(delta, tuple):
+        return _deposit_core(
+            occupancy, key_sorted, cfg,
+            lambda initial, h, m, d: _ndt_sweep_block(initial, h, m, d, cfg),
+            interpret=interpret, bounds_key=bounds_key,
+            key2_sorted=key2_sorted, delta_stream=delta)
     return _deposit_core(
         occupancy, key_sorted, cfg,
         lambda initial, h, m, d: _ndt_sweep_block(initial, h, m, d, cfg),
-        extra_planes=(delta_plane,), interpret=interpret,
+        extra_planes=(delta,), interpret=interpret,
         bounds_key=bounds_key, key2_sorted=key2_sorted)
 
 

@@ -239,10 +239,19 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
         k_payloads.append((sorted_k[3], "sum"))
     k_last, k_red = _segment_reduce(kids, k_payloads, base)
     delta_tot, miss_tot = k_red[0], k_red[1]
-    k_idx = _unique_scatter_indices(kids, k_last, base)
-    pending_delta = jnp.zeros(arena["occupancy"].shape, jnp.float32).at[k_idx].set(
-        jnp.where(k_last, delta_tot, 0.0), unique_indices=True
-    )
+    if use_pallas and not cfg.ndt_tm and not base.with_traversal:
+        # Sparse delta stream for the deposit kernel: kids is already
+        # id-sorted with sentinels last; exactly one nonzero value per voxel
+        # (its segment-last record) — no arena-shaped scatter at all.
+        pending_delta = (kids << 1,
+                         jnp.where(k_last & (kids != base.sentinel),
+                                   delta_tot, 0.0))
+        k_idx = None
+    else:
+        k_idx = _unique_scatter_indices(kids, k_last, base)
+        pending_delta = jnp.zeros(arena["occupancy"].shape, jnp.float32).at[k_idx].set(
+            jnp.where(k_last, delta_tot, 0.0), unique_indices=True
+        )
     ndt_trav = None
     if base.with_traversal:
         ndt_trav = (k_idx, jnp.where(k_last, k_red[2], 0.0))

@@ -247,6 +247,42 @@ def test_tsdf_end_to_end_pallas_vs_scatter(monkeypatch):
     np.testing.assert_allclose(d_a, d_b, rtol=0, atol=0)
 
 
+def test_ndt_deposit_sparse_delta_matches_dense_plane():
+    """The sparse (keys, vals) miss-delta stream deposits bit-identically to
+    the dense arena-shaped delta plane it replaces."""
+    cfg = _cfg()
+    key_s = _stream(cfg, seed=5)
+    occ = _arena(cfg, seed=6)
+    t = occ.shape[0]
+    rng = np.random.default_rng(21)
+    ids = np.asarray(key_s) >> 1
+    real = ids[ids < cfg.sentinel]
+    dk = np.unique(rng.choice(real, 200))
+    dv = rng.normal(0, 0.5, dk.shape[0]).astype(np.float32)
+    plane = np.zeros(t, np.float32)
+    plane[dk] = dv
+    # Sparse stream: duplicate zero-valued records interleave (the real
+    # pipeline's non-last segment records), sentinels pad the tail.
+    sk = np.sort(np.concatenate([dk, dk[: len(dk) // 2],
+                                 np.full(17, cfg.sentinel)])).astype(np.int32)
+    sv = np.zeros(sk.shape[0], np.float32)
+    # exactly one nonzero record per voxel: the run-LAST
+    last = np.concatenate([sk[1:] != sk[:-1], [True]]) & (sk < cfg.sentinel)
+    lut = {int(k): float(v) for k, v in zip(dk, dv)}
+    sv[last] = [lut[int(k)] for k in sk[last]]
+    end_keys = _stream(cfg, n=500, seed=8)
+
+    dense, t_dense = deposit_pallas.deposit_and_sweep_ndt(
+        occ, key_s, jnp.asarray(plane), cfg, interpret=True,
+        bounds_key=key_s, key2_sorted=end_keys)
+    sparse, t_sparse = deposit_pallas.deposit_and_sweep_ndt(
+        occ, key_s, (jnp.asarray(sk << 1), jnp.asarray(sv)), cfg,
+        interpret=True, bounds_key=key_s, key2_sorted=end_keys)
+    assert np.array_equal(np.asarray(dense).view(np.uint32),
+                          np.asarray(sparse).view(np.uint32))
+    assert int(t_dense) == int(t_sparse)
+
+
 def test_ndt_end_to_end_pallas_vs_scatter(monkeypatch):
     """TpuNdtMap with the NDT-mode kernel (std counts + miss-delta plane,
     fused NDT sweep) is bit-identical to the scatter + dense-apply path."""
