@@ -160,6 +160,18 @@ class TpuRayMapper:
             self.pallas_deposit = 0
         else:
             self.pallas_deposit = 1 if jax.default_backend() == "tpu" else 0
+        #: Fused expand kernel (ops.expand_pallas): rank walk + slot resolve
+        #: in one VPU kernel instead of the [B, 3S]-intermediate XLA chain.
+        #: OHM_EXPAND mirrors OHM_PALLAS ("1" default = compiled on TPU,
+        #: "2" = interpret, "0" = off); applies on the rayflow wire only
+        #: (expand_pallas.expand_eligible).
+        _expand_env = _os.environ.get("OHM_EXPAND", "1")
+        if _expand_env == "2":
+            self.pallas_expand = 2
+        elif _expand_env == "0":
+            self.pallas_expand = 0
+        else:
+            self.pallas_expand = 1 if jax.default_backend() == "tpu" else 0
         self._config(0)  # validate int32 addressing headroom at construction
         self._stats = {"rays": 0, "segments": 0, "batches": 0, "missed_updates": 0,
                        "overflow": 0, "dropped_updates": 0, "compaction_dropped": 0}
@@ -439,6 +451,7 @@ class TpuRayMapper:
             unordered_walk=bool(group_cap) and not (
                 int(ray_flags) & RayFlag.STOP_ON_FIRST_OCCUPIED),
             pallas_deposit=self.pallas_deposit,
+            pallas_expand=self.pallas_expand,
         )
 
     def integrate_rays(self, rays, intensities=None, timestamps=None, ray_update_flags: int = 0) -> int:

@@ -160,6 +160,14 @@ class IntegrateConfig:
     #: traversal payload; otherwise apply_records falls back silently.
     pallas_deposit: int = 0
 
+    #: Fused expand kernel (ops.expand_pallas): the rank walk + slot resolve
+    #: chain runs as one VPU Pallas kernel writing only the key plane
+    #: (+ traversal payload), replacing ~a dozen [B, 3S] HBM intermediates.
+    #: 0 = off, 1 = compiled (TPU), 2 = interpret (CPU differentials).
+    #: Applies on the rayflow wire with the rank walk + group compaction
+    #: (expand_pallas.expand_eligible); other paths fall back silently.
+    pallas_expand: int = 0
+
     def __post_init__(self):
         # Flat arena addresses and split-phase sort keys are int32; the key
         # packs (flat << 1 | hit_bit), so the sentinel itself needs headroom:
@@ -894,29 +902,53 @@ def expand_records(batch, cfg: IntegrateConfig):
 
     flags = cfg.ray_flags
     b = _unpack_batch(batch, cfg)
-    if cfg.unordered_walk and cfg.group_cap:
-        walk = walk_rays_unordered(
-            b["start_abs"], b["end_abs"], b["start_frac"],
-            b["direction"], b["length"], cfg.resolution, cfg.max_steps)
-    else:
-        walk = walk_rays(
-            b["start_abs"], b["end_abs"], b["start_frac"],
-            b["direction"], b["length"], cfg.resolution, cfg.max_steps,
-            total_cap=cfg.walk_cap or None,
-        )
-    B, S = walk["valid"].shape
+    use_xk = bool(cfg.pallas_expand and cfg.unordered_walk and cfg.group_cap
+                  and not (flags & RayFlag.EXCLUDE_RAY))
+    if use_xk:
+        from ohm_tpu.ops import expand_pallas
+        use_xk = expand_pallas.expand_eligible(cfg, b)
     ray_valid = b["valid"]
-    rec_valid = walk["valid"] & ray_valid[:, None]
-    if flags & RayFlag.EXCLUDE_ORIGIN:
-        first = walk.get("first")
-        if first is None:
-            first = jnp.concatenate([jnp.ones((B, 1), bool), jnp.zeros((B, S - 1), bool)], axis=1)
-        rec_valid = rec_valid & ~(first & b["exclude_start"][:, None])
-    if flags & RayFlag.EXCLUDE_RAY:
-        rec_valid = jnp.zeros_like(rec_valid)
+    if use_xk:
+        # Fused expand kernel: walk + resolve + validity masking in one
+        # Pallas call, bit-identical to the XLA chain below.
+        walk_flat, walk_trav2d, xaux = expand_pallas.expand_keys(
+            b, cfg, exclude_origin=bool(flags & RayFlag.EXCLUDE_ORIGIN),
+            with_trav=cfg.with_traversal, interpret=cfg.pallas_expand == 2)
+        B, S = walk_flat.shape
+        walk_missed_n = xaux["missed_n"]
+        walk_overflow = xaux["overflow"]
+        end_enter = xaux["end_enter"]
+        truncated = jnp.int32(0)
+        rec_valid = None
+    else:
+        if cfg.unordered_walk and cfg.group_cap:
+            walk = walk_rays_unordered(
+                b["start_abs"], b["end_abs"], b["start_frac"],
+                b["direction"], b["length"], cfg.resolution, cfg.max_steps)
+        else:
+            walk = walk_rays(
+                b["start_abs"], b["end_abs"], b["start_frac"],
+                b["direction"], b["length"], cfg.resolution, cfg.max_steps,
+                total_cap=cfg.walk_cap or None,
+            )
+        B, S = walk["valid"].shape
+        rec_valid = walk["valid"] & ray_valid[:, None]
+        if flags & RayFlag.EXCLUDE_ORIGIN:
+            first = walk.get("first")
+            if first is None:
+                first = jnp.concatenate([jnp.ones((B, 1), bool), jnp.zeros((B, S - 1), bool)], axis=1)
+            rec_valid = rec_valid & ~(first & b["exclude_start"][:, None])
+        if flags & RayFlag.EXCLUDE_RAY:
+            rec_valid = jnp.zeros_like(rec_valid)
 
-    walk_flat, walk_missed = _resolve_slots(walk["voxels"], b.get("rmin"), b.get("corner_slots"), cfg, tcand=b.get("tcand"), gmeta=b.get("gmeta"))
-    walk_flat = jnp.where(rec_valid, walk_flat, cfg.sentinel)
+        walk_flat, walk_missed = _resolve_slots(walk["voxels"], b.get("rmin"), b.get("corner_slots"), cfg, tcand=b.get("tcand"), gmeta=b.get("gmeta"))
+        walk_flat = jnp.where(rec_valid, walk_flat, cfg.sentinel)
+        walk_missed_n = jnp.sum(jnp.where(rec_valid & walk_missed, 1, 0)).astype(jnp.int32)
+        walk_overflow = walk["overflow"]
+        end_enter = walk["end_enter"]
+        truncated = walk["truncated"]
+        if cfg.with_traversal:
+            walk_trav2d = jnp.where(rec_valid, walk["exits"] - walk["enters"], 0.0)
     end_flat, end_missed = _resolve_slots(b["end_abs"], b.get("rmin"), b.get("corner_slots"), cfg, tcand=b.get("tcand"), gmeta=b.get("gmeta"))
     end_is_hit = b["is_sample"] & ray_valid
     end_is_miss = b["end_as_miss"] & ray_valid
@@ -929,7 +961,7 @@ def expand_records(batch, cfg: IntegrateConfig):
     walk_keys = walk_flat.reshape(-1) << 1
     walk_trav = None
     if cfg.with_traversal:
-        walk_trav = jnp.where(rec_valid, walk["exits"] - walk["enters"], 0.0).reshape(-1)
+        walk_trav = walk_trav2d.reshape(-1)
     compaction_dropped = jnp.int32(0)
     row_lasts_max = jnp.int32(-1)  # only meaningful under group compaction
 
@@ -967,13 +999,13 @@ def expand_records(batch, cfg: IntegrateConfig):
     ])
     out = {"key": key, "end_flat": end_flat, "end_is_hit": end_is_hit}
     if cfg.with_traversal:
-        end_trav = jnp.where(end_active, b["length"] - walk["end_enter"], 0.0)
+        end_trav = jnp.where(end_active, b["length"] - end_enter, 0.0)
         out["trav"] = jnp.concatenate([walk_trav, end_trav]).astype(jnp.float32)
     stats = {
-        "missed_updates": (jnp.sum(jnp.where(rec_valid & walk_missed, 1, 0))
+        "missed_updates": (walk_missed_n
                            + jnp.sum(jnp.where(end_active & end_missed, 1, 0))).astype(jnp.int32),
-        "overflow": (jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0))
-                     + walk["truncated"]).astype(jnp.int32),
+        "overflow": (jnp.sum(jnp.where(walk_overflow & ray_valid, 1, 0))
+                     + truncated).astype(jnp.int32),
         "compaction_dropped": compaction_dropped,
         "row_lasts_max": row_lasts_max,
     }
