@@ -48,11 +48,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(gm_ref, fray_ref, iray_ref, *refs, S, K, shift, v, sentinel,
-            exclude_origin, with_trav):
-    if with_trav:
-        key_ref, trav_ref, cnt_ref = refs
-    else:
-        key_ref, cnt_ref = refs
+            exclude_origin, with_trav, with_vox):
+    refs = list(refs)
+    key_ref = refs.pop(0)
+    trav_ref = refs.pop(0) if with_trav else None
+    vox_refs = [refs.pop(0) for _ in range(3)] if with_vox else None
+    (cnt_ref,) = refs
 
     dim_mask = (1 << shift) - 1
     # Record lane -> (axis, per-axis event index).  Lanes beyond 3S (width
@@ -122,6 +123,13 @@ def _kernel(gm_ref, fray_ref, iray_ref, *refs, S, K, shift, v, sentinel,
     local_idx = jnp.int32(0)
     for bax in range(3):
         vox = coli(bax) + coli(3 + bax) * counts[bax]
+        if with_vox:
+            # Per-record absolute voxel coords, one i32 plane per axis —
+            # exact by construction (same integers the slot resolution
+            # consumes).  Meaningful wherever the emitted key is meaningful;
+            # invalid/padding lanes carry don't-care values that callers
+            # mask exactly as the XLA chain's walk["voxels"] tail does.
+            vox_refs[bax][...] = vox
         region = vox >> shift
         rel = region - gm_ref[bax]
         packed = packed | (rel << (6 * bax))
@@ -175,16 +183,20 @@ def expand_eligible(cfg, b) -> bool:
 
 
 def expand_keys(b, cfg, exclude_origin: bool = False, with_trav: bool = False,
-                interpret: bool = False):
+                with_vox: bool = False, interpret: bool = False):
     """Fused walk+resolve: unpacked rayflow batch -> per-record flat keys.
 
     Returns (flat i32[B, 3S] sentinel-masked record keys,
              trav f32[B, 3S] or None,
              aux dict: missed_n (i32 scalar), overflow (bool[B]),
-             end_enter (f32[B])).
+             end_enter (f32[B]), and with_vox: vox i32[B, 3S, 3] absolute
+             per-record voxel coords (don't-care on invalid/sentinel lanes,
+             exactly like walk_rays_unordered's tail values)).
 
     flat/trav are bit-identical to walk_rays_unordered + _resolve_slots +
-    the rec_valid/EXCLUDE_ORIGIN masking of ops.integrate.expand_records.
+    the rec_valid/EXCLUDE_ORIGIN masking of ops.integrate.expand_records;
+    vox matches walk["voxels"] bit-for-bit on every lane whose key is
+    non-sentinel (NDT/TSDF consume it only there).
     """
     S = cfg.max_steps
     K = cfg.table_k
@@ -225,7 +237,8 @@ def expand_keys(b, cfg, exclude_origin: bool = False, with_trav: bool = False,
     kern = functools.partial(
         _kernel, S=S, K=K, shift=cfg.region_shift,
         v=cfg.voxels_per_region, sentinel=cfg.sentinel,
-        exclude_origin=exclude_origin, with_trav=with_trav)
+        exclude_origin=exclude_origin, with_trav=with_trav,
+        with_vox=with_vox)
 
     out_shape = [jax.ShapeDtypeStruct((Bp, W), jnp.int32)]
     out_specs = [pl.BlockSpec((BR, W), lambda r, *_: (r, 0),
@@ -234,6 +247,11 @@ def expand_keys(b, cfg, exclude_origin: bool = False, with_trav: bool = False,
         out_shape.append(jax.ShapeDtypeStruct((Bp, W), jnp.float32))
         out_specs.append(pl.BlockSpec((BR, W), lambda r, *_: (r, 0),
                                       memory_space=pltpu.VMEM))
+    if with_vox:
+        for _ in range(3):
+            out_shape.append(jax.ShapeDtypeStruct((Bp, W), jnp.int32))
+            out_specs.append(pl.BlockSpec((BR, W), lambda r, *_: (r, 0),
+                                          memory_space=pltpu.VMEM))
     out_shape.append(jax.ShapeDtypeStruct((8, 128), jnp.int32))
     out_specs.append(pl.BlockSpec((8, 128), lambda r, *_: (0, 0),
                                   memory_space=pltpu.VMEM))
@@ -257,7 +275,14 @@ def expand_keys(b, cfg, exclude_origin: bool = False, with_trav: bool = False,
     )(b["gmeta"][0:3], fray, iray)
 
     flat = outs[0][:B, :3 * S]
-    trav = outs[1][:B, :3 * S] if with_trav else None
-    missed_n = outs[-1][0, 0]
-    return flat, trav, {"missed_n": missed_n, "overflow": overflow,
-                        "end_enter": end_enter}
+    j = 1
+    trav = None
+    if with_trav:
+        trav = outs[j][:B, :3 * S]
+        j += 1
+    aux = {"missed_n": outs[-1][0, 0], "overflow": overflow,
+           "end_enter": end_enter}
+    if with_vox:
+        aux["vox"] = jnp.stack([outs[j + c][:B, :3 * S] for c in range(3)],
+                               axis=-1)
+    return flat, trav, aux

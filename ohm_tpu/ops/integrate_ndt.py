@@ -74,32 +74,63 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
     b = _unpack_batch(batch, base)
     res = jnp.float32(base.resolution)
 
-    if base.unordered_walk and base.group_cap:
-        from ohm_tpu.ops.ddawalk import walk_rays_unordered
-
-        walk = walk_rays_unordered(
-            b["start_abs"], b["end_abs"], b["start_frac"],
-            b["direction"], b["length"], base.resolution, base.max_steps)
-    else:
-        walk = walk_rays(
-            b["start_abs"], b["end_abs"], b["start_frac"],
-            b["direction"], b["length"], base.resolution, base.max_steps,
-            total_cap=base.walk_cap or None,
-        )
-    B, S = walk["valid"].shape
     ray_valid = b["valid"]
+    use_xk = bool(base.pallas_expand and base.unordered_walk and base.group_cap
+                  and not (flags & RayFlag.EXCLUDE_RAY))
+    if use_xk:
+        from ohm_tpu.ops import expand_pallas
+        use_xk = expand_pallas.expand_eligible(base, b)
+    if use_xk:
+        # Fused expand kernel (ops.expand_pallas): walk + slot resolve +
+        # validity/EXCLUDE_ORIGIN masking in one Pallas pass; the miss
+        # phase's voxel-local geometry reads the kernel's voxel planes
+        # (with_vox).  Bit-identical to the XLA chain below
+        # (tests/test_expand_pallas.py, tests/test_tpu_integrate.py NDT
+        # differentials).
+        walk_flat, walk_trav2d, xaux = expand_pallas.expand_keys(
+            b, base, exclude_origin=bool(flags & RayFlag.EXCLUDE_ORIGIN),
+            with_trav=base.with_traversal, with_vox=True,
+            interpret=base.pallas_expand == 2)
+        B, S = walk_flat.shape
+        walk_vox = xaux["vox"]
+        walk_end_enter = xaux["end_enter"]
+        walk_missed_n = xaux["missed_n"]
+        overflow_n = jnp.sum(
+            jnp.where(xaux["overflow"] & ray_valid, 1, 0)).astype(jnp.int32)
+    else:
+        if base.unordered_walk and base.group_cap:
+            from ohm_tpu.ops.ddawalk import walk_rays_unordered
 
-    rec_valid = walk["valid"] & ray_valid[:, None]
-    if flags & RayFlag.EXCLUDE_ORIGIN:
-        first_col = walk.get("first")
-        if first_col is None:
-            first_col = jnp.concatenate([jnp.ones((B, 1), bool), jnp.zeros((B, S - 1), bool)], axis=1)
-        rec_valid = rec_valid & ~(first_col & b["exclude_start"][:, None])
-    if flags & RayFlag.EXCLUDE_RAY:
-        rec_valid = jnp.zeros_like(rec_valid)
+            walk = walk_rays_unordered(
+                b["start_abs"], b["end_abs"], b["start_frac"],
+                b["direction"], b["length"], base.resolution, base.max_steps)
+        else:
+            walk = walk_rays(
+                b["start_abs"], b["end_abs"], b["start_frac"],
+                b["direction"], b["length"], base.resolution, base.max_steps,
+                total_cap=base.walk_cap or None,
+            )
+        B, S = walk["valid"].shape
 
-    walk_flat, walk_missed = _resolve_slots(walk["voxels"], b.get("rmin"), b.get("corner_slots"), base, tcand=b.get("tcand"), gmeta=b.get("gmeta"))
-    walk_flat = jnp.where(rec_valid, walk_flat, base.sentinel)
+        rec_valid = walk["valid"] & ray_valid[:, None]
+        if flags & RayFlag.EXCLUDE_ORIGIN:
+            first_col = walk.get("first")
+            if first_col is None:
+                first_col = jnp.concatenate([jnp.ones((B, 1), bool), jnp.zeros((B, S - 1), bool)], axis=1)
+            rec_valid = rec_valid & ~(first_col & b["exclude_start"][:, None])
+        if flags & RayFlag.EXCLUDE_RAY:
+            rec_valid = jnp.zeros_like(rec_valid)
+
+        walk_flat, walk_missed = _resolve_slots(walk["voxels"], b.get("rmin"), b.get("corner_slots"), base, tcand=b.get("tcand"), gmeta=b.get("gmeta"))
+        walk_flat = jnp.where(rec_valid, walk_flat, base.sentinel)
+        walk_vox = walk["voxels"]
+        walk_end_enter = walk["end_enter"]
+        walk_missed_n = jnp.sum(
+            jnp.where(rec_valid & walk_missed, 1, 0)).astype(jnp.int32)
+        overflow_n = (jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0))
+                      + walk["truncated"]).astype(jnp.int32)
+        if base.with_traversal:
+            walk_trav2d = jnp.where(rec_valid, walk["exits"] - walk["enters"], 0.0)
 
     end_flat, end_missed = _resolve_slots(b["end_abs"], b.get("rmin"), b.get("corner_slots"), base, tcand=b.get("tcand"), gmeta=b.get("gmeta"))
     # NDT ignores kRfExcludeSample / state exclusions (ohm/RayMapperNdt.cpp
@@ -114,7 +145,7 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
     pos = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
     walk_trav_flat = None
     if base.with_traversal:
-        walk_trav_flat = jnp.where(rec_valid, walk["exits"] - walk["enters"], 0.0).reshape(-1)
+        walk_trav_flat = walk_trav2d.reshape(-1)
 
     # Group compaction (see integrate.expand_records_jit): shrink the walk
     # stream before the per-record classification gather and the global sort.
@@ -205,7 +236,7 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
         ids_k = ids_c[sel_k]
         ids_k = jnp.where(active_k, ids_k, base.sentinel)
         pos_k = pos_c[sel_k]  # original record position in the [B, S] walk
-    vox_k = walk["voxels"].reshape(N, 3)[pos_k]
+    vox_k = walk_vox.reshape(N, 3)[pos_k]
     ray_k = pos_k // S
 
     # Voxel-local geometry: positions relative to the visited voxel centre.
@@ -266,7 +297,7 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
     # std-miss mask is applied to the sorted ids instead.)
     std_miss = None if use_pallas else (ids_c != base.sentinel) & ~ndt_applied
     end_any = end_is_hit | end_is_miss
-    end_trav = (jnp.where(end_any, b["length"] - walk["end_enter"], 0.0)
+    end_trav = (jnp.where(end_any, b["length"] - walk_end_enter, 0.0)
                 if base.with_traversal else None)
     fused_dropped = jnp.int32(0)
     compacted = bool(base.group_cap) and B % G == 0 and base.group_cap < G * S
@@ -567,7 +598,7 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
             jnp.where(s_last, new_packed, jnp.uint32(0)), unique_indices=True)
 
     missed_updates = (
-        jnp.sum(jnp.where(rec_valid.reshape(-1) & walk_missed.reshape(-1), 1, 0))
+        walk_missed_n
         + jnp.sum(jnp.where((end_is_hit | end_is_miss) & end_missed, 1, 0))
     ).astype(jnp.int32)
     # Per-row unique-voxel high-water mark (sizes the fused deposit's
@@ -584,8 +615,7 @@ def integrate_ndt(arena: dict, batch: dict, cfg: NdtConfig):
 
     stats = {
         "missed_updates": missed_updates,
-        "overflow": (jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0))
-                     + walk["truncated"]).astype(jnp.int32),
+        "overflow": overflow_n,
         "touched": touched_std,
         "ndt_overflow": overflow_ndt,
         "ndt_flagged": jnp.sum(is_ndt.astype(jnp.int32)),

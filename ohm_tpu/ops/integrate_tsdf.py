@@ -51,24 +51,52 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
     b = _unpack_batch(batch, base)
     res = jnp.float32(base.resolution)
 
-    if base.unordered_walk and base.group_cap:
-        from ohm_tpu.ops.ddawalk import walk_rays_unordered
-
-        walk = walk_rays_unordered(
-            b["start_abs"], b["end_abs"], b["start_frac"],
-            b["direction"], b["length"], base.resolution, base.max_steps)
-    else:
-        walk = walk_rays(
-            b["start_abs"], b["end_abs"], b["start_frac"],
-            b["direction"], b["length"], base.resolution, base.max_steps,
-            total_cap=base.walk_cap or None,
-        )
-    B, S = walk["valid"].shape
     ray_valid = b["valid"]
-    rec_valid = walk["valid"] & ray_valid[:, None]
+    use_xk = bool(base.pallas_expand and base.unordered_walk and base.group_cap)
+    if use_xk:
+        from ohm_tpu.ops import expand_pallas
+        use_xk = expand_pallas.expand_eligible(base, b)
+    if use_xk:
+        # Fused expand kernel (ops.expand_pallas): walk + slot resolve +
+        # validity masking in one Pallas pass, with the per-record absolute
+        # voxel coords emitted as kernel planes (with_vox) — TSDF consumes
+        # them for the voxel-local sdf below.  Keys and voxels are
+        # bit-identical to the XLA chain (tests/test_expand_pallas.py).
+        walk_flat, _, xaux = expand_pallas.expand_keys(
+            b, base, exclude_origin=False, with_trav=False, with_vox=True,
+            interpret=base.pallas_expand == 2)
+        B, S = walk_flat.shape
+        vox_w = xaux["vox"]
+        # Weight masking uses key-sentinel state: a valid-but-missed record
+        # differs from the XLA chain only in payloads attached to sentinel
+        # keys, which every downstream reduction masks (real_seg / id !=
+        # sentinel), so the final arena state stays bit-identical.
+        rec_mask = walk_flat != base.sentinel
+        walk_missed_n = xaux["missed_n"]
+        overflow_n = jnp.sum(jnp.where(xaux["overflow"] & ray_valid, 1, 0)).astype(jnp.int32)
+    else:
+        if base.unordered_walk and base.group_cap:
+            from ohm_tpu.ops.ddawalk import walk_rays_unordered
 
-    walk_flat, walk_missed = _resolve_slots(walk["voxels"], b.get("rmin"), b.get("corner_slots"), base, tcand=b.get("tcand"), gmeta=b.get("gmeta"))
-    walk_flat = jnp.where(rec_valid, walk_flat, base.sentinel)
+            walk = walk_rays_unordered(
+                b["start_abs"], b["end_abs"], b["start_frac"],
+                b["direction"], b["length"], base.resolution, base.max_steps)
+        else:
+            walk = walk_rays(
+                b["start_abs"], b["end_abs"], b["start_frac"],
+                b["direction"], b["length"], base.resolution, base.max_steps,
+                total_cap=base.walk_cap or None,
+            )
+        B, S = walk["valid"].shape
+        rec_valid = walk["valid"] & ray_valid[:, None]
+
+        walk_flat, walk_missed = _resolve_slots(walk["voxels"], b.get("rmin"), b.get("corner_slots"), base, tcand=b.get("tcand"), gmeta=b.get("gmeta"))
+        walk_flat = jnp.where(rec_valid, walk_flat, base.sentinel)
+        vox_w = walk["voxels"]
+        rec_mask = rec_valid
+        walk_missed_n = jnp.sum(jnp.where(rec_valid & walk_missed, 1, 0)).astype(jnp.int32)
+        overflow_n = (jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0))
+                      + walk["truncated"]).astype(jnp.int32)
     end_flat, end_missed = _resolve_slots(b["end_abs"], b.get("rmin"), b.get("corner_slots"), base, tcand=b.get("tcand"), gmeta=b.get("gmeta"))
     # The reference TSDF walk includes the sample voxel
     # (RayMapperTsdf.cpp:178 walks with no exclusion flags); our walk stops
@@ -81,7 +109,7 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
     #               = full_len - t0 + dot(p0 - c, dir)
     # with p0 - c = start_frac + (start_abs - voxel) * res (voxel-local f32).
     # Walk records [B,S]:
-    q_w = b["start_frac"][:, None, :] + (b["start_abs"][:, None, :] - walk["voxels"]).astype(jnp.float32) * res
+    q_w = b["start_frac"][:, None, :] + (b["start_abs"][:, None, :] - vox_w).astype(jnp.float32) * res
     proj_w = jnp.sum(q_w * b["direction"][:, None, :], axis=-1)
     sdf_w = (b["full_length"] - b["t0"])[:, None] + proj_w
     # End records [B]: voxel = end_abs.
@@ -110,10 +138,10 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
         return w
 
     if uniform_w:
-        w_w = rec_valid.astype(jnp.float32)
+        w_w = rec_mask.astype(jnp.float32)
         w_e = end_active.astype(jnp.float32)
     else:
-        w_w = jnp.where(rec_valid, weight_of(sdf_w), 0.0)
+        w_w = jnp.where(rec_mask, weight_of(sdf_w), 0.0)
         w_e = jnp.where(end_active, weight_of(sdf_e), 0.0)
 
     walk_ids = walk_flat.reshape(-1)
@@ -397,10 +425,9 @@ def integrate_tsdf(arena: dict, batch: dict, cfg: TsdfConfig):
         arena["tsdf_distance"] = jnp.where(touched & ~near_zero, new_d, d0)
 
     stats = {
-        "missed_updates": (jnp.sum(jnp.where(rec_valid & walk_missed, 1, 0))
+        "missed_updates": (walk_missed_n
                            + jnp.sum(jnp.where(end_active & end_missed, 1, 0))).astype(jnp.int32),
-        "overflow": (jnp.sum(jnp.where(walk["overflow"] & ray_valid, 1, 0))
-                     + walk["truncated"]).astype(jnp.int32),
+        "overflow": overflow_n,
         "touched": jnp.sum((last & (ids_s != base.sentinel)).astype(jnp.int32)),
         "compaction_dropped": compaction_dropped,
         "dropped_updates": dropped,

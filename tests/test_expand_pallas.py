@@ -112,3 +112,61 @@ def test_mapper_end_to_end_interpret():
                 state[(key, int(i))] = np.float32(o[i]).view(np.uint32)
         results[mode] = state
     assert results[0] == results[2]
+
+
+def _bits(a):
+    a = np.asarray(a)
+    return a.view(np.uint32) if a.dtype == np.float32 else a
+
+
+def test_ndt_end_to_end_interpret():
+    """TpuNdtMap differential: fused expand (with voxel planes feeding the
+    miss phase's geometry) vs the XLA walk chain — every NDT layer
+    bit-identical."""
+    from ohm_tpu.mapping.ndt_map import TpuNdtMap
+
+    rays = _scene(n=96, seed=5, spread=3.0)
+    results = {}
+    for mode in (0, 2):
+        m = OccupancyMap(resolution=0.1)
+        mp = TpuNdtMap(m, capacity=64, validate=True)
+        mp.rayflow = True
+        mp.pallas_expand = mode
+        # Two passes so the second batch sees Gaussians from the first and
+        # the miss phase's NDT branch (vox_k geometry) actually fires.
+        mp.integrate_rays(rays)
+        mp.integrate_rays(rays)
+        mp.sync_voxels()
+        st = dict(mp._stats)
+        results[mode] = (
+            {k: _bits(mp.arena.arrays[k])
+             for k in ("occupancy", "mean_coord", "mean_count", "cov")},
+            st,
+        )
+    layers0, st0 = results[0]
+    layers2, st2 = results[2]
+    for k in layers0:
+        np.testing.assert_array_equal(layers0[k], layers2[k], err_msg=k)
+    assert st0 == st2
+
+
+def test_tsdf_end_to_end_interpret():
+    """TpuTsdfMap per-visit differential: fused expand voxel planes vs
+    walk["voxels"] — sdf math and final layers bit-identical."""
+    from ohm_tpu.mapping.tsdf_map import TpuTsdfMap
+    from ohm_tpu.oracle.tsdf import TsdfOptions
+
+    rays = _scene(n=96, seed=9, spread=3.0)
+    results = {}
+    for mode in (0, 2):
+        m = OccupancyMap(resolution=0.1)
+        mp = TpuTsdfMap(m, TsdfOptions(default_truncation_distance=0.3),
+                        capacity=64, validate=True)
+        mp.rayflow = True
+        mp.pallas_expand = mode
+        mp.integrate_rays(rays)
+        mp.sync_voxels()
+        results[mode] = (_bits(mp.arena.arrays["tsdf_weight"]),
+                         _bits(mp.arena.arrays["tsdf_distance"]))
+    np.testing.assert_array_equal(results[0][0], results[2][0])
+    np.testing.assert_array_equal(results[0][1], results[2][1])
